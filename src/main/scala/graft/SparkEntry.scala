@@ -1,13 +1,117 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every entry pairs a Spark plan (`queries`) with DuckDB oracle SQL
+  * (`oracleSql`) over the same parquet tables; column names match exactly
+  * and every non-integer output is floor-rounded (EventSemantics.fl) so
+  * both engines produce bit-identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ChatStats.leaderboard(Tables.events(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core ETL rollups (SURVEY §2 #4, 7-10) ---
+    "q_user_video_rollup" -> ((s, d) => EventSemantics.userData(ev(s, d))),
+    "q_user_monthly_activity" -> ((s, d) => EventSemantics.userWeeklyActivity(ev(s, d))),
+    "q_language_stats" -> ((s, d) => ChatStats.languageStats(ev(s, d))),
+    "q_user_language_share" -> ((s, d) => ChatStats.userLanguageShare(ev(s, d))),
+    "q_membership_summary" -> ((s, d) => ChatStats.membershipSummary(ev(s, d))),
+    // --- streaming hours (#11-15) ---
+    "q_hours_total" -> ((s, d) => StreamingHours.total(ord(s, d), cust(s, d))),
+    "q_hours_avg" -> ((s, d) => StreamingHours.avg(ord(s, d), cust(s, d))),
+    "q_hours_max" -> ((s, d) => StreamingHours.max(ord(s, d), cust(s, d))),
+    "q_monthly_hours" -> ((s, d) => StreamingHours.monthlyHours(ord(s, d), cust(s, d), 1L)),
+    "q_hours_diff" -> ((s, d) => StreamingHours.hoursDiff(ord(s, d), cust(s, d))),
+    // --- makeup (#16-17) ---
+    "q_chat_makeup" -> ((s, d) => Makeup.chatMakeup(ev(s, d))),
+    "q_message_type_percents" -> ((s, d) => Makeup.messageTypePercents(ev(s, d), "click", "jp")),
+    // --- user/overlap queries (#18-30, 35) ---
+    "q_common_users" -> ((s, d) =>
+      ChatStats.commonUsersPair(ev(s, d), "click", "2024-01-01", "view", "2024-01-08")),
+    "q_common_users_matrix" -> ((s, d) => ChatStats.commonUsersMatrix(ev(s, d))),
+    "q_common_members" -> ((s, d) => ChatStats.commonMembersMatrix(ev(s, d))),
+    "q_membership_counts" -> ((s, d) => ChatStats.membershipSummary(ev(s, d))
+      .filter(org.apache.spark.sql.functions.col("week") === "2024-01-15")),
+    "q_membership_total" -> ((s, d) => ChatStats.membershipTotal(ev(s, d))),
+    "q_membership_changes" -> ((s, d) => ChatStats.membershipChanges(ev(s, d))),
+    "q_chat_leaderboard" -> ((s, d) => ChatStats.leaderboard(ev(s, d))),
+    "q_user_changes" -> ((s, d) => ChatStats.userChanges(ev(s, d))),
+    "q_exclusive_users" -> ((s, d) => ChatStats.exclusiveUsers(ev(s, d))),
+    "q_heavy_lang_users" -> ((s, d) => ChatStats.heavyLangUsers(ev(s, d))),
+    "q_user_percentile" -> ((s, d) => ChatStats.userPercentile(ev(s, d))),
+    "q_engagement" -> ((s, d) => ChatStats.engagement(ev(s, d))),
+    "q_attrition" -> ((s, d) => ChatStats.attrition(ev(s, d))),
+    "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
+    // --- highlights (#5-6) ---
+    "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
+    "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d)))
+  )
+
+  /** DuckDB-dialect oracle for each query (same table names, same column
+    * names, same rounding).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_user_video_rollup" -> EventSemantics.userDataSql,
+    "q_user_monthly_activity" -> EventSemantics.userWeeklyActivitySql,
+    "q_language_stats" -> languageStatsSql,
+    "q_user_language_share" -> userLanguageShareSql,
+    "q_membership_summary" -> ChatStats.membershipSummarySql,
+    "q_hours_total" -> StreamingHours.totalSql,
+    "q_hours_avg" -> StreamingHours.avgSql,
+    "q_hours_max" -> StreamingHours.maxSql,
+    "q_monthly_hours" -> StreamingHours.monthlyHoursSql(1L),
+    "q_hours_diff" -> StreamingHours.hoursDiffSql,
+    "q_chat_makeup" -> Makeup.chatMakeupSql,
+    "q_message_type_percents" -> Makeup.messageTypePercentsSql("click", "jp"),
+    "q_common_users" -> ChatStats.commonUsersPairSql("click", "2024-01-01", "view", "2024-01-08"),
+    "q_common_users_matrix" -> ChatStats.commonUsersMatrixSql,
+    "q_common_members" -> ChatStats.commonMembersMatrixSql,
+    "q_membership_counts" -> s"SELECT * FROM (${ChatStats.membershipSummarySql}) WHERE week = DATE '2024-01-15'",
+    "q_membership_total" -> membershipTotalSql,
+    "q_membership_changes" -> ChatStats.membershipChangesSql,
+    "q_chat_leaderboard" -> ChatStats.leaderboardSql(),
+    "q_user_changes" -> ChatStats.userChangesSql(),
+    "q_exclusive_users" -> ChatStats.exclusiveUsersSql,
+    "q_heavy_lang_users" -> ChatStats.heavyLangUsersSql,
+    "q_user_percentile" -> ChatStats.userPercentileSql,
+    "q_engagement" -> ChatStats.engagementSql,
+    "q_attrition" -> ChatStats.attritionSql(),
+    "q_site_stats" -> ChatStats.siteStatsSql,
+    "q_funniest_moment" -> Highlights.funniestMomentSql(),
+    "q_highlight_velocity" -> Highlights.highlightVelocitySql()
+  )
+
+  private val languageStatsSql: String =
+    s"""WITH ud AS (${EventSemantics.userDataSql})
+       | SELECT channel, CAST(date_trunc('week', day) AS DATE) AS week,
+       |  SUM(jp_count) AS jp_count, SUM(kr_count) AS kr_count,
+       |  SUM(ru_count) AS ru_count, SUM(emoji_count) AS emoji_count,
+       |  SUM(es_en_id_count) AS es_en_id_count,
+       |  SUM(total_message_count) AS total_messages
+       | FROM ud WHERE total_message_count > 0 GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
+  private val userLanguageShareSql: String =
+    s"""WITH ud AS (${EventSemantics.userDataSql})
+       | SELECT user_id, channel, CAST(date_trunc('week', day) AS DATE) AS week,
+       |  SUM(jp_count) AS total_jp_messages,
+       |  SUM(total_message_count - emoji_count) AS total_non_emoji_messages
+       | FROM ud WHERE total_message_count > 0 GROUP BY 1, 2, 3""".stripMargin.replace("\n", "")
+
+  private val membershipTotalSql: String =
+    s"""SELECT channel, week, SUM(membership_count) AS total_members
+       | FROM (${ChatStats.membershipSummarySql})
+       | WHERE membership_rank <> -1 GROUP BY 1, 2""".stripMargin.replace("\n", "")
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class ChatStatsSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("userData rollup: counts reconcile with raw events") {
+    val ud = EventSemantics.userData(events)
+    val totals = ud.agg(sum("total_message_count")).first().getLong(0)
+    val raw = events.filter(!EventSemantics.isGift).count()
+    assert(totals === raw)
+    // category pivot sums to total
+    val catSum = ud.agg(
+      sum(col("jp_count") + col("kr_count") + col("ru_count") +
+        col("emoji_count") + col("es_en_id_count"))).first().getLong(0)
+    assert(catSum === raw)
+  }
+
+  test("leaderboard: at most k rows per channel-week, positions contiguous") {
+    val lb = ChatStats.leaderboard(events, k = 5)
+    val over = lb.groupBy("channel", "week").count().filter(col("count") > 5).count()
+    assert(over === 0)
+    val badPos = lb.filter(col("position") < 1 || col("position") > 5).count()
+    assert(badPos === 0)
+  }
+
+  test("commonUsersMatrix: diagonal is 100%") {
+    val m = ChatStats.commonUsersMatrix(events)
+    val diag = m.filter(col("channel_a") === col("channel_b"))
+    assert(diag.count() > 0)
+    assert(diag.filter(col("pct_a_to_b") =!= 100.0).count() === 0)
+  }
+
+  test("membershipSummary: percentages sum to ~100 per channel-week") {
+    val ms = ChatStats.membershipSummary(events)
+    val sums = ms.groupBy("channel", "week")
+      .agg(sum("percentage_total").as("p"))
+      .filter(col("p") < 99.9 || col("p") > 100.1)
+    assert(sums.count() === 0)
+  }
+
+  test("userChanges: gains/losses are non-negative and net consistent") {
+    val uc = ChatStats.userChanges(events)
+    assert(uc.filter(col("users_gained") < 0 || col("users_lost") < 0).count() === 0)
+    assert(uc.filter(col("net_change") =!= col("users_gained") - col("users_lost")).count() === 0)
+  }
+
+  test("exclusiveUsers: percentage within [0, 100]") {
+    val ex = ChatStats.exclusiveUsers(events)
+    assert(ex.count() > 0)
+    assert(ex.filter(col("exclusive_percent") < 0 || col("exclusive_percent") > 100).count() === 0)
+  }
+
+  test("userPercentile: max percentile is 100") {
+    val up = ChatStats.userPercentile(events)
+    val mx = up.agg(max("percentile")).first().getDouble(0)
+    assert(mx === 100.0)
+  }
+
+  test("attrition: percent within [0, 100] and weeks after baseline") {
+    val at = ChatStats.attrition(events, topK = 100, baselineWeeks = 3)
+    assert(at.filter(col("percent_active") < 0 || col("percent_active") > 100).count() === 0)
+  }
+}
