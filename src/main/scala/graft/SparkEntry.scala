@@ -16,6 +16,8 @@ object SparkEntry {
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -57,7 +59,15 @@ object SparkEntry {
     "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
     // --- highlights (#5-6) ---
     "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
-    "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d)))
+    "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d))),
+    // --- text suite (#1-3, 45-48) ---
+    "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
+    "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
+    "t_humor" -> ((s, d) => TextOps.humorDocs(docs(s, d))),
+    "t_lang_id" -> ((s, d) => TextOps.langIdDocs(docs(s, d))),
+    "t_quality_score" -> ((s, d) => TextOps.qualityDocs(docs(s, d))),
+    "t_token_count" -> ((s, d) => TextOps.tokenCountDocs(docs(s, d))),
+    "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -91,7 +101,14 @@ object SparkEntry {
     "q_attrition" -> ChatStats.attritionSql(),
     "q_site_stats" -> ChatStats.siteStatsSql,
     "q_funniest_moment" -> Highlights.funniestMomentSql(),
-    "q_highlight_velocity" -> Highlights.highlightVelocitySql()
+    "q_highlight_velocity" -> Highlights.highlightVelocitySql(),
+    "t_categorize" -> TextOps.categorizeDocsSql,
+    "t_membership_rank" -> TextOps.membershipRankDocsSql,
+    "t_humor" -> TextOps.humorDocsSql,
+    "t_lang_id" -> TextOps.langIdDocsSql,
+    "t_quality_score" -> TextOps.qualityDocsSql,
+    "t_token_count" -> TextOps.tokenCountDocsSql,
+    "t_fingerprint" -> TextOps.fingerprintDocsSql
   )
 
   private val languageStatsSql: String =

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-suite queries over `documents` (SURVEY §2 #1-3, #45-48).
+  *
+  * The synthetic corpus is ASCII-only, so the charset-sensitive operators
+  * (categorize / humor / langId) are exercised on a deterministically
+  * *augmented* message column: a `CASE` on doc_id injects hiragana /
+  * katakana / han / hangul / cyrillic / emoji / numeric / badge markers —
+  * the identical CASE exists in the oracle SQL, so every branch of the real
+  * classifier is end-to-end verified.
+  *
+  * Scale: all of these are narrow per-row projections — no shuffle at all;
+  * they pipeline inside one WholeStageCodegen over the parquet scan.
+  */
+object TextOps {
+
+  // ---- deterministic charset augmentation ---------------------------------
+  private def synthMsg: Column = {
+    val t = col("text"); val m = col("doc_id") % 11
+    when(m === 0, concat(lit("こんにちは "), substring(t, 1, 40)))
+      .when(m === 1, concat(lit("カタカナ "), substring(t, 1, 40)))
+      .when(m === 2, concat(lit("漢字 "), substring(t, 1, 40)))
+      .when(m === 3, concat(substring(t, 1, 40), lit(" すごい！")))
+      .when(m === 4, lit("wwww"))
+      .when(m === 5, concat(lit("한국어 "), substring(t, 1, 40)))
+      .when(m === 6, concat(lit("русский "), substring(t, 1, 40)))
+      .when(m === 7, lit("12345"))
+      .when(m === 8, lit(":_konkonmori: :_wave:"))
+      .when(m === 9, lit("🎉 🎉"))
+      .otherwise(t)
+  }
+  private val synthMsgSql =
+    """CASE doc_id % 11
+      | WHEN 0 THEN concat('こんにちは ', substr(text, 1, 40))
+      | WHEN 1 THEN concat('カタカナ ', substr(text, 1, 40))
+      | WHEN 2 THEN concat('漢字 ', substr(text, 1, 40))
+      | WHEN 3 THEN concat(substr(text, 1, 40), ' すごい！')
+      | WHEN 4 THEN 'wwww'
+      | WHEN 5 THEN concat('한국어 ', substr(text, 1, 40))
+      | WHEN 6 THEN concat('русский ', substr(text, 1, 40))
+      | WHEN 7 THEN '12345'
+      | WHEN 8 THEN ':_konkonmori: :_wave:'
+      | WHEN 9 THEN '🎉 🎉'
+      | ELSE text END""".stripMargin.replace("\n", "")
+
+  private def synthBadge: Column = {
+    val m = col("doc_id") % 6
+    when(m === 0, lit(null).cast("string"))
+      .when(m === 1, lit("New member"))
+      .when(m === 2, concat((col("doc_id") % 23).cast("string"), lit(" months")))
+      .when(m === 3, concat((col("doc_id") % 5).cast("string"), lit(" years")))
+      .when(m === 4, lit("Member (1 year)"))
+      .otherwise(lit("hello"))
+  }
+  private val synthBadgeSql =
+    """CASE doc_id % 6
+      | WHEN 0 THEN NULL
+      | WHEN 1 THEN 'New member'
+      | WHEN 2 THEN concat(CAST(doc_id % 23 AS VARCHAR), ' months')
+      | WHEN 3 THEN concat(CAST(doc_id % 5 AS VARCHAR), ' years')
+      | WHEN 4 THEN 'Member (1 year)'
+      | ELSE 'hello' END""".stripMargin.replace("\n", "")
+
+  private def synthHumor: Column = {
+    val t = col("text"); val m = col("doc_id") % 7
+    when(m === 0, concat(substring(t, 1, 30), lit(" lol")))
+      .when(m === 1, concat(lit("草 "), substring(t, 1, 30)))
+      .when(m === 2, lit("hahaha that was great"))
+      .when(m === 3, concat(lit("笑いすぎた"), lit("ｗｗ")))
+      .when(m === 4, lit("looool"))
+      .otherwise(t)
+  }
+  private val synthHumorSql =
+    """CASE doc_id % 7
+      | WHEN 0 THEN concat(substr(text, 1, 30), ' lol')
+      | WHEN 1 THEN concat('草 ', substr(text, 1, 30))
+      | WHEN 2 THEN 'hahaha that was great'
+      | WHEN 3 THEN concat('笑いすぎた', 'ｗｗ')
+      | WHEN 4 THEN 'looool'
+      | ELSE text END""".stripMargin.replace("\n", "")
+
+  // ---- queries -------------------------------------------------------------
+
+  /** #1 charset classifier (chat_parser.categorize_message). */
+  def categorizeDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), categorize(synthMsg).as("category"))
+  val categorizeDocsSql: String =
+    s"SELECT doc_id, ${categorizeSql(s"($synthMsgSql)")} AS category FROM documents"
+
+  /** #2 membership badge parser (chat_parser.parse_membership_rank). */
+  def membershipRankDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), membershipRank(synthBadge).as("rank_months"))
+  val membershipRankDocsSql: String =
+    s"SELECT doc_id, ${membershipRankSql(s"($synthBadgeSql)")} AS rank_months FROM documents"
+
+  /** #3 humor detector (feature_analysis.has_humor). */
+  def humorDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), hasHumor(synthHumor).as("is_humor"))
+  val humorDocsSql: String =
+    s"SELECT doc_id, ${hasHumorSql(s"($synthHumorSql)")} AS is_humor FROM documents"
+
+  /** #45 language ID over augmented messages. */
+  def langIdDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), langId(synthMsg).as("lang_id"))
+  val langIdDocsSql: String =
+    s"SELECT doc_id, ${langIdSql(s"($synthMsgSql)")} AS lang_id FROM documents"
+
+  /** #46 quality scoring over the raw corpus. */
+  def qualityDocs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).cast("long").as("n_words"),
+      EventSemantics.fl(qualityScore(col("text")), 4).as("quality"))
+  val qualityDocsSql: String =
+    s"""SELECT doc_id,
+       | CAST(${wsTokenCountSql("text")} AS BIGINT) AS n_words,
+       | ${EventSemantics.flSql(qualityScoreSql("text"), 4)} AS quality
+       | FROM documents""".stripMargin.replace("\n", "")
+
+  /** #47 token counting (whitespace + BPE-ish). */
+  def tokenCountDocs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+  val tokenCountDocsSql: String =
+    s"""SELECT doc_id, CAST(${wsTokenCountSql("text")} AS BIGINT) AS ws_tokens,
+       | CAST(${bpeTokenCountSql("text")} AS BIGINT) AS bpe_tokens
+       | FROM documents""".stripMargin.replace("\n", "")
+
+  /** #48 order-sensitive fingerprints. */
+  def fingerprintDocs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5Fingerprint(col("text")).as("fp_md5"),
+      polyFingerprint(col("text")).as("fp_poly"))
+  val fingerprintDocsSql: String =
+    s"""SELECT doc_id, ${md5FingerprintSql("text")} AS fp_md5,
+       | ${polyFingerprintSql("text")} AS fp_poly
+       | FROM documents""".stripMargin.replace("\n", "")
+}
