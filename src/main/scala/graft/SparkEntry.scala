@@ -60,6 +60,12 @@ object SparkEntry {
     // --- highlights (#5-6) ---
     "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
     "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d))),
+    // --- similarity + forecast (#31-34, 37) ---
+    "q_channel_similarity" -> ((s, d) => Similarity.channelSimilarity(ev(s, d))),
+    "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d))),
+    "q_content_similarity" -> ((s, d) => Similarity.contentSimilarity(docs(s, d))),
+    "q_clustering_communities" -> ((s, d) => Similarity.clusteringCommunities(ev(s, d))),
+    "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
@@ -102,6 +108,11 @@ object SparkEntry {
     "q_site_stats" -> ChatStats.siteStatsSql,
     "q_funniest_moment" -> Highlights.funniestMomentSql(),
     "q_highlight_velocity" -> Highlights.highlightVelocitySql(),
+    "q_channel_similarity" -> Similarity.channelSimilaritySql,
+    "q_recommend" -> Similarity.recommendSql(),
+    "q_content_similarity" -> Similarity.contentSimilaritySql,
+    "q_clustering_communities" -> Similarity.clusteringCommunitiesSql,
+    "q_forecast_hours" -> Forecast.forecastHoursSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

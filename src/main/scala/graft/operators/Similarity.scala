@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import EventSemantics.{fl, flSql, userWeeklyActivitySql}
+
+/** Channel-similarity analytics — reference `web/api.py:418`
+  * channel_clustering, `:914` recommend_channels, `:658` content_clustering.
+  *
+  * The reference pivots user×channel message counts into an in-memory
+  * matrix and calls sklearn cosine_similarity; here the same math is a
+  * self-join on the *rolled-up* (user, channel) relation with exact BIGINT
+  * dot products — |users|×|channels| rows, never raw messages — and the
+  * per-channel norms are a tiny aggregate joined back (broadcast at scale).
+  *
+  * Determinism: dot products and norms are exact integer sums; the only
+  * doubles are the final sqrt/divide, identical IEEE ops in both engines.
+  */
+object Similarity {
+
+  /** #31 channel×channel cosine of user-message-count vectors, per week.
+    * Emits ordered pairs (a < b) that share >= 1 user (zero-sim pairs are
+    * absent by construction in both engines).
+    */
+  def channelSimilarity(events: DataFrame): DataFrame = {
+    val w = EventSemantics.userWeeklyActivity(events)
+      .select(col("user_id"), col("channel"), col("week"), col("messages"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.week") === col("b.week") &&
+          col("a.channel") < col("b.channel"))
+      .groupBy(col("a.week").as("week"), col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
+      .agg(sum(col("a.messages") * col("b.messages")).as("dot"))
+    val norms = w.groupBy("week", "channel")
+      .agg(sum(col("messages") * col("messages")).as("n2"))
+    dots
+      .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), Seq("week", "channel_a"))
+      .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), Seq("week", "channel_b"))
+      .select(col("week"), col("channel_a"), col("channel_b"),
+        fl(col("dot").cast("double") / (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6)
+          .as("similarity"))
+  }
+
+  val channelSimilaritySql: String =
+    s"""WITH act AS ($userWeeklyActivitySql),
+       | dots AS (
+       |  SELECT a.week, a.channel AS channel_a, b.channel AS channel_b,
+       |    SUM(a.messages * b.messages) AS dot
+       |  FROM act a JOIN act b ON a.user_id = b.user_id AND a.week = b.week
+       |    AND a.channel < b.channel
+       |  GROUP BY 1, 2, 3),
+       | norms AS (SELECT week, channel, SUM(messages * messages) AS n2 FROM act GROUP BY 1, 2)
+       | SELECT d.week, d.channel_a, d.channel_b,
+       |  ${flSql("CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))", 6)} AS similarity
+       | FROM dots d
+       | JOIN norms na ON na.week = d.week AND na.channel = d.channel_a
+       | JOIN norms nb ON nb.week = d.week AND nb.channel = d.channel_b""".stripMargin.replace("\n", "")
+
+  /** #32 recommend_channels (api.py:914): for one user, score every
+    * candidate channel by Σ cosine-sim to the user's channels (full-period
+    * weights), excluding channels where the user already has > 3 messages,
+    * top-10, log-dampened 0-100 score.
+    */
+  def recommend(events: DataFrame, userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): DataFrame = {
+    val w = EventSemantics.userWeeklyActivity(events)
+      .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
+    val dots = w.as("a").join(w.as("b"), col("a.user_id") === col("b.user_id"))
+      .groupBy(col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
+      .agg(sum(col("a.weight") * col("b.weight")).as("dot"))
+    val norms = w.groupBy("channel").agg(sum(col("weight") * col("weight")).as("n2"))
+    val sims = dots
+      .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), "channel_a")
+      .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), "channel_b")
+      .select(col("channel_a"), col("channel_b"),
+        (col("dot").cast("double") / (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))).as("sim"))
+    val mine = w.filter(col("user_id") === userId && col("weight") > 0)
+      .select(col("channel").as("uc"), col("weight"))
+    val nUc = mine.agg(count(lit(1)).as("n_uc"))
+    val excl = mine.filter(col("weight") > exclThreshold).select(col("uc").as("channel_a"))
+    val raw = sims
+      .join(broadcast(mine.select(col("uc"))), col("channel_b") === col("uc"))
+      .groupBy("channel_a").agg(sum("sim").as("raw_score"))
+      .join(broadcast(excl), Seq("channel_a"), "left_anti")
+    raw
+      .crossJoin(broadcast(nUc))
+      .orderBy(col("raw_score").desc, col("channel_a").asc)
+      .limit(k)
+      .select(col("channel_a").as("channel_name"),
+        fl(log(lit(1d) + col("raw_score") / col("n_uc").cast("double") * 100d) / log(lit(101d)) * 100d, 4)
+          .as("score"))
+  }
+
+  def recommendSql(userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): String =
+    s"""WITH act AS ($userWeeklyActivitySql),
+       | w AS (SELECT user_id, channel, SUM(messages) AS weight FROM act GROUP BY 1, 2),
+       | dots AS (
+       |  SELECT a.channel AS channel_a, b.channel AS channel_b, SUM(a.weight * b.weight) AS dot
+       |  FROM w a JOIN w b ON a.user_id = b.user_id GROUP BY 1, 2),
+       | norms AS (SELECT channel, SUM(weight * weight) AS n2 FROM w GROUP BY 1),
+       | sims AS (
+       |  SELECT d.channel_a, d.channel_b,
+       |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+       |  FROM dots d
+       |  JOIN norms na ON na.channel = d.channel_a
+       |  JOIN norms nb ON nb.channel = d.channel_b),
+       | mine AS (SELECT channel AS uc, weight FROM w WHERE user_id = $userId AND weight > 0),
+       | raw AS (
+       |  SELECT s.channel_a, SUM(s.sim) AS raw_score
+       |  FROM sims s JOIN mine m ON s.channel_b = m.uc
+       |  WHERE s.channel_a NOT IN (SELECT uc FROM mine WHERE weight > $exclThreshold)
+       |  GROUP BY 1)
+       | SELECT channel_a AS channel_name,
+       |  ${flSql("ln(1 + raw_score / CAST((SELECT COUNT(*) FROM mine) AS DOUBLE) * 100) / ln(101) * 100", 4)} AS score
+       | FROM raw ORDER BY raw_score DESC, channel_a ASC LIMIT $k""".stripMargin.replace("\n", "")
+
+  /** #33 content_clustering (api.py:658): TF-IDF over each source's
+    * concatenated text, pairwise cosine. Unigram terms, smooth idf
+    * (ln((1+N)/(1+df))+1, sklearn's formula), exact integer tf.
+    */
+  def contentSimilarity(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.select(countDistinct("source").as("n_src"))
+    val weighted = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col("source"), col("term"),
+        (col("tf").cast("double") *
+          (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
+          .as("wt"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+    val norms = weighted.groupBy("source").agg(sum(col("wt") * col("wt")).as("n2"))
+    dots
+      .join(norms.withColumnRenamed("source", "source_a").withColumnRenamed("n2", "n2_a"), "source_a")
+      .join(norms.withColumnRenamed("source", "source_b").withColumnRenamed("n2", "n2_b"), "source_b")
+      .select(col("source_a"), col("source_b"),
+        fl(col("dot") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 4).as("similarity"))
+  }
+
+  val contentSimilaritySql: String =
+    s"""WITH terms AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  FROM documents),
+       | tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       | dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       | n AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+       | wtd AS (
+       |  SELECT tf.source, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * (ln((1 + CAST(n.n_src AS DOUBLE)) / (1 + CAST(dfs.df AS DOUBLE))) + 1) AS wt
+       |  FROM tf JOIN dfs ON tf.term = dfs.term CROSS JOIN n),
+       | dots AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, SUM(a.wt * b.wt) AS dot
+       |  FROM wtd a JOIN wtd b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2),
+       | norms AS (SELECT source, SUM(wt * wt) AS n2 FROM wtd GROUP BY 1)
+       | SELECT d.source_a, d.source_b,
+       |  ${flSql("d.dot / (sqrt(na.n2) * sqrt(nb.n2))", 4)} AS similarity
+       | FROM dots d
+       | JOIN norms na ON na.source = d.source_a
+       | JOIN norms nb ON nb.source = d.source_b""".stripMargin.replace("\n", "")
+
+  /** #34 community detection analog (api.py:478 Leiden): keep edges whose
+    * similarity exceeds the per-week median, then connected components by
+    * iterative min-label propagation. The channel graph is tiny at any data
+    * scale (nodes = channels, not users), so a fixed iteration count covers
+    * the diameter; each iteration is one shuffle on the edge list.
+    */
+  def clusteringCommunities(events: DataFrame, iterations: Int = 6): DataFrame = {
+    val sims = channelSimilarity(events)
+    val thr = sims.groupBy("week").agg(expr("percentile(similarity, 0.5)").as("thr"))
+    val edges = sims.join(thr, "week")
+      .filter(col("similarity") > col("thr"))
+      .select(col("week"), col("channel_a"), col("channel_b"))
+    val undirected = edges
+      .unionByName(edges.select(col("week"), col("channel_b").as("channel_a"), col("channel_a").as("channel_b")))
+    val nodes = EventSemantics.userWeeklyActivity(events).select("week", "channel").distinct()
+    var comp = nodes.withColumn("community", col("channel"))
+    for (_ <- 1 to iterations) {
+      val viaEdge = undirected
+        .join(comp.withColumnRenamed("channel", "channel_b").withColumnRenamed("community", "nb_comm"),
+          Seq("week", "channel_b"))
+        .groupBy(col("week"), col("channel_a").as("channel"))
+        .agg(min("nb_comm").as("nb_comm"))
+      comp = comp.join(viaEdge, Seq("week", "channel"), "left")
+        .select(col("week"), col("channel"),
+          least(col("community"), coalesce(col("nb_comm"), col("community"))).as("community"))
+    }
+    comp
+  }
+
+  val clusteringCommunitiesSql: String =
+    s"""WITH RECURSIVE sims AS ($channelSimilaritySql),
+       | thr AS (SELECT week, quantile_cont(similarity, 0.5) AS thr FROM sims GROUP BY 1),
+       | e AS (
+       |  SELECT s.week, s.channel_a, s.channel_b FROM sims s JOIN thr t ON s.week = t.week
+       |  WHERE s.similarity > t.thr),
+       | e2 AS (SELECT week, channel_a, channel_b FROM e
+       |  UNION SELECT week, channel_b, channel_a FROM e),
+       | nodes AS (SELECT DISTINCT week, channel FROM ($userWeeklyActivitySql)),
+       | reach AS (
+       |  SELECT week, channel, channel AS r FROM nodes
+       |  UNION
+       |  SELECT reach.week, reach.channel, e2.channel_b AS r
+       |  FROM reach JOIN e2 ON e2.week = reach.week AND e2.channel_a = reach.r)
+       | SELECT week, channel, MIN(r) AS community FROM reach GROUP BY 1, 2""".stripMargin.replace("\n", "")
+}
