@@ -66,6 +66,16 @@ object SparkEntry {
     "q_content_similarity" -> ((s, d) => Similarity.contentSimilarity(docs(s, d))),
     "q_clustering_communities" -> ((s, d) => Similarity.clusteringCommunities(ev(s, d))),
     "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
+    // --- dedup suite (#38-42) ---
+    "d_dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
+    "d_dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
+    "d_dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
+    "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
+    // --- vector search (#36, 43-44) ---
+    "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
+    "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
+    "v_ann_ivf" -> ((s, d) => Vectors.annIvf(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
@@ -113,6 +123,14 @@ object SparkEntry {
     "q_content_similarity" -> Similarity.contentSimilaritySql,
     "q_clustering_communities" -> Similarity.clusteringCommunitiesSql,
     "q_forecast_hours" -> Forecast.forecastHoursSql(),
+    "d_dedup_exact" -> Dedup.dedupExactSql,
+    "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
+    "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
+    "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "d_embed_neardup" -> Dedup.embedNearDupSql(),
+    "q_search_highlights" -> Vectors.searchHighlightsSql(),
+    "v_ann_topk" -> Vectors.annTopKSql(),
+    "v_ann_ivf" -> Vectors.annIvfSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import EventSemantics.{fl, flSql}
+
+/** Training-data deduplication suite (SURVEY §2 #38-42).
+  *
+  * All variants run on a shared deterministic input: the corpus plus
+  * synthesized near-duplicates (last 5 words dropped, doc_id + 1e7) and
+  * exact duplicates (doc_id + 2e7) — the synthetic corpus has no natural
+  * dups, and the planted ones give every pipeline verifiable positives.
+  *
+  * Scale design: every stage keys its shuffle by content (hash / band /
+  * shingle), never by pair enumeration. MinHash-LSH candidates come from a
+  * self-join on (band, signature) buckets; n-gram Jaccard from an
+  * inverted-index join keyed by shingle (document frequency of a 3-gram is
+  * tiny, so the join never explodes); SimHash from 15-bit chunk buckets.
+  * Verification only ever touches candidate pairs.
+  */
+object Dedup {
+
+  private val NEAR_OFF = 10000000L
+  private val EXACT_OFF = 20000000L
+
+  /** Corpus + planted near/exact duplicates, text canonicalized. */
+  def dedupInput(documents: DataFrame): DataFrame = {
+    val w = split(lower(trim(col("text"))), "\\s+")
+    val base = documents.select(col("doc_id"), lower(trim(col("text"))).as("text"))
+    val near = documents
+      .filter(col("doc_id") % 5 === 0 && size(w) > 10)
+      .select((col("doc_id") + NEAR_OFF).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), size(w) - 5)).as("text"))
+    val exact = documents
+      .filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + EXACT_OFF).as("doc_id"), lower(trim(col("text"))).as("text"))
+    base.unionByName(near).unionByName(exact)
+  }
+
+  val dedupInputSql: String =
+    s"""SELECT doc_id, lower(trim(text)) AS text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $NEAR_OFF AS doc_id, array_to_string(w[1:len(w)-5], ' ') AS text
+       | FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM documents)
+       | WHERE doc_id % 5 = 0 AND len(w) > 10
+       | UNION ALL
+       | SELECT doc_id + $EXACT_OFF AS doc_id, lower(trim(text)) AS text FROM documents
+       | WHERE doc_id % 25 = 0""".stripMargin.replace("\n", "")
+
+  // ---- #38 exact dedup -----------------------------------------------------
+  /** sha256 hash-groupBy; keep the min doc_id of each content group. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    dedupInput(documents)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    s"""WITH dd AS ($dedupInputSql)
+       | SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+       |  COUNT(*) AS n_dups
+       | FROM dd GROUP BY 1""".stripMargin.replace("\n", "")
+
+  // ---- shared shingling ----------------------------------------------------
+  /** Distinct word k-gram shingles per doc. */
+  private def shingles(dd: DataFrame, k: Int): DataFrame =
+    dd.select(col("doc_id"),
+        explode(expr(
+          s"""CASE WHEN size(split(text, '\\\\s+')) >= $k
+             | THEN transform(sequence(1, size(split(text, '\\\\s+')) - $k + 1),
+             |   i -> array_join(slice(split(text, '\\\\s+'), i, $k), ' '))
+             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin.replace("\n", ""))).as("sh"))
+      .where(length(col("sh")) > 0)
+      .distinct()
+  private def shinglesSql(k: Int): String =
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
+       |      i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM dd))
+       | WHERE length(sh) > 0""".stripMargin.replace("\n", "")
+
+  // ---- #39 MinHash + LSH ---------------------------------------------------
+  /** 3-gram shingles → k=32 minhash (affine perms over 40-bit md5 ids,
+    * mod 2^61-1) → 8 bands × 4 rows → bucket self-join → exact-Jaccard
+    * verify of the candidates only.
+    */
+  def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val dd = dedupInput(documents)
+    val sh = shingles(dd, k)
+    val x = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long")
+    val perms = sh
+      .withColumn("x", x)
+      .withColumn("i", explode(sequence(lit(0), lit(31))))
+      .withColumn("h", ((col("i") * 2L + 1L) * col("x") + (col("i") * 1000003L + 12345L)) % 2305843009213693951L)
+    val minsig = perms.groupBy(col("doc_id"), col("i")).agg(min("h").as("mh"))
+    val bandSig = minsig
+      .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
+      .agg(concat_ws("-",
+        transform(sort_array(collect_list(struct(col("i").as("i"), col("mh").as("mh")))),
+          s => s.getField("mh").cast("string"))).as("sig"))
+    val cand = bandSig.as("a")
+      .join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def dedupMinhashSql(k: Int = 3, minJaccard: Double = 0.7): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | sh AS (${shinglesSql(k)}),
+       | perms AS (
+       |  SELECT doc_id, sh,
+       |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS x,
+       |    unnest(range(32)) AS i
+       |  FROM sh),
+       | hashed AS (
+       |  SELECT doc_id, i, ((i * 2 + 1) * x + (i * 1000003 + 12345)) % 2305843009213693951 AS h
+       |  FROM perms),
+       | minsig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+       | bandsig AS (
+       |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+       |  FROM minsig GROUP BY 1, 2),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsig a JOIN bandsig b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       | inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2)
+       | SELECT i.doc_a, i.doc_b,
+       |  ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} AS jaccard
+       | FROM inter i
+       | JOIN sizes na ON na.doc_id = i.doc_a
+       | JOIN sizes nb ON nb.doc_id = i.doc_b
+       | WHERE ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} >= $minJaccard""".stripMargin.replace("\n", "")
+
+  // ---- #40 SimHash ---------------------------------------------------------
+  /** 60-bit SimHash over word-count vectors (md5-derived bit patterns),
+    * 15-bit chunk bucketing, hamming <= maxHamming via bit_count(xor).
+    */
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val dd = dedupInput(documents)
+    val words = dd
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .withColumn("x", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val bits = words
+      .withColumn("j", explode(sequence(lit(0), lit(59))))
+      .withColumn("contrib", (expr("shiftright(x, j) & 1") * 2L - 1L) * col("c"))
+      .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
+    val sim = bits
+      .withColumn("bitval", when(col("s") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)")).otherwise(0L))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+    val chunks = sim.withColumn("ci", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(simhash, ci * 15) & 32767"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def dedupSimhashSql(maxHamming: Int = 3): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | words AS (
+       |  SELECT doc_id, word, COUNT(*) AS c,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM dd)
+       |  GROUP BY 1, 2),
+       | bits AS (
+       |  SELECT doc_id, j, SUM((((x >> j) & 1) * 2 - 1) * c) AS s
+       |  FROM words, (SELECT unnest(range(60)) AS j)
+       |  GROUP BY 1, 2),
+       | sim AS (
+       |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY 1),
+       | chunks AS (
+       |  SELECT doc_id, simhash, ci, (simhash >> (ci * 15)) & 32767 AS chunk
+       |  FROM sim, (SELECT unnest(range(4)) AS ci))
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       | FROM chunks a JOIN chunks b
+       |  ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin.replace("\n", "")
+
+  // ---- #41 exact n-gram Jaccard via inverted-index join --------------------
+  /** All pairs sharing >= 1 shingle (inverted-index join; 3-gram document
+    * frequency is near-1 so the join is linear), exact Jaccard >= threshold.
+    */
+  def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+    val sh = shingles(dedupInput(documents), k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def ngramJaccardSql(k: Int = 3, minJaccard: Double = 0.3): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | sh AS (${shinglesSql(k)}),
+       | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       | inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       | SELECT i.doc_a, i.doc_b,
+       |  ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} AS jaccard
+       | FROM inter i
+       | JOIN sizes na ON na.doc_id = i.doc_a
+       | JOIN sizes nb ON nb.doc_id = i.doc_b
+       | WHERE ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} >= $minJaccard""".stripMargin.replace("\n", "")
+
+  // ---- #42 embedding cosine near-dup ---------------------------------------
+  /** Same-label block join (the label is the blocking key — at 100 TB this
+    * is the IVF cell / LSH bucket), sequential-fold dot products so both
+    * engines produce identical doubles.
+    */
+  def embedNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = e.withColumn("n2",
+      aggregate(transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x))
+    withNorm.as("a")
+      .join(withNorm.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        fl(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
+  def embedNearDupSql(minCos: Double = 0.3): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    def n2(a: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${flSql(s"${dot("a", "b")} / (sqrt(${n2("a")}) * sqrt(${n2("b")}))", 6)} AS cosine
+       | FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       | WHERE ${flSql(s"${dot("a", "b")} / (sqrt(${n2("a")}) * sqrt(${n2("b")}))", 6)} >= $minCos""".stripMargin.replace("\n", "")
+  }
+}

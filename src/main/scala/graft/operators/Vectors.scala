@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import EventSemantics.{fl, flSql}
+
+/** Vector similarity search over the `embeddings` table (SURVEY §2 #36,
+  * #43, #44) — the Spark-native analog of the reference's pgvector
+  * highlight search (`web/api.py:3009` search_highlights: embedding
+  * cosine-distance top-k under structured filters).
+  *
+  * Determinism: dot products are computed as a strict left-to-right fold
+  * (`aggregate` over `zip_with` in Spark, `list_reduce` in DuckDB) over
+  * float-widened-to-double elements — both engines execute the identical
+  * IEEE operation sequence, so results agree bit-for-bit before rounding.
+  *
+  * Scale: brute-force top-k is a single scan + TakeOrdered (no shuffle of
+  * the vectors). The IVF variant prunes the scan to the nProbe nearest
+  * cells — at 100 TB the cell id is a partition column, so probing is
+  * partition pruning; centroids are a tiny aggregate (cells × dims)
+  * broadcast to the scan.
+  */
+object Vectors {
+
+  private val DIM = 64
+
+  /** query vector (vec_id = qId) widened to double, as a 1-row frame. */
+  private def queryVec(embeddings: DataFrame, qId: Long): DataFrame =
+    embeddings.filter(col("vec_id") === qId)
+      .select(transform(col("embedding"), x => x.cast("double")).as("qv"))
+
+  private def cosTo(v: Column, q: Column): Column = {
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    dot(v, q) / (sqrt(dot(v, v)) * sqrt(dot(q, q)))
+  }
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  private def cosToSql(v: String, q: String) =
+    s"${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)}))"
+
+  /** #43 brute-force cosine top-k against the vector of `qId`. */
+  def annTopK(embeddings: DataFrame, qId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = queryVec(embeddings, qId)
+    embeddings.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annTopKSql(qId: Long = 0L, k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qId)
+       | SELECT e.vec_id, e.label,
+       |  ${flSql(cosToSql("e.embedding", "q.qv"), 6)} AS cosine
+       | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $qId
+       | ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
+
+  /** #36 structured-filter ANN (search_highlights): same top-k but only
+    * over rows passing the metadata predicate (label whitelist here; the
+    * reference filters channel/date the same way — predicate first, then
+    * distance ranking, so the filter pushes down to the scan).
+    */
+  def searchHighlights(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+                       labels: Seq[Int] = Seq(2, 5, 7)): DataFrame = {
+    val q = queryVec(embeddings, qId)
+    embeddings.filter(col("vec_id") =!= qId && col("label").isin(labels.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def searchHighlightsSql(qId: Long = 0L, k: Int = 10, labels: Seq[Int] = Seq(2, 5, 7)): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qId)
+       | SELECT e.vec_id, e.label,
+       |  ${flSql(cosToSql("e.embedding", "q.qv"), 6)} AS cosine
+       | FROM embeddings e CROSS JOIN q
+       | WHERE e.vec_id <> $qId AND e.label IN (${labels.mkString(", ")})
+       | ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
+
+  /** #44 IVF-style ANN: per-label centroids as the coarse quantizer, rank
+    * cells by centroid-to-query cosine, probe the top `nProbe` cells, then
+    * exact top-k inside the probed cells only.
+    */
+  def annIvf(embeddings: DataFrame, qId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val q = queryVec(embeddings, qId)
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+    val centVec = cent
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+    val probed = centVec.crossJoin(broadcast(q))
+      .select(col("label"), cosTo(col("cvec"), col("qv")).as("cscore"))
+      .orderBy(col("cscore").desc, col("label").asc)
+      .limit(nProbe)
+      .select("label")
+    embeddings.filter(col("vec_id") =!= qId)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annIvfSql(qId: Long = 0L, k: Int = 10, nProbe: Int = 3): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qId),
+       | cent AS (
+       |  SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
+       |  FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+       |  GROUP BY 1, 2),
+       | cvecs AS (
+       |  SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+       | probed AS (
+       |  SELECT c.label FROM cvecs c CROSS JOIN q
+       |  ORDER BY ${cosToSql("c.cvec", "q.qv")} DESC, c.label ASC LIMIT $nProbe)
+       | SELECT e.vec_id, e.label,
+       |  ${flSql(cosToSql("e.embedding", "q.qv"), 6)} AS cosine
+       | FROM embeddings e JOIN probed p ON e.label = p.label CROSS JOIN q
+       | WHERE e.vec_id <> $qId
+       | ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
+}
