@@ -83,7 +83,10 @@ object SparkEntry {
     "t_lang_id" -> ((s, d) => TextOps.langIdDocs(docs(s, d))),
     "t_quality_score" -> ((s, d) => TextOps.qualityDocs(docs(s, d))),
     "t_token_count" -> ((s, d) => TextOps.tokenCountDocs(docs(s, d))),
-    "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d)))
+    "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
+    // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
+    "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
+    "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -137,7 +140,9 @@ object SparkEntry {
     "t_lang_id" -> TextOps.langIdDocsSql,
     "t_quality_score" -> TextOps.qualityDocsSql,
     "t_token_count" -> TextOps.tokenCountDocsSql,
-    "t_fingerprint" -> TextOps.fingerprintDocsSql
+    "t_fingerprint" -> TextOps.fingerprintDocsSql,
+    // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
+    "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql()
   )
 
   private val languageStatsSql: String =

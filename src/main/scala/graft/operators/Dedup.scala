@@ -81,18 +81,25 @@ object Dedup {
        | WHERE length(sh) > 0""".stripMargin.replace("\n", "")
 
   // ---- #39 MinHash + LSH ---------------------------------------------------
-  /** 3-gram shingles → k=32 minhash (affine perms over 40-bit md5 ids,
-    * mod 2^61-1) → 8 bands × 4 rows → bucket self-join → exact-Jaccard
-    * verify of the candidates only.
+  /** 3-gram shingles → k=32 minhash (universal affine hashes
+    * h_i = (a_i·x + b_i) mod 2^31-1 over md5-derived 31-bit shingle ids,
+    * with a_i/b_i themselves md5-derived per perm — constants linear in i
+    * make h_i linear in i and let one shingle stay argmin across all
+    * perms, collapsing the signature) → 8 bands × 4 rows → bucket
+    * self-join → exact-Jaccard verify of the candidates only.
     */
   def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     val dd = dedupInput(documents)
     val sh = shingles(dd, k)
-    val x = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long")
+    val x = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long") % 2147483647L
     val perms = sh
       .withColumn("x", x)
       .withColumn("i", explode(sequence(lit(0), lit(31))))
-      .withColumn("h", ((col("i") * 2L + 1L) * col("x") + (col("i") * 1000003L + 12345L)) % 2305843009213693951L)
+      .withColumn("a",
+        conv(substring(md5(concat(lit("a"), col("i").cast("string"))), 1, 7), 16, 10).cast("long") + 1L)
+      .withColumn("b",
+        conv(substring(md5(concat(lit("b"), col("i").cast("string"))), 1, 7), 16, 10).cast("long"))
+      .withColumn("h", (col("a") * col("x") + col("b")) % 2147483647L)
     val minsig = perms.groupBy(col("doc_id"), col("i")).agg(min("h").as("mh"))
     val bandSig = minsig
       .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
@@ -125,11 +132,13 @@ object Dedup {
        | sh AS (${shinglesSql(k)}),
        | perms AS (
        |  SELECT doc_id, sh,
-       |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS x,
+       |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) % 2147483647 AS x,
        |    unnest(range(32)) AS i
        |  FROM sh),
        | hashed AS (
-       |  SELECT doc_id, i, ((i * 2 + 1) * x + (i * 1000003 + 12345)) % 2305843009213693951 AS h
+       |  SELECT doc_id, i,
+       |    ((CAST(concat('0x', substr(md5(concat('a', CAST(i AS VARCHAR))), 1, 7)) AS BIGINT) + 1) * x
+       |     + CAST(concat('0x', substr(md5(concat('b', CAST(i AS VARCHAR))), 1, 7)) AS BIGINT)) % 2147483647 AS h
        |  FROM perms),
        | minsig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
        | bandsig AS (

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 #49).
+  *
+  * Treats media as opaque `binary` columns with typed metadata, the way a
+  * 100 TB training pipeline stores images/audio next to text. The decode /
+  * feature-extract step is a clearly-marked deterministic STUB (no codec
+  * libraries in this environment), but every piece of Spark plumbing is
+  * real: binary column synthesis, a typed `Dataset` boundary with
+  * case-class encoders, partition-preserving `mapPartitions` with
+  * iterator-at-a-time batching (the same shape a JNI decoder or Pandas-UDF
+  * batch would use), and a narrow plan — no shuffle anywhere.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, blob: Array[Byte], width: Int, height: Int, format: String)
+  case class MediaFeat(doc_id: Long, width: Int, height: Int, format: String,
+                       n_bytes: Int, mean_byte: Double, checksum: Long)
+
+  /** STUB decoder: a real implementation would decode `blob` with an image
+    * codec; this computes deterministic byte statistics instead, preserving
+    * the exact call shape (per-partition iterator in, iterator out).
+    */
+  private def decodeStub(rows: Iterator[MediaIn]): Iterator[MediaFeat] =
+    rows.map { m =>
+      var sum = 0L
+      var crc = 1469598103934665603L // FNV-1a 64 offset basis
+      var i = 0
+      while (i < m.blob.length) {
+        val b = m.blob(i) & 0xff
+        sum += b
+        crc = (crc ^ b) * 1099511628211L
+        i += 1
+      }
+      MediaFeat(m.doc_id, m.width, m.height, m.format, m.blob.length,
+        if (m.blob.length == 0) 0d else sum.toDouble / m.blob.length, crc)
+    }
+
+  /** Synthesize the media table (binary + typed metadata) from documents,
+    * then run the stub decode through the typed mapPartitions boundary.
+    */
+  def mediaFeatures(documents: DataFrame): DataFrame = {
+    val media = documents.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("blob"),
+      (col("doc_id") % 640 + 64).cast("int").as("width"),
+      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      element_at(array(lit("png"), lit("jpeg"), lit("webp")), (col("doc_id") % 3 + 1).cast("int")).as("format"))
+    val ds: Dataset[MediaIn] = media.as(Encoders.product[MediaIn])
+    ds.mapPartitions(decodeStub)(Encoders.product[MediaFeat]).toDF()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Vectors}
+
+/** Invariant specs for the dedup suite, vector search, and multimodal
+  * plumbing (oracle equality is covered by Verify + check.py; these pin
+  * the algorithmic properties).
+  */
+class DedupVectorsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("exact dedup: planted exact duplicates collapse into their source group") {
+    val groups = Dedup.dedupExact(docs)
+    // every planted copy (doc_id % 25 == 0) must land in a group of >= 2
+    val dupGroups = groups.filter(col("n_dups") >= 2).count()
+    val planted = docs.filter(col("doc_id") % 25 === 0).count()
+    assert(dupGroups == planted)
+    // keeper is always the minimum id — the original, never the +2e7 copy
+    assert(groups.filter(col("keep_id") >= 20000000L).count() == 0)
+  }
+
+  test("minhash finds the high-similarity planted near-duplicate pairs") {
+    val pairs = Dedup.dedupMinhash(docs).collect()
+    // ground truth from the exact inverted-index join: at true J >= 0.9 an
+    // 8x4 LSH misses a pair with prob (1-0.9^4)^8 ~ 1e-4
+    val strong = Dedup.ngramJaccard(docs, minJaccard = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    strong.foreach { p => assert(found.contains(p), s"missing near-dup pair $p") }
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.7 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhash: exact copies collide at hamming 0") {
+    val pairs = Dedup.dedupSimhash(docs)
+    val zeroPairs = pairs.filter(col("hamming") === 0)
+      .filter(col("doc_b") - col("doc_a") === 20000000L).count()
+    val planted = docs.filter(col("doc_id") % 25 === 0).count()
+    assert(zeroPairs == planted)
+  }
+
+  test("ann: ivf with all cells probed equals brute force") {
+    val brute = Vectors.annTopK(emb, k = 5).collect().map(_.getLong(0)).toSeq
+    val ivfAll = Vectors.annIvf(emb, k = 5, nProbe = 10).collect().map(_.getLong(0)).toSeq
+    assert(brute == ivfAll)
+  }
+
+  test("ann: cosine is within [-1, 1] and sorted descending") {
+    val rows = Vectors.annTopK(emb, k = 10).collect().map(_.getDouble(2))
+    assert(rows.forall(c => c >= -1.0 && c <= 1.0))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("multimodal: stub decode preserves rows and is deterministic") {
+    val a = Multimodal.mediaFeatures(docs).orderBy("doc_id").collect()
+    val b = Multimodal.mediaFeatures(docs).orderBy("doc_id").collect()
+    assert(a.length == docs.count())
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // 16-byte md5 blobs -> n_bytes is always 16
+    assert(a.forall(_.getInt(4) == 16))
+  }
+}
