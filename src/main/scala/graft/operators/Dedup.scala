@@ -62,18 +62,28 @@ object Dedup {
        | FROM dd GROUP BY 1""".stripMargin.replace("\n", "")
 
   // ---- shared shingling ----------------------------------------------------
-  /** Distinct word k-gram shingles per doc. */
+  /** Distinct (doc_id, shingle-id) pairs, where the id is the first 60 md5
+    * bits of the k-gram — all downstream shuffles/joins move 8-byte longs,
+    * never shingle strings. The tokenization is hoisted into its own
+    * projection so the regex split runs once per document — inlining it
+    * into the shingling lambda makes Catalyst re-evaluate it per element
+    * (O(words²) splits per doc).
+    */
   private def shingles(dd: DataFrame, k: Int): DataFrame =
-    dd.select(col("doc_id"),
+    dd.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"),
         explode(expr(
-          s"""CASE WHEN size(split(text, '\\\\s+')) >= $k
-             | THEN transform(sequence(1, size(split(text, '\\\\s+')) - $k + 1),
-             |   i -> array_join(slice(split(text, '\\\\s+'), i, $k), ' '))
+          s"""CASE WHEN size(w) >= $k
+             | THEN transform(sequence(1, size(w) - $k + 1),
+             |   i -> array_join(slice(w, i, $k), ' '))
              | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin.replace("\n", ""))).as("sh"))
       .where(length(col("sh")) > 0)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("xsh"))
       .distinct()
   private def shinglesSql(k: Int): String =
-    s"""SELECT DISTINCT doc_id, sh FROM (
+    s"""SELECT DISTINCT doc_id,
+       |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS xsh FROM (
        |  SELECT doc_id,
        |    unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
        |      i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
@@ -88,24 +98,38 @@ object Dedup {
     * perms, collapsing the signature) → 8 bands × 4 rows → bucket
     * self-join → exact-Jaccard verify of the candidates only.
     */
+  /** Perm constants for [[dedupMinhash]], md5-derived exactly like the oracle SQL computes them
+    * (`conv(substr(md5('a'||i), 1, 7), 16, 10)`), evaluated once on the
+    * driver so each hash is a plain literal-affine column.
+    */
+  private def md5Const(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
   def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     val dd = dedupInput(documents)
-    val sh = shingles(dd, k)
-    val x = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long") % 2147483647L
-    val perms = sh
-      .withColumn("x", x)
-      .withColumn("i", explode(sequence(lit(0), lit(31))))
-      .withColumn("a",
-        conv(substring(md5(concat(lit("a"), col("i").cast("string"))), 1, 7), 16, 10).cast("long") + 1L)
-      .withColumn("b",
-        conv(substring(md5(concat(lit("b"), col("i").cast("string"))), 1, 7), 16, 10).cast("long"))
-      .withColumn("h", (col("a") * col("x") + col("b")) % 2147483647L)
-    val minsig = perms.groupBy(col("doc_id"), col("i")).agg(min("h").as("mh"))
+    // the shingle relation feeds the signature build, both sides of the
+    // candidate verify, and the size lookup — pin it instead of re-shingling
+    val sh = shingles(dd, k).cache()
+    val x = col("xsh") % 2147483647L
+    // One groupBy(doc) with 32 min-aggregates instead of a 32x perm explode:
+    // the minhash signature is computed entirely map-side (partial agg), and
+    // the only shuffle is keyed by doc_id.
+    val minAggs = (0 until 32).map { i =>
+      val a = md5Const(s"a$i") + 1L
+      val b = md5Const(s"b$i")
+      min((col("x") * a + b) % 2147483647L).as(s"mh$i")
+    }
+    val minsig = sh.withColumn("x", x)
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandSigs = (0 until 8).map { bnd =>
+      concat_ws("-", (0 until 4).map(r => col(s"mh${bnd * 4 + r}").cast("string")): _*)
+    }
     val bandSig = minsig
-      .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
-      .agg(concat_ws("-",
-        transform(sort_array(collect_list(struct(col("i").as("i"), col("mh").as("mh")))),
-          s => s.getField("mh").cast("string"))).as("sig"))
+      .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
     val cand = bandSig.as("a")
       .join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -114,9 +138,9 @@ object Dedup {
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .where(col("sh_a") === col("sh_b"))
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("xsh", "xsh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("xsh", "xsh_b"), "doc_b")
+      .where(col("xsh_a") === col("xsh_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -131,8 +155,7 @@ object Dedup {
     s"""WITH dd AS ($dedupInputSql),
        | sh AS (${shinglesSql(k)}),
        | perms AS (
-       |  SELECT doc_id, sh,
-       |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) % 2147483647 AS x,
+       |  SELECT doc_id, xsh % 2147483647 AS x,
        |    unnest(range(32)) AS i
        |  FROM sh),
        | hashed AS (
@@ -154,7 +177,7 @@ object Dedup {
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.xsh = sa.xsh
        |  GROUP BY 1, 2)
        | SELECT i.doc_a, i.doc_b,
        |  ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} AS jaccard
@@ -173,15 +196,19 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .withColumn("x", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-    val bits = words
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .withColumn("contrib", (expr("shiftright(x, j) & 1") * 2L - 1L) * col("c"))
-      .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
-    val sim = bits
-      .withColumn("bitval", when(col("s") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)")).otherwise(0L))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
-    val chunks = sim.withColumn("ci", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("shiftright(simhash, ci * 15) & 32767"))
+    // 60 sum-aggregates over the word rows (map-side partial agg, single
+    // doc_id-keyed shuffle) instead of a 60x bit explode.
+    val bitAggs = (0 until 60).map { j =>
+      sum((expr(s"shiftright(x, $j) & 1") * 2L - 1L) * col("c")).as(s"s$j")
+    }
+    val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val simhashCol = (0 until 60)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val sim = sums.select(col("doc_id"), simhashCol.as("simhash"))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(ci => expr(s"shiftright(simhash, ${ci * 15}) & 32767")): _*))
+          .as(Seq("ci", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
@@ -220,10 +247,10 @@ object Dedup {
     * frequency is near-1 so the join is linear), exact Jaccard >= threshold.
     */
   def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3): DataFrame = {
-    val sh = shingles(dedupInput(documents), k)
+    val sh = shingles(dedupInput(documents), k).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -241,7 +268,7 @@ object Dedup {
        | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        | inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.xsh = b.xsh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        | SELECT i.doc_a, i.doc_b,
        |  ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} AS jaccard

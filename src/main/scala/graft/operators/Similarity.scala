@@ -124,11 +124,13 @@ object Similarity {
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.select(countDistinct("source").as("n_src"))
+    // reused by both join sides and the norms — pin the weighted vectors
     val weighted = tf.join(df_, "term").crossJoin(broadcast(n))
       .select(col("source"), col("term"),
         (col("tf").cast("double") *
           (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
           .as("wt"))
+      .cache()
     val dots = weighted.as("a")
       .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -175,9 +177,12 @@ object Similarity {
     val edges = sims.join(thr, "week")
       .filter(col("similarity") > col("thr"))
       .select(col("week"), col("channel_a"), col("channel_b"))
+    // the channel graph is tiny (nodes = channels); cache it so the
+    // propagation loop doesn't recompute the similarity lineage per round
     val undirected = edges
       .unionByName(edges.select(col("week"), col("channel_b").as("channel_a"), col("channel_a").as("channel_b")))
-    val nodes = EventSemantics.userWeeklyActivity(events).select("week", "channel").distinct()
+      .cache()
+    val nodes = EventSemantics.userWeeklyActivity(events).select("week", "channel").distinct().cache()
     var comp = nodes.withColumn("community", col("channel"))
     for (_ <- 1 to iterations) {
       val viaEdge = undirected
