@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of SparkEntry.queries (args = query names;
+  * no args = all), 2 runs each after a table warmup, same session config
+  * as Bench. Prints per-run seconds so cache effects are visible.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Seq("orders", "customer", "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
+    }
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => }
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name%-28s ${times.map(t => f"$t%.3f").mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
