@@ -62,25 +62,41 @@ object Dedup {
        | FROM dd GROUP BY 1""".stripMargin.replace("\n", "")
 
   // ---- shared shingling ----------------------------------------------------
-  /** Distinct (doc_id, shingle-id) pairs, where the id is the first 60 md5
-    * bits of the k-gram — all downstream shuffles/joins move 8-byte longs,
-    * never shingle strings. The tokenization is hoisted into its own
-    * projection so the regex split runs once per document — inlining it
-    * into the shingling lambda makes Catalyst re-evaluate it per element
-    * (O(words²) splits per doc).
+  /** Per-doc distinct shingle-id SET as an in-row ARRAY<BIGINT> — the id is
+    * the first 60 md5 bits of the k-gram, so downstream joins move 8-byte
+    * longs, never shingle strings. Building the set with
+    * `array_distinct(transform(...))` is entirely map-side: no explode, no
+    * distinct shuffle, no sizes groupBy (`size(shs)` is in-row). The
+    * tokenization is hoisted into its own projection so the regex split runs
+    * once per document — inlining it into the shingling lambda makes
+    * Catalyst re-evaluate it per element (O(words²) splits per doc).
+    *
+    * The relation is CACHED before the non-empty filter: predicate pushdown
+    * would otherwise substitute the whole shingle expression (split
+    * included) into the filter node and compute it twice per row; the
+    * InMemoryRelation is an optimization barrier, so the filter runs on the
+    * stored column instead. Both dedup pipelines reuse the cache 2-4x.
     */
-  private def shingles(dd: DataFrame, k: Int): DataFrame =
-    dd.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"""CASE WHEN size(w) >= $k
-             | THEN transform(sequence(1, size(w) - $k + 1),
-             |   i -> array_join(slice(w, i, $k), ' '))
-             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin.replace("\n", ""))).as("sh"))
-      .where(length(col("sh")) > 0)
-      .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("xsh"))
-      .distinct()
+  private def shingleArrays(dd: DataFrame, k: Int): DataFrame =
+    // hash-repartition by doc across all cores before the CPU-heavy shingling
+    // projection: the corpus scan may have few/skewed splits, shingle+md5 CPU
+    // dominates the one raw-text shuffle by orders of magnitude, and the
+    // explicit count keeps AQE from coalescing the tiny-bytes/huge-CPU
+    // partitions back together
+    dd.repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           | filter(
+           |  CASE WHEN size(w) >= $k
+           |   THEN transform(sequence(1, size(w) - $k + 1),
+           |     i -> array_join(slice(w, i, $k), ' '))
+           |   ELSE CAST(array() AS ARRAY<STRING>) END,
+           |  s -> length(s) > 0),
+           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
+          .stripMargin.replace("\n", "")).as("shs"))
+      .cache()
+      .where(size(col("shs")) > 0)
   private def shinglesSql(k: Int): String =
     s"""SELECT DISTINCT doc_id,
        |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS xsh FROM (
@@ -97,6 +113,11 @@ object Dedup {
     * make h_i linear in i and let one shingle stay argmin across all
     * perms, collapsing the signature) → 8 bands × 4 rows → bucket
     * self-join → exact-Jaccard verify of the candidates only.
+    *
+    * Scale shape: signature build is fully map-side (in-row shingle set +
+    * array_min); the only shuffles are the LSH band bucket join (keyed by
+    * (band, sig)) and the candidate verify joins (keyed by doc_id, with the
+    * tiny candidate side broadcast).
     */
   /** Perm constants for [[dedupMinhash]], md5-derived exactly like the oracle SQL computes them
     * (`conv(substr(md5('a'||i), 1, 7), 16, 10)`), evaluated once on the
@@ -109,44 +130,41 @@ object Dedup {
   }
 
   def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    val dd = dedupInput(documents)
-    // the shingle relation feeds the signature build, both sides of the
-    // candidate verify, and the size lookup — pin it instead of re-shingling
-    val sh = shingles(dd, k).cache()
-    val x = col("xsh") % 2147483647L
-    // One groupBy(doc) with 32 min-aggregates instead of a 32x perm explode:
-    // the minhash signature is computed entirely map-side (partial agg), and
-    // the only shuffle is keyed by doc_id.
-    val minAggs = (0 until 32).map { i =>
+    val p = 2147483647L
+    // the per-doc shingle-set relation (cached inside shingleArrays) feeds
+    // the signature build and both sides of the candidate verify
+    val arr = shingleArrays(dedupInput(documents), k)
+    // All 32 minhashes computed in-row (array_min over the shingle set): the
+    // signature build has ZERO shuffles — no perm explode, no groupBy.
+    val sigCols = (0 until 32).map { i =>
       val a = md5Const(s"a$i") + 1L
       val b = md5Const(s"b$i")
-      min((col("x") * a + b) % 2147483647L).as(s"mh$i")
+      array_min(transform(col("shs"), s => ((s % p) * a + b) % p)).as(s"mh$i")
     }
-    val minsig = sh.withColumn("x", x)
-      .groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail: _*)
+    val minsig = arr.select(col("doc_id") +: sigCols: _*)
     val bandSigs = (0 until 8).map { bnd =>
       concat_ws("-", (0 until 4).map(r => col(s"mh${bnd * 4 + r}").cast("string")): _*)
     }
+    // pin the skinny (doc, band, sig) relation so the self-join doesn't
+    // compute the 32-hash signature once per side
     val bandSig = minsig
       .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      .cache()
     val cand = bandSig.as("a")
       .join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("xsh", "xsh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("xsh", "xsh_b"), "doc_b")
-      .where(col("xsh_a") === col("xsh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // Verify: join the (small) candidate set to the doc→shingle-set relation
+    // and intersect in-row — no inverted-index re-join, no groupBy.
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
-        fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+        fl(col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -247,15 +265,16 @@ object Dedup {
     * frequency is near-1 so the join is linear), exact Jaccard >= threshold.
     */
   def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3): DataFrame = {
-    val sh = shingles(dedupInput(documents), k).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+    val arr = shingleArrays(dedupInput(documents), k)
+    // inverted index from the in-row sets (map-side explode, already distinct)
+    val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(arr.select(col("doc_id").as("doc_a"), size(col("shs")).as("n_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), size(col("shs")).as("n_b")), "doc_b")
       .withColumn("jaccard",
         fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
