@@ -302,15 +302,13 @@ object Dedup {
     * engines produce identical doubles.
     */
   def embedNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("n2",
-      aggregate(transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x))
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val withNorm = embeddings.select(col("vec_id"), col("label"), col("embedding").as("v"),
+      vecNorm2(col("embedding")).as("n2"))
     withNorm.as("a")
       .join(withNorm.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        fl(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x) /
-          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+        fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
       .filter(col("cosine") >= minCos)
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import EventSemantics.{fl, flSql, userWeeklyActivitySql}
@@ -166,35 +167,51 @@ object Similarity {
        | JOIN norms nb ON nb.source = d.source_b""".stripMargin.replace("\n", "")
 
   /** #34 community detection analog (api.py:478 Leiden): keep edges whose
-    * similarity exceeds the per-week median, then connected components by
-    * iterative min-label propagation. The channel graph is tiny at any data
-    * scale (nodes = channels, not users), so a fixed iteration count covers
-    * the diameter; each iteration is one shuffle on the edge list.
+    * similarity exceeds the per-week median, then EXACT connected components
+    * (community = min channel label of the component, matching the oracle's
+    * recursive reachability).
+    *
+    * The graph's nodes are channels, not users — bounded cardinality at any
+    * data scale — so each week's edge list is collected in-row and solved
+    * with a union-find in one pass: one shuffle keyed by week, no iterative
+    * join loop (which pays ~3 shuffles per hop of graph diameter and only
+    * approximates components up to a fixed depth). The heavy part — the
+    * similarity matrix — stays fully distributed upstream.
     */
-  def clusteringCommunities(events: DataFrame, iterations: Int = 6): DataFrame = {
-    val sims = channelSimilarity(events)
-    val thr = sims.groupBy("week").agg(expr("percentile(similarity, 0.5)").as("thr"))
-    val edges = sims.join(thr, "week")
+  private val componentsUdf = udf { (nodes: Seq[String], edges: Seq[Row]) =>
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    nodes.foreach(n => parent.getOrElseUpdate(n, n))
+    // min-label union: the smaller root becomes the parent, so every final
+    // root is the minimum label of its component
+    Option(edges).getOrElse(Seq.empty).foreach { e =>
+      val a = e.getString(0); val b = e.getString(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    nodes.map(n => (n, find(n)))
+  }
+
+  def clusteringCommunities(events: DataFrame): DataFrame = {
+    val edges = channelSimilarity(events)
+      .withColumn("thr", expr("percentile(similarity, 0.5)").over(Window.partitionBy("week")))
       .filter(col("similarity") > col("thr"))
       .select(col("week"), col("channel_a"), col("channel_b"))
-    // the channel graph is tiny (nodes = channels); cache it so the
-    // propagation loop doesn't recompute the similarity lineage per round
-    val undirected = edges
-      .unionByName(edges.select(col("week"), col("channel_b").as("channel_a"), col("channel_a").as("channel_b")))
-      .cache()
-    val nodes = EventSemantics.userWeeklyActivity(events).select("week", "channel").distinct().cache()
-    var comp = nodes.withColumn("community", col("channel"))
-    for (_ <- 1 to iterations) {
-      val viaEdge = undirected
-        .join(comp.withColumnRenamed("channel", "channel_b").withColumnRenamed("community", "nb_comm"),
-          Seq("week", "channel_b"))
-        .groupBy(col("week"), col("channel_a").as("channel"))
-        .agg(min("nb_comm").as("nb_comm"))
-      comp = comp.join(viaEdge, Seq("week", "channel"), "left")
-        .select(col("week"), col("channel"),
-          least(col("community"), coalesce(col("nb_comm"), col("community"))).as("community"))
-    }
-    comp
+    val nodesW = EventSemantics.userWeeklyActivity(events)
+      .select("week", "channel").distinct()
+      .groupBy("week").agg(sort_array(collect_list("channel")).as("ns"))
+    val edgesW = edges.groupBy("week")
+      .agg(collect_list(struct(col("channel_a"), col("channel_b"))).as("es"))
+    nodesW.join(edgesW, Seq("week"), "left")
+      .select(col("week"), explode(componentsUdf(col("ns"), col("es"))).as("nc"))
+      .select(col("week"), col("nc._1").as("channel"), col("nc._2").as("community"))
   }
 
   val clusteringCommunitiesSql: String =

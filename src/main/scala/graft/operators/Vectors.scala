@@ -11,9 +11,10 @@ import EventSemantics.{fl, flSql}
   * cosine-distance top-k under structured filters).
   *
   * Determinism: dot products are computed as a strict left-to-right fold
-  * (`aggregate` over `zip_with` in Spark, `list_reduce` in DuckDB) over
-  * float-widened-to-double elements — both engines execute the identical
-  * IEEE operation sequence, so results agree bit-for-bit before rounding.
+  * (the codegen'd [[graft.functions.DotProduct]] expression in Spark,
+  * `list_reduce` in DuckDB) over float-widened-to-double elements — both
+  * engines execute the identical IEEE operation sequence, so results agree
+  * bit-for-bit before rounding.
   *
   * Scale: brute-force top-k is a single scan + TakeOrdered (no shuffle of
   * the vectors). The IVF variant prunes the scan to the nProbe nearest
@@ -31,8 +32,9 @@ object Vectors {
       .select(transform(col("embedding"), x => x.cast("double")).as("qv"))
 
   private def cosTo(v: Column, q: Column): Column = {
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    // codegen'd strict-fold dot product (graft.functions.DotProduct) — the
+    // zip_with/aggregate formulation is interpreted per element
+    def dot(a: Column, b: Column) = graft.functions.VectorFunctions.vecDot(a, b)
     dot(v, q) / (sqrt(dot(v, v)) * sqrt(dot(q, q)))
   }
 
@@ -47,7 +49,7 @@ object Vectors {
     embeddings.filter(col("vec_id") =!= qId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -70,7 +72,7 @@ object Vectors {
     embeddings.filter(col("vec_id") =!= qId && col("label").isin(labels.map(Integer.valueOf): _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -105,7 +107,7 @@ object Vectors {
       .join(broadcast(probed), "label")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        fl(cosTo(transform(col("embedding"), x => x.cast("double")), col("qv")), 6).as("cosine"))
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
