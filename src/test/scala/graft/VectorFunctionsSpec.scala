@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.{DotProduct, VectorFunctions}
+
+/** Specs for the codegen'd DotProduct expression: bit-for-bit agreement
+  * with the interpreted higher-order-function fold it replaced, null/length
+  * semantics, and interpreted-eval vs codegen agreement.
+  */
+class VectorFunctionsSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("vec_dot equals the interpreted zip_with/aggregate fold bit-for-bit") {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val both = emb.select(
+      VectorFunctions.vecDot(col("embedding"), col("embedding")).as("fast"),
+      aggregate(zip_with(asDouble, asDouble, (x, y) => x * y), lit(0d), (acc, x) => acc + x).as("slow"))
+    assert(both.count() > 0)
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("vec_dot widens mixed float/double inputs like the oracle fold") {
+    val q = emb.limit(1).select(transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val both = emb.crossJoin(q).select(
+      VectorFunctions.vecDot(col("embedding"), col("qv")).as("fast"),
+      aggregate(zip_with(transform(col("embedding"), x => x.cast("double")), col("qv"),
+        (x, y) => x * y), lit(0d), (acc, x) => acc + x).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("vec_dot: null array is null; mismatched lengths fold over the shorter") {
+    val df = spark.sql(
+      """SELECT CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>) AS a,
+        |       CAST(array(4.0, 5.0) AS ARRAY<DOUBLE>) AS b,
+        |       CAST(NULL AS ARRAY<DOUBLE>) AS n""".stripMargin)
+    val r = df.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("d"),
+      VectorFunctions.vecDot(col("a"), col("n")).as("nl")).collect()(0)
+    assert(r.getDouble(0) == 1.0 * 4.0 + 2.0 * 5.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("interpreted eval path matches the dataframe (codegen) path") {
+    val av = Array(1.5f, -2.25f, 3.125f, 0.0f)
+    val bv = Array(0.5f, 4.0f, -1.75f, 9.0f)
+    val e = DotProduct(
+      Literal.create(av.toSeq, ArrayType(FloatType)),
+      Literal.create(bv.toSeq, ArrayType(FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    var expected = 0d
+    av.indices.foreach(i => expected += av(i).toDouble * bv(i).toDouble)
+    assert(interpreted == expected)
+    val viaDf = spark.range(1).select(
+      VectorFunctions.vecDot(
+        lit(av).cast(ArrayType(FloatType)),
+        lit(bv).cast(ArrayType(FloatType)))).collect()(0).getDouble(0)
+    assert(viaDf == expected)
+  }
+
+  test("vec_norm2 is the self dot product") {
+    val both = emb.select(
+      VectorFunctions.vecNorm2(col("embedding")).as("n2"),
+      VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    assert(both.filter(col("n2") =!= col("d")).count() == 0)
+  }
+}
