@@ -301,22 +301,28 @@ object ChatStats {
     * gained/lost vs previous week per channel.
     */
   def userChanges(events: DataFrame, threshold: Int = 5): DataFrame = {
+    // Presence set-difference WITHOUT anti-joins: tag current/shifted-prev
+    // presence rows, collapse per (user, channel, week), then count the
+    // cur-only and prev-only users per (channel, week). Two keyed shuffles
+    // with map-side partial aggregation — the anti-join formulation either
+    // broadcasts a user-cardinality relation (unscalable) or shuffles
+    // three times and full-outer-merges with a sort.
     val qualified = userWeeklyActivity(events)
       .filter(col("messages") >= threshold)
       .select("user_id", "channel", "week")
-    val cur = qualified.as("cur")
-    val prev = qualified
-      .withColumn("week", date_add(col("week"), 7))
-      .as("prev")
-    val gained = cur
-      .join(prev, Seq("user_id", "channel", "week"), "left_anti")
-      .groupBy("channel", "week").agg(count(lit(1)).as("users_gained"))
-    val lost = prev
-      .join(cur, Seq("user_id", "channel", "week"), "left_anti")
-      .groupBy("channel", "week").agg(count(lit(1)).as("users_lost"))
-    gained
-      .join(lost, Seq("channel", "week"), "full_outer")
-      .na.fill(0, Seq("users_gained", "users_lost"))
+    val tagged = qualified
+      .select(col("user_id"), col("channel"), col("week"), lit(1).as("c"), lit(0).as("p"))
+      .unionByName(qualified
+        .select(col("user_id"), col("channel"), date_add(col("week"), 7).as("week"),
+          lit(0).as("c"), lit(1).as("p")))
+    tagged
+      .groupBy("user_id", "channel", "week")
+      .agg(max("c").as("c"), max("p").as("p"))
+      .groupBy("channel", "week")
+      .agg(
+        count(when(col("c") === 1 && col("p") === 0, 1)).as("users_gained"),
+        count(when(col("p") === 1 && col("c") === 0, 1)).as("users_lost"))
+      .filter(col("users_gained") > 0 || col("users_lost") > 0)
       .withColumn("net_change", col("users_gained") - col("users_lost"))
   }
 

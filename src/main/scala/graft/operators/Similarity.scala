@@ -209,7 +209,7 @@ object Similarity {
       .groupBy("week").agg(sort_array(collect_list("channel")).as("ns"))
     val edgesW = edges.groupBy("week")
       .agg(collect_list(struct(col("channel_a"), col("channel_b"))).as("es"))
-    nodesW.join(edgesW, Seq("week"), "left")
+    nodesW.join(broadcast(edgesW), Seq("week"), "left")
       .select(col("week"), explode(componentsUdf(col("ns"), col("es"))).as("nc"))
       .select(col("week"), col("nc._1").as("channel"), col("nc._2").as("community"))
   }
