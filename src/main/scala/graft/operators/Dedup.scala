@@ -210,14 +210,16 @@ object Dedup {
     */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val dd = dedupInput(documents)
+    // word OCCURRENCES, not (doc, word) counts: the count-weighted sum over
+    // distinct words equals the plain sum over occurrences (distributivity),
+    // so the (doc_id, word) pre-aggregation shuffle is unnecessary
     val words = dd
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .withColumn("x", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-    // 60 sum-aggregates over the word rows (map-side partial agg, single
-    // doc_id-keyed shuffle) instead of a 60x bit explode.
+      .select(col("doc_id"), conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("x"))
+    // 60 sum-aggregates over the occurrence rows (map-side partial agg,
+    // single doc_id-keyed shuffle) instead of a 60x bit explode.
     val bitAggs = (0 until 60).map { j =>
-      sum((expr(s"shiftright(x, $j) & 1") * 2L - 1L) * col("c")).as(s"s$j")
+      sum(expr(s"shiftright(x, $j) & 1") * 2L - 1L).as(s"s$j")
     }
     val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val simhashCol = (0 until 60)
