@@ -57,9 +57,14 @@ object SparkEntry {
     "q_engagement" -> ((s, d) => ChatStats.engagement(ev(s, d))),
     "q_attrition" -> ((s, d) => ChatStats.attrition(ev(s, d))),
     "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
-    // --- highlights (#5-6) ---
+    // --- highlights (#5-6) + video-highlight listing (#51) + log QA (#53) ---
     "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
     "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d))),
+    "q_video_highlights" -> ((s, d) =>
+      Highlights.videoHighlights(Tables.lineitem(s, d), ord(s, d), cust(s, d))),
+    "q_log_coverage" -> ((s, d) => Highlights.logCoverage(ev(s, d))),
+    // --- channel dim listing (#52) ---
+    "q_channel_names" -> ((s, d) => StreamingHours.channelNames(cust(s, d))),
     // --- similarity + forecast (#31-34, 37) ---
     "q_channel_similarity" -> ((s, d) => Similarity.channelSimilarity(ev(s, d))),
     "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d))),
@@ -121,6 +126,9 @@ object SparkEntry {
     "q_site_stats" -> ChatStats.siteStatsSql,
     "q_funniest_moment" -> Highlights.funniestMomentSql(),
     "q_highlight_velocity" -> Highlights.highlightVelocitySql(),
+    "q_video_highlights" -> Highlights.videoHighlightsSql(),
+    "q_log_coverage" -> Highlights.logCoverageSql(),
+    "q_channel_names" -> StreamingHours.channelNamesSql,
     "q_channel_similarity" -> Similarity.channelSimilaritySql,
     "q_recommend" -> Similarity.recommendSql(),
     "q_content_similarity" -> Similarity.contentSimilaritySql,

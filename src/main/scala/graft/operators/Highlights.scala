@@ -75,4 +75,64 @@ object Highlights {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY channel, day
        |    ORDER BY velocity DESC, bucket ASC) AS rn FROM counts)
        | WHERE rn <= $topN AND velocity > $minBurst""".stripMargin.replace("\n", "")
+
+  /** get_video_highlights (api.py:2918): per-video highlight listing for a
+    * channel group and month — highlights (lineitem) joined to videos
+    * (orders) and the channel dim, with the relative-offset computation
+    * (reference: start_seconds - (end_time - duration)).
+    *
+    * Scale: the month predicate prunes the orders scan (partition pruning
+    * on a date-partitioned layout), the channel dim is broadcast, and the
+    * highlight-video join is keyed by video id — the natural co-partition
+    * (bucket both by video id to make it shuffle-free).
+    */
+  def videoHighlights(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                      group: String = "AUTOMOBILE", month: String = "1996-03-01"): DataFrame =
+    lineitem
+      .join(orders.filter(to_date(date_trunc("month", col("o_orderdate"))) === to_date(lit(month))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === group)
+          .select(col("c_custkey"), col("c_name").as("channel"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("l_orderkey").as("video_id"),
+        col("channel"),
+        col("o_orderpriority").as("title"),
+        col("l_returnflag").as("topic_tag"),
+        col("l_linenumber").as("highlight_idx"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("int").as("relative_days"))
+
+  def videoHighlightsSql(group: String = "AUTOMOBILE", month: String = "1996-03-01"): String =
+    s"""SELECT l.l_orderkey AS video_id, c.c_name AS channel,
+       | o.o_orderpriority AS title, l.l_returnflag AS topic_tag,
+       | l.l_linenumber AS highlight_idx,
+       | CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS relative_days
+       | FROM lineitem l
+       | JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  AND CAST(date_trunc('month', o.o_orderdate) AS DATE) = DATE '$month'
+       | JOIN customer c ON o.o_custkey = c.c_custkey
+       |  AND c.c_mktsegment = '$group'""".stripMargin.replace("\n", "")
+
+  /** Chat-log coverage QA (data_ingestion/check_log_length.py): how much of
+    * each channel-day the chat log actually spans, as the fraction of
+    * distinct 15-minute buckets with at least one message. One partial-agg
+    * shuffle; integer bucket math is engine-exact.
+    */
+  def logCoverage(events: DataFrame, bucketS: Long = 900L): DataFrame = {
+    val bucketsPerDay = 86400L / bucketS
+    events.filter(!isGift)
+      .groupBy(channel, EventSemantics.day.as("day"))
+      .agg(
+        countDistinct(floor(epochS / bucketS)).as("buckets"),
+        count(lit(1)).as("n_messages"))
+      .withColumn("coverage_pct",
+        fl(col("buckets").cast("double") * 100d / lit(bucketsPerDay).cast("double"), 4))
+  }
+
+  def logCoverageSql(bucketS: Long = 900L): String =
+    s"""SELECT $channelSql AS channel, $daySql AS day,
+       | COUNT(DISTINCT CAST(floor($epochSSql / $bucketS) AS BIGINT)) AS buckets,
+       | COUNT(*) AS n_messages,
+       | ${flSql(s"CAST(COUNT(DISTINCT CAST(floor($epochSSql / $bucketS) AS BIGINT)) AS DOUBLE) * 100 / ${86400L / bucketS}", 4)} AS coverage_pct
+       | FROM events WHERE NOT $isGiftSql GROUP BY 1, 2""".stripMargin.replace("\n", "")
 }

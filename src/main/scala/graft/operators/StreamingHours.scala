@@ -115,6 +115,13 @@ object StreamingHours {
       .select("channel", "month", "hours", "change")
   }
 
+  /** get_channel_names (api.py:2571): the channel dim, alphabetical. */
+  def channelNames(customer: DataFrame): DataFrame =
+    customer.select(col("c_name").as("channel_name")).orderBy("channel_name")
+
+  val channelNamesSql: String =
+    "SELECT c_name AS channel_name FROM customer ORDER BY 1"
+
   val hoursDiffSql: String =
     s"""WITH v AS ($videosSql),
        | m AS (SELECT channel, month, SUM(duration_s) AS dur FROM v GROUP BY 1, 2)
