@@ -91,7 +91,8 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
-    "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d)))
+    "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
+    "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF())
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -150,7 +151,8 @@ object SparkEntry {
     "t_token_count" -> TextOps.tokenCountDocsSql,
     "t_fingerprint" -> TextOps.fingerprintDocsSql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
-    "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql()
+    "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
+    "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql
   )
 
   private val languageStatsSql: String =
