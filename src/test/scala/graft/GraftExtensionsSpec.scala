@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** SQL-surface spec: after GraftExtensions.register, every graft function
+  * is callable from spark.sql and produces exactly what the DataFrame API
+  * produces (same expression trees, so same plans).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_dot and vec_norm2 are callable from SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>),
+        |               CAST(array(4.0, 5.0, 6.0) AS ARRAY<DOUBLE>)) AS d,
+        |       vec_norm2(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS n2""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 25.0)
+  }
+
+  test("SQL text functions equal their Column twins on real documents") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_categorize(text) AS cat, graft_lang_id(text) AS lang,
+        |       graft_ws_tokens(text) AS toks, graft_quality(text) AS q,
+        |       graft_fingerprint(text) AS fp, graft_has_humor(text) AS humor
+        |FROM docs_ext""".stripMargin)
+    val viaCol = docs.select(
+      col("doc_id"),
+      TextFunctions.categorize(col("text")).as("cat"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.wsTokenCount(col("text")).as("toks"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.polyFingerprint(col("text")).as("fp"),
+      TextFunctions.hasHumor(col("text")).as("humor"))
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+    assert(viaCol.exceptAll(viaSql).count() == 0)
+  }
+
+  test("the extensions class injects the same builder list") {
+    // the class is exercised for real via spark.sql.extensions at session
+    // build; here we pin that it wires every function in `all`
+    val names = GraftExtensions.all.map(_._1)
+    assert(names.contains("vec_dot") && names.contains("graft_categorize"))
+    assert(names.distinct.size == names.size)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dot = GraftExtensions.all.toMap.apply("vec_dot")
+    val e = dot(Seq(
+      ColumnBridge.expression(lit(Array(1.0, 2.0))),
+      ColumnBridge.expression(lit(Array(3.0, 4.0)))))
+    assert(e.isInstanceOf[graft.functions.DotProduct])
+  }
+}
