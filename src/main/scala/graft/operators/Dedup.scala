@@ -134,16 +134,15 @@ object Dedup {
     // the per-doc shingle-set relation (cached inside shingleArrays) feeds
     // the signature build and both sides of the candidate verify
     val arr = shingleArrays(dedupInput(documents), k)
-    // All 32 minhashes computed in-row (array_min over the shingle set): the
-    // signature build has ZERO shuffles — no perm explode, no groupBy.
-    val sigCols = (0 until 32).map { i =>
-      val a = md5Const(s"a$i") + 1L
-      val b = md5Const(s"b$i")
-      array_min(transform(col("shs"), s => ((s % p) * a + b) % p)).as(s"mh$i")
-    }
-    val minsig = arr.select(col("doc_id") +: sigCols: _*)
+    // All 32 minhashes in ONE codegen'd pass over the shingle set
+    // (graft.functions.MinhashSignature): the signature build has ZERO
+    // shuffles and no interpreted per-perm lambda passes.
+    val aConsts = (0 until 32).map(i => md5Const(s"a$i") + 1L)
+    val bConsts = (0 until 32).map(i => md5Const(s"b$i"))
+    val minsig = arr.select(col("doc_id"),
+      graft.functions.HashFunctions.minhashSignature(col("shs"), aConsts, bConsts, p).as("mh"))
     val bandSigs = (0 until 8).map { bnd =>
-      concat_ws("-", (0 until 4).map(r => col(s"mh${bnd * 4 + r}").cast("string")): _*)
+      concat_ws("-", (0 until 4).map(r => element_at(col("mh"), bnd * 4 + r + 1).cast("string")): _*)
     }
     // pin the skinny (doc, band, sig) relation so the self-join doesn't
     // compute the 32-hash signature once per side

@@ -61,6 +61,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaDf == expected)
   }
 
+  test("minhash_signature equals the per-perm array_min/transform formulation") {
+    import graft.functions.HashFunctions
+    val p = 2147483647L
+    val aConsts = (0 until 32).map(i => 7919L * (i + 1) + 13L)
+    val bConsts = (0 until 32).map(i => 104729L * (i + 1) + 7L)
+    val shs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(hash(x)).cast("long")).as("shs"))
+    // compare element-wise on the same rows
+    val rows = shs.select(
+      HashFunctions.minhashSignature(col("shs"), aConsts, bConsts, p).as("sig") +:
+      (0 until 32).map(i =>
+        array_min(transform(col("shs"), s => ((s % p) * aConsts(i) + bConsts(i)) % p)).as(s"m$i")): _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      (0 until 32).foreach(i => assert(sig(i) == r.getLong(i + 1)))
+    }
+  }
+
   test("vec_norm2 is the self dot product") {
     val both = emb.select(
       VectorFunctions.vecNorm2(col("embedding")).as("n2"),
