@@ -100,16 +100,26 @@ object ChatStats {
       .agg(sum("membership_count").as("total_members"))
 
   /** get_chat_leaderboard (api.py:2026): top-10 users by message count per
-    * channel-week. row_number (not rank) with user_id tiebreak keeps the
-    * result deterministic; the per-partition top-k never leaves the
-    * channel-week partition (no global sort).
+    * channel-week, as a SALTED two-phase top-k. A single window partitioned
+    * by (channel, week) sorts a hot channel's entire weekly user base in one
+    * task at data volume; instead phase 1 takes a local top-k inside
+    * (channel, week, hash(user) % saltBuckets) — bounding every sort to
+    * 1/saltBuckets of the hottest key — and phase 2 ranks the surviving
+    * saltBuckets*k rows per key. row_number (not rank) with user_id
+    * tiebreak keeps the result deterministic and identical to the
+    * single-window formulation (the true top-k always survives its bucket).
     */
-  def leaderboard(events: DataFrame, k: Int = 10): DataFrame = {
+  def leaderboard(events: DataFrame, k: Int = 10, saltBuckets: Int = 16): DataFrame = {
     val act = userWeeklyActivity(events)
-    val w = Window.partitionBy("channel", "week")
-      .orderBy(col("messages").desc, col("user_id").asc)
+    val ord = Seq(col("messages").desc, col("user_id").asc)
+    val local = Window
+      .partitionBy(col("channel"), col("week"), pmod(hash(col("user_id")), lit(saltBuckets)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy("channel", "week").orderBy(ord: _*)
     act
-      .withColumn("position", row_number().over(w))
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("position", row_number().over(global))
       .filter(col("position") <= k)
       .select("channel", "week", "position", "user_id", "messages")
   }
