@@ -103,12 +103,14 @@ object StreamingHours {
       .groupBy("channel", "month")
       .agg(sum("duration_s").as("dur"))
     val cur = monthly.as("cur")
+    // channels x months — tiny at any data scale; aggregate stats are
+    // unknown to the planner, so hint the broadcast explicitly
     val prev = monthly.select(
       col("channel"),
       add_months(col("month"), 1).as("month"),
       col("dur").as("prev_dur")).as("prev")
     cur
-      .join(prev, Seq("channel", "month"), "left")
+      .join(broadcast(prev), Seq("channel", "month"), "left")
       .withColumn("hours", fl(col("dur").cast("double") / 3600d, 4))
       .withColumn("change",
         fl(coalesce(col("dur") - col("prev_dur"), col("dur")).cast("double") / 3600d, 4))

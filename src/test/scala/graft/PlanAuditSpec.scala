@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression audit over EVERY query in the suite (plans are
+  * built, not executed). Pins the scale-design invariants SURVEY §4/§8
+  * claims: no sort-merge joins (every join is broadcast or map-side), no
+  * cartesian products, and the flagship narrow plans stay narrow.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+
+  test("no SortMergeJoin anywhere in the suite") {
+    val offenders = plans.filter(_._2.contains("SortMergeJoin")).keys.toSeq.sorted
+    assert(offenders.isEmpty, s"SortMergeJoin crept into: ${offenders.mkString(", ")}")
+  }
+
+  test("no CartesianProduct anywhere in the suite") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(offenders.isEmpty, s"CartesianProduct crept into: ${offenders.mkString(", ")}")
+  }
+
+  test("text suite stays a single narrow scan (zero exchanges)") {
+    val textQueries = plans.keys.filter(_.startsWith("t_"))
+    assert(textQueries.nonEmpty)
+    textQueries.foreach { q =>
+      assert(!plans(q).contains("Exchange"), s"$q gained a shuffle")
+    }
+  }
+
+  test("brute-force ANN and filtered vector search are shuffle-free") {
+    Seq("v_ann_topk", "q_search_highlights").foreach { q =>
+      val shuffles = plans(q).linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+      assert(shuffles == 0, s"$q gained a data shuffle:\n${plans(q)}")
+    }
+  }
+
+  test("dim joins are broadcast in the hours suite") {
+    Seq("q_hours_total", "q_hours_avg", "q_hours_max", "q_video_highlights").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dim join")
+    }
+  }
+}
