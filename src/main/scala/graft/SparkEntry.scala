@@ -91,6 +91,8 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
+    "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
+    "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF())
   )

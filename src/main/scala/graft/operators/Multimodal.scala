@@ -39,17 +39,51 @@ object Multimodal {
         if (m.blob.length == 0) 0d else sum.toDouble / m.blob.length, crc)
     }
 
-  /** Synthesize the media table (binary + typed metadata) from documents,
-    * then run the stub decode through the typed mapPartitions boundary.
-    */
-  def mediaFeatures(documents: DataFrame): DataFrame = {
-    val media = documents.select(
+  /** The synthesized media table (binary + typed metadata) from documents. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id"),
       unhex(md5(col("text"))).as("blob"),
       (col("doc_id") % 640 + 64).cast("int").as("width"),
       (col("doc_id") % 480 + 48).cast("int").as("height"),
       element_at(array(lit("png"), lit("jpeg"), lit("webp")), (col("doc_id") % 3 + 1).cast("int")).as("format"))
-    val ds: Dataset[MediaIn] = media.as(Encoders.product[MediaIn])
+
+  /** Run the stub decode through the typed mapPartitions boundary. */
+  def mediaFeatures(documents: DataFrame): DataFrame = {
+    val ds: Dataset[MediaIn] = mediaTable(documents).as(Encoders.product[MediaIn])
     ds.mapPartitions(decodeStub)(Encoders.product[MediaFeat]).toDF()
+  }
+
+  /** Frame sampling as pure column plumbing: split the binary payload into
+    * fixed-size frames and keep every `stride`-th one (a video keyframe
+    * sample at 100 TB has exactly this plan shape — a generator over binary
+    * slices, no shuffle, no UDF; a real decoder would replace the
+    * `substring` slicing inside the same generator).
+    */
+  def frameSample(documents: DataFrame, frameBytes: Int = 4, stride: Int = 2): DataFrame =
+    mediaTable(documents)
+      .filter(length(col("blob")) >= frameBytes)
+      .select(col("doc_id"), col("format"), col("blob"),
+        explode(sequence(lit(0), (length(col("blob")) / frameBytes).cast("int") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("format"), col("frame_idx"),
+        col("blob").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+
+  /** Resize-shaped stub through the same typed boundary: deterministic
+    * center-crop/pad of the payload to `targetBytes` standing in for a
+    * pixel resize (the batch shape — iterator of typed rows in, iterator
+    * out — is what a JNI/Pandas-batch implementation plugs into).
+    */
+  def resizeStub(documents: DataFrame, targetBytes: Int = 8): DataFrame = {
+    val ds: Dataset[MediaIn] = mediaTable(documents).as(Encoders.product[MediaIn])
+    ds.mapPartitions { rows =>
+      rows.map { m =>
+        val out = new Array[Byte](targetBytes)
+        val off = math.max(0, (m.blob.length - targetBytes) / 2)
+        var i = 0
+        while (i < targetBytes && off + i < m.blob.length) { out(i) = m.blob(off + i); i += 1 }
+        MediaIn(m.doc_id, out, targetBytes, targetBytes, m.format)
+      }
+    }(Encoders.product[MediaIn]).toDF()
   }
 }

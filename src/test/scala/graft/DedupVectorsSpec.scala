@@ -63,4 +63,20 @@ class DedupVectorsSpec extends SparkSpec {
     // 16-byte md5 blobs -> n_bytes is always 16
     assert(a.forall(_.getInt(4) == 16))
   }
+
+  test("multimodal: frame sampling emits every stride-th fixed-size frame") {
+    val frames = Multimodal.frameSample(docs, frameBytes = 4, stride = 2).collect()
+    // 16-byte blobs, 4-byte frames, stride 2 -> frames 0 and 2 per doc
+    assert(frames.length == 2 * docs.count())
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 4))
+    val idxs = frames.map(_.getInt(2)).distinct.sorted.toSeq
+    assert(idxs == Seq(0, 2))
+  }
+
+  test("multimodal: resize stub yields constant-size payloads, row-preserving") {
+    val out = Multimodal.resizeStub(docs, targetBytes = 8).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(_.getAs[Array[Byte]]("blob").length == 8))
+    assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+  }
 }
