@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Behavioral spec pinning TextFunctions to the reference implementations
+  * (chat_parser.categorize_message / parse_membership_rank,
+  * feature_analysis.has_humor) on the cases those functions were written
+  * for: YouTube shortcode chains, w-laughs, CJK/Cyrillic scripts, badge
+  * text, humor substrings.
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def run[T](texts: Seq[String], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Any] = {
+    val s = spark
+    import s.implicits._
+    texts.toDF("t").select(f(col("t"))).collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+  }
+
+  test("categorize matches chat_parser.categorize_message on its canonical cases") {
+    val cases = Seq(
+      ":_konkonmori::_konkonmori:" -> "emoji", // pure shortcode chain
+      "こんにちは" -> "jp", // hiragana
+      "カワイイ" -> "jp", // katakana
+      "草" -> "jp", // han
+      "ｗｗｗ" -> "jp", // w-laugh, full-width
+      "www" -> "jp", // w-laugh, ascii
+      "nice！" -> "jp", // jp punctuation
+      "안녕하세요" -> "kr",
+      "привет" -> "ru",
+      "12345" -> "number",
+      "hello world" -> "es_en_id",
+      "   " -> null)
+    val got = run(cases.map(_._1), TextFunctions.categorize(_))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"categorize('$in') = $g, want $want")
+    }
+  }
+
+  test("membershipRank matches parse_membership_rank on badge texts") {
+    val cases = Seq(
+      "New member" -> 0,
+      "Member (6 months)" -> 6,
+      "Member (1 month)" -> 1,
+      "Member (2 years)" -> 24,
+      "Member (1 year)" -> 12,
+      "Moderator" -> -1,
+      "" -> -1)
+    val got = run(cases.map(_._1), TextFunctions.membershipRank(_))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"membershipRank('$in') = $g, want $want")
+    }
+  }
+
+  test("hasHumor matches feature_analysis.has_humor patterns") {
+    val cases = Seq(
+      "lol" -> true,
+      "looool that was great" -> true, // 'looool' is in the humor list
+      "loool alone" -> false, // 3 o's: matches neither the list nor any regex (reference-faithful)
+      "hahaha" -> true,
+      "草" -> true,
+      "jajaja" -> true,
+      "wkwkwk" -> true,
+      "xd" -> true,
+      "a normal comment" -> false,
+      "water" -> false) // 'w' inside a word must not trigger
+    val got = run(cases.map(_._1), TextFunctions.hasHumor(_))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"hasHumor('$in') = $g, want $want")
+    }
+  }
+
+  test("langId distinguishes scripts and English stopwords") {
+    val cases = Seq(
+      "これはテストです" -> "ja",
+      "한국어 문장" -> "ko",
+      "русский текст" -> "ru",
+      "the quick brown fox" -> "en",
+      "zzz qqq" -> "unk")
+    val got = run(cases.map(_._1), TextFunctions.langId(_))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"langId('$in') = $g, want $want")
+    }
+  }
+}
