@@ -75,6 +75,81 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom aggregate: element-wise sum of numeric arrays into a
+  * double[dim] buffer — `SELECT vec_sum(embedding) ... GROUP BY cell`.
+  *
+  * Exists because Spark has no array-sum aggregate: the alternative is
+  * posexplode (dim× the rows through the shuffle) + groupBy(key, pos) +
+  * collect_list reassembly. This aggregate moves exactly one double[dim]
+  * per (group, partition) through the merge path. Mirrors how an IVF
+  * coarse-quantizer build behaves at scale (reference workload:
+  * HoloChatStats pgvector embeddings, web/api.py:3009).
+  */
+case class VectorSumAgg(child: Expression, dim: Int,
+                        mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val t = elemType
+      val n = math.min(dim, arr.numElements())
+      var i = 0
+      while (i < n) {
+        buffer(i) += (t match {
+          case DoubleType => arr.getDouble(i)
+          case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
+          case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
+          case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toDouble
+          case other => throw new IllegalArgumentException(s"vec_sum: unsupported element type $other")
+        })
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * dim)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    Array.fill(dim)(bb.getDouble)
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "vec_sum"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object VectorFunctions {
   /** `vec_dot(a, b)` as a Column — strict fold dot product, codegen'd. */
   def vecDot(a: Column, b: Column): Column =
@@ -82,4 +157,9 @@ object VectorFunctions {
 
   /** Squared L2 norm as a Column (dot of a vector with itself). */
   def vecNorm2(a: Column): Column = vecDot(a, a)
+
+  /** Element-wise array-sum aggregate Column over `dim`-element vectors. */
+  def vecSum(a: Column, dim: Int): Column =
+    ColumnBridge.column(
+      VectorSumAgg(ColumnBridge.expression(a), dim).toAggregateExpression())
 }

@@ -91,13 +91,15 @@ object Vectors {
     */
   def annIvf(embeddings: DataFrame, qId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
     val q = queryVec(embeddings, qId)
-    val cent = embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
-    val centVec = cent
+    // centroids via the custom vec_sum aggregate (graft.functions.VectorSumAgg):
+    // one double[dim] per (cell, partition) through the merge path, instead of
+    // a dim-fold posexplode + groupBy(cell, pos) + collect_list reassembly
+    val centVec = embeddings
       .groupBy("label")
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cvec"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("embedding"), DIM).as("sv"),
+        count(lit(1)).as("nv"))
+      .select(col("label"),
+        transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
     val probed = centVec.crossJoin(broadcast(q))
       .select(col("label"), cosTo(col("cvec"), col("qv")).as("cscore"))
       .orderBy(col("cscore").desc, col("label").asc)

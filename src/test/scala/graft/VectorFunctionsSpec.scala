@@ -81,6 +81,29 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_sum aggregate equals the posexplode formulation across partitions") {
+    // repartition forces multiple partial buffers -> serialize + merge path
+    val viaAgg = emb.repartition(7).groupBy("label")
+      .agg(VectorFunctions.vecSum(col("embedding"), 64).as("sv"))
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum(col("v").cast("double")).as("s"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("sv2"))
+    val joined = viaAgg.join(viaExplode, "label").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getSeq[Double](1)
+      val b = r.getSeq[Double](2)
+      assert(a.length == 64 && b.length == 64)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"label ${r.get(0)}: $x vs $y")
+      }
+    }
+  }
+
   test("vec_norm2 is the self dot product") {
     val both = emb.select(
       VectorFunctions.vecNorm2(col("embedding")).as("n2"),
