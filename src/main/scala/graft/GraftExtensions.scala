@@ -39,6 +39,10 @@ object GraftExtensions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
     "vec_norm2" -> ((args: Seq[Expression]) => DotProduct(args.head, args.head)),
+    // vec_sum(arr, dim): dim must be a literal int (aggregate buffer size)
+    "vec_sum" -> ((args: Seq[Expression]) =>
+      graft.functions.VectorSumAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
     "graft_categorize" -> unary(TextFunctions.categorize),
     "graft_membership_rank" -> unary(TextFunctions.membershipRank),
     "graft_has_humor" -> unary(TextFunctions.hasHumor),

@@ -19,6 +19,12 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 25.0)
+    val agg = spark.sql(
+      """SELECT vec_sum(v, 2) AS s FROM VALUES
+        | (CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>)),
+        | (CAST(array(10.0, 20.0) AS ARRAY<DOUBLE>)) AS t(v)""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    assert(agg == Seq(11.0, 22.0))
   }
 
   test("SQL text functions equal their Column twins on real documents") {
