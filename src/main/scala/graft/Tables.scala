@@ -30,4 +30,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Register every table as a temp view (plus [[GraftExtensions.register]]
+    * for the functions) so the full engine is drivable from `spark.sql`.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region" -> region _, "nation" -> nation _, "customer" -> customer _,
+      "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+      "lineitem" -> lineitem _, "events" -> events _,
+      "documents" -> documents _, "embeddings" -> embeddings _)
+      .foreach { case (name, rd) =>
+        try rd(spark, dir).createOrReplaceTempView(name)
+        catch { case _: Throwable => () } // table absent at this SF
+      }
+    GraftExtensions.register(spark)
+  }
 }

@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaCol.exceptAll(viaSql).count() == 0)
   }
 
+  test("registerAll makes the whole engine drivable from pure SQL") {
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT e.label, count(*) AS n, max(vec_norm2(e.embedding)) AS max_n2
+        |FROM embeddings e GROUP BY e.label ORDER BY n DESC LIMIT 3""".stripMargin)
+      .collect()
+    assert(r.length == 3 && r.forall(_.getDouble(2) > 0))
+    val docs = spark.sql("SELECT graft_lang_id(text) AS l FROM documents").collect()
+    assert(docs.nonEmpty)
+  }
+
   test("the extensions class injects the same builder list") {
     // the class is exercised for real via spark.sql.extensions at session
     // build; here we pin that it wires every function in `all`
