@@ -77,6 +77,7 @@ object SparkEntry {
     "d_dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
+    "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -89,6 +90,7 @@ object SparkEntry {
     "t_quality_score" -> ((s, d) => TextOps.qualityDocs(docs(s, d))),
     "t_token_count" -> ((s, d) => TextOps.tokenCountDocs(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
+    "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(docs(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
@@ -142,6 +144,7 @@ object SparkEntry {
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d_embed_neardup" -> Dedup.embedNearDupSql(),
+    "d_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),
@@ -152,6 +155,7 @@ object SparkEntry {
     "t_quality_score" -> TextOps.qualityDocsSql,
     "t_token_count" -> TextOps.tokenCountDocsSql,
     "t_fingerprint" -> TextOps.fingerprintDocsSql,
+    "t_pii_scrub" -> TextOps.piiScrubDocsSql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql

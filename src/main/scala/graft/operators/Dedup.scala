@@ -203,6 +203,67 @@ object Dedup {
        | JOIN sizes nb ON nb.doc_id = i.doc_b
        | WHERE ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} >= $minJaccard""".stripMargin.replace("\n", "")
 
+  // ---- #57 dup-cluster assignment ------------------------------------------
+  /** Connected components over the verified near-dup pair graph → cluster id
+    * (= min doc_id of the component) and survivor flag — the step that
+    * actually drops duplicates from a training corpus.
+    *
+    * Unlike the channel graph (communities), the doc graph's node set is
+    * unbounded, so components run DISTRIBUTED: iterative min-label
+    * propagation over the sparse pair list. Near-dup clusters are
+    * near-cliques by construction (a group of copies all pair with each
+    * other at J >= threshold), so the diameter is tiny and a fixed iteration
+    * count converges; each round is one join + one partial-agg shuffle.
+    */
+  def dedupClusters(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7,
+                    maxIterations: Int = 50): DataFrame = {
+    // cache BELOW the union: both union branches read the pinned pair list
+    // instead of each recomputing the whole minhash lineage
+    val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()
+    val undirected = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = dedupInput(documents).select("doc_id")
+    // Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
+    // twice per round, so an uncached lineage recomputes earlier supersteps
+    // exponentially — the GraphX/GraphFrames persist-per-superstep pattern.
+    // The loop runs to CONVERGENCE (no label changed), so the result is the
+    // exact component labeling for any graph; near-dup clusters are
+    // near-cliques, so real corpora converge in ~2 rounds.
+    var comp = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxIterations) {
+      val viaEdge = undirected
+        .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "nb"),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nb").as("nb"))
+      val next = comp.join(viaEdge, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(comp.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      comp = next
+      round += 1
+    }
+    comp.withColumn("is_survivor", col("cluster_id") === col("doc_id"))
+  }
+
+  def dedupClustersSql(k: Int = 3, minJaccard: Double = 0.7): String =
+    s"""WITH RECURSIVE mh AS (${dedupMinhashSql(k, minJaccard)}),
+       | dd2 AS ($dedupInputSql),
+       | e2 AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |   UNION SELECT doc_b, doc_a FROM mh),
+       | reach AS (
+       |  SELECT doc_id, doc_id AS r FROM dd2
+       |  UNION
+       |  SELECT reach.doc_id, e2.b AS r FROM reach JOIN e2 ON e2.a = reach.r)
+       | SELECT doc_id, MIN(r) AS cluster_id,
+       |  (MIN(r) = doc_id) AS is_survivor
+       | FROM reach GROUP BY 1""".stripMargin.replace("\n", "")
+
   // ---- #40 SimHash ---------------------------------------------------------
   /** 60-bit SimHash over word-count vectors (md5-derived bit patterns),
     * 15-bit chunk bucketing, hamming <= maxHamming via bit_count(xor).

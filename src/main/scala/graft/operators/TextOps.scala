@@ -143,4 +143,59 @@ object TextOps {
     s"""SELECT doc_id, ${md5FingerprintSql("text")} AS fp_md5,
        | ${polyFingerprintSql("text")} AS fp_poly
        | FROM documents""".stripMargin.replace("\n", "")
+
+  // ---- #58 PII scrubbing ---------------------------------------------------
+  // The corpus is synthetic, so PII is injected deterministically (the
+  // identical CASE exists in the oracle) and then redacted — exercising the
+  // real scrub pipeline end-to-end. Patterns use RE2-compatible syntax so
+  // Spark (Java regex) and DuckDB (RE2) agree.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val ssnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  private def synthPii: Column = {
+    val t = substring(col("text"), 1, 60); val m = col("doc_id") % 5
+    when(m === 0, concat(t, lit(" contact me at user"), col("doc_id"), lit("@example.com")))
+      .when(m === 1, concat(lit("call 555-"), format_string("%03d", col("doc_id") % 1000),
+        lit("-4567 "), t))
+      .when(m === 2, concat(t, lit(" ssn 123-45-6789")))
+      .otherwise(t)
+  }
+  private val synthPiiSql =
+    """CASE doc_id % 5
+      | WHEN 0 THEN concat(substr(text, 1, 60), ' contact me at user', CAST(doc_id AS VARCHAR), '@example.com')
+      | WHEN 1 THEN concat('call 555-', format('{:03d}', doc_id % 1000), '-4567 ', substr(text, 1, 60))
+      | WHEN 2 THEN concat(substr(text, 1, 60), ' ssn 123-45-6789')
+      | ELSE substr(text, 1, 60) END""".stripMargin.replace("\n", "")
+
+  /** #58 PII scrub: count + redact emails/phones/SSNs (SSNs first — the
+    * phone pattern would otherwise half-match an SSN).
+    */
+  def piiScrubDocs(documents: DataFrame): DataFrame = {
+    val msg = synthPii
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(msg, ssnPat, "<SSN>"),
+        phonePat, "<PHONE>"),
+      emailPat, "<EMAIL>")
+    documents.select(
+      col("doc_id"),
+      regexp_count(msg, lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(msg, lit(phonePat)).cast("long").as("n_phones"),
+      regexp_count(msg, lit(ssnPat)).cast("long").as("n_ssns"),
+      scrubbed.as("scrubbed"))
+  }
+  val piiScrubDocsSql: String = {
+    val msg = s"($synthPiiSql)"
+    val scrubbed =
+      s"""regexp_replace(regexp_replace(regexp_replace($msg,
+         | '$ssnPat', '<SSN>', 'g'), '$phonePat', '<PHONE>', 'g'),
+         | '$emailPat', '<EMAIL>', 'g')""".stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all($msg, '$emailPat')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all($msg, '$phonePat')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all($msg, '$ssnPat')) AS BIGINT) AS n_ssns,
+       | $scrubbed AS scrubbed
+       | FROM documents""".stripMargin.replace("\n", "")
+  }
 }

@@ -35,6 +35,22 @@ class DedupVectorsSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.7 && r.getDouble(2) <= 1.0))
   }
 
+  test("dedup clusters: planted copies join their source's cluster, source survives") {
+    val comp = Dedup.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // exact copies (doc_id + 2e7) always share their source's cluster
+    val exactCopies = comp.keys.filter(_ >= 20000000L)
+    assert(exactCopies.nonEmpty)
+    exactCopies.foreach { id =>
+      assert(comp(id)._1 == comp(id - 20000000L)._1, s"copy $id not clustered with source")
+      assert(!comp(id)._2, s"copy $id wrongly marked survivor")
+    }
+    // every cluster id is a member of its own cluster and survives
+    comp.values.map(_._1).toSet.foreach { (cid: Long) =>
+      assert(comp(cid)._1 == cid && comp(cid)._2)
+    }
+  }
+
   test("simhash: exact copies collide at hamming 0") {
     val pairs = Dedup.dedupSimhash(docs)
     val zeroPairs = pairs.filter(col("hamming") === 0)
