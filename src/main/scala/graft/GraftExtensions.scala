@@ -32,25 +32,43 @@ object GraftExtensions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft", name)
 
-  private def unary(f: Column => Column): Seq[Expression] => Expression =
-    args => ColumnBridge.eagerExpression(f(ColumnBridge.column(args.head)))
+  private def expectArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+
+  private def unary(name: String, f: Column => Column): Seq[Expression] => Expression =
+    args => {
+      expectArity(name, args, 1)
+      ColumnBridge.eagerExpression(f(ColumnBridge.column(args.head)))
+    }
 
   /** name -> expression builder for every SQL-exposed graft function. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
-    "vec_norm2" -> ((args: Seq[Expression]) => DotProduct(args.head, args.head)),
-    // vec_sum(arr, dim): dim must be a literal int (aggregate buffer size)
-    "vec_sum" -> ((args: Seq[Expression]) =>
+    "vec_dot" -> ((args: Seq[Expression]) => {
+      expectArity("vec_dot", args, 2)
+      DotProduct(args(0), args(1))
+    }),
+    "vec_norm2" -> ((args: Seq[Expression]) => {
+      expectArity("vec_norm2", args, 1)
+      DotProduct(args.head, args.head)
+    }),
+    // vec_sum(arr, dim): dim must be a foldable int (aggregate buffer size)
+    "vec_sum" -> ((args: Seq[Expression]) => {
+      expectArity("vec_sum", args, 2)
+      if (!args(1).foldable)
+        throw new IllegalArgumentException("vec_sum: dim must be a literal integer")
       graft.functions.VectorSumAgg(args(0),
-        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
-    "graft_categorize" -> unary(TextFunctions.categorize),
-    "graft_membership_rank" -> unary(TextFunctions.membershipRank),
-    "graft_has_humor" -> unary(TextFunctions.hasHumor),
-    "graft_lang_id" -> unary(TextFunctions.langId),
-    "graft_ws_tokens" -> unary(TextFunctions.wsTokenCount),
-    "graft_bpe_tokens" -> unary(TextFunctions.bpeTokenCount),
-    "graft_quality" -> unary(TextFunctions.qualityScore),
-    "graft_fingerprint" -> unary(TextFunctions.polyFingerprint))
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    }),
+    "graft_categorize" -> unary("graft_categorize", TextFunctions.categorize),
+    "graft_membership_rank" -> unary("graft_membership_rank", TextFunctions.membershipRank),
+    "graft_has_humor" -> unary("graft_has_humor", TextFunctions.hasHumor),
+    "graft_lang_id" -> unary("graft_lang_id", TextFunctions.langId),
+    "graft_ws_tokens" -> unary("graft_ws_tokens", TextFunctions.wsTokenCount),
+    "graft_bpe_tokens" -> unary("graft_bpe_tokens", TextFunctions.bpeTokenCount),
+    "graft_quality" -> unary("graft_quality", TextFunctions.qualityScore),
+    "graft_fingerprint" -> unary("graft_fingerprint", TextFunctions.polyFingerprint))
 
   /** Register every graft function on an existing session (idempotent —
     * re-registration overwrites with the identical builder).

@@ -40,8 +40,10 @@ object Tables {
       "lineitem" -> lineitem _, "events" -> events _,
       "documents" -> documents _, "embeddings" -> embeddings _)
       .foreach { case (name, rd) =>
+        // only "path/table does not exist" is tolerated (table absent at
+        // this SF); anything else must surface, not silently skip the view
         try rd(spark, dir).createOrReplaceTempView(name)
-        catch { case _: Throwable => () } // table absent at this SF
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
     GraftExtensions.register(spark)
   }

@@ -19,12 +19,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * primitive loop (reference workload: HoloChatStats `web/api.py:3009`
   * pgvector cosine search).
   *
-  * Shorter array wins on length mismatch; null array propagates null;
-  * array elements are assumed non-null (embedding columns).
+  * Shorter array wins on length mismatch; a null array, or a null ELEMENT
+  * in either array, propagates null (the fold semantics of the oracle).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // primitive numerics only: both eval paths widen via a Java (double)
+  // cast, which DecimalType's object representation can't satisfy
+  private def primitiveNumeric(t: DataType): Boolean = t match {
+    case DoubleType | org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if primitiveNumeric(l) && primitiveNumeric(r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot requires two primitive numeric arrays (no decimal), " +
+            s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -39,6 +60,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += numAt(x, i, tx) * numAt(y, i, ty)
       i += 1
     }
@@ -51,6 +73,8 @@ case class DotProduct(left: Expression, right: Expression)
       case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
       case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
       case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toDouble
+      case org.apache.spark.sql.types.ShortType => arr.getShort(i).toDouble
+      case org.apache.spark.sql.types.ByteType => arr.getByte(i).toDouble
       case other => throw new IllegalArgumentException(s"vec_dot: unsupported element type $other")
     }
 
@@ -65,9 +89,10 @@ case class DotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double)($getA)) * ((double)($getB));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -100,7 +125,11 @@ case class VectorSumAgg(child: Expression, dim: Int,
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val t = elemType
-      val n = math.min(dim, arr.numElements())
+      val n = arr.numElements()
+      if (n != dim) {
+        throw new IllegalArgumentException(
+          s"vec_sum: expected $dim-element vectors, got $n elements")
+      }
       var i = 0
       while (i < n) {
         buffer(i) += (t match {

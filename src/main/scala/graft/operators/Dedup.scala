@@ -248,6 +248,12 @@ object Dedup {
       comp = next
       round += 1
     }
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIterations rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap; " +
+          "raise maxIterations rather than returning approximate clusters")
+    }
     comp.withColumn("is_survivor", col("cluster_id") === col("doc_id"))
   }
 

@@ -27,6 +27,14 @@ import graft.operators.EventSemantics
   * Scale: state is one int per live (user, channel) pair, keyed exactly by
   * the shuffle; events within a group are sorted per invocation (bounded by
   * one user's activity in one channel per micro-batch).
+  *
+  * Ordering contract: events are sorted by (ts, event_id) WITHIN each
+  * micro-batch, but state carries only the last-seen rank — an event
+  * arriving in a later micro-batch with an EARLIER event-time is processed
+  * as if it were newest, diverging from the batch/LAG formulation. This
+  * matches an in-order source (a partitioned log keyed by user, the
+  * reference's ingestion order); feeds with cross-batch event-time disorder
+  * need watermark-delayed buffering in the state (not implemented).
   */
 object MembershipStream {
 

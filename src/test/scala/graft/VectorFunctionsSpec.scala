@@ -44,6 +44,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("vec_dot: a null ELEMENT propagates null, matching the fold semantics") {
+    val r = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a, array(4.0D, 5.0D, 6.0D) AS b")
+      .select(VectorFunctions.vecDot(col("a"), col("b")).as("d")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("vec_dot rejects non-array inputs at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(1).select(VectorFunctions.vecDot(lit(1), lit(2))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("numeric arrays")
+      || err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("interpreted eval path matches the dataframe (codegen) path") {
     val av = Array(1.5f, -2.25f, 3.125f, 0.0f)
     val bv = Array(0.5f, 4.0f, -1.75f, 9.0f)
