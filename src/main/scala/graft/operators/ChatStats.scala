@@ -420,7 +420,17 @@ object ChatStats {
     * relation -> broadcast to the activity scan.
     */
   def attrition(events: DataFrame, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame = {
+    // The weekly rollup is consumed three times (week index, baseline
+    // top-K, later-weeks presence). The branches prune different columns,
+    // so Catalyst canonicalizes them to DIFFERENT exchanges — without a
+    // barrier the fact table is scanned and re-shuffled once per branch.
+    // Materializing the rollup mirrors the reference exactly: this IS
+    // mv_user_monthly_activity, a materialized view in Postgres
+    // (db/queries.py:179). One fact pass at 100 TB instead of three; the
+    // cached relation is |user x channel x week|, orders of magnitude
+    // smaller than the raw fact (see README "Cache lifecycle").
     val act = userWeeklyActivity(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weeksOrdered = Window.orderBy(col("week").asc)
     val weekIdx = act.select("week").distinct()
       .withColumn("week_idx", row_number().over(weeksOrdered))

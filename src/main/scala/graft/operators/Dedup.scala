@@ -223,13 +223,22 @@ object Dedup {
     val undirected = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = dedupInput(documents).select("doc_id")
+    // The iteration runs ONLY over nodes that appear in the edge list: in a
+    // real corpus duplicates are a small fraction, and a node with no edge
+    // keeps cluster_id = doc_id forever. At 100 TB this shrinks every
+    // superstep from |corpus| to |dup graph| — the singleton majority is
+    // labeled by one final left join instead of being dragged through every
+    // round.
+    val edgeNodes = undirected.select(col("doc_a").as("doc_id")).distinct()
     // Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
     // twice per round, so an uncached lineage recomputes earlier supersteps
     // exponentially — the GraphX/GraphFrames persist-per-superstep pattern.
     // The loop runs to CONVERGENCE (no label changed), so the result is the
     // exact component labeling for any graph; near-dup clusters are
-    // near-cliques, so real corpora converge in ~2 rounds.
-    var comp = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    // near-cliques, so real corpora converge in ~2 rounds. Convergence is
+    // read off a carried changed-flag column on the already-materialized
+    // superstep — no compare-join against the previous round.
+    var comp = edgeNodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxIterations) {
@@ -240,12 +249,11 @@ object Dedup {
         .agg(min("nb").as("nb"))
       val next = comp.join(viaEdge, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nb"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(comp.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      comp = next
+      changed = next.filter(col("chg")).count()
+      comp = next.drop("chg")
       round += 1
     }
     if (changed > 0) {
@@ -254,7 +262,11 @@ object Dedup {
           s"($changed labels still changing) — component diameter exceeds the cap; " +
           "raise maxIterations rather than returning approximate clusters")
     }
-    comp.withColumn("is_survivor", col("cluster_id") === col("doc_id"))
+    nodes
+      .join(comp.withColumnRenamed("cluster_id", "edge_cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("cluster_id") === col("doc_id"))
   }
 
   def dedupClustersSql(k: Int = 3, minJaccard: Double = 0.7): String =
