@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import EventSemantics.{fl, flSql}
@@ -102,15 +103,17 @@ object StreamingHours {
     val monthly = videos(orders, customer)
       .groupBy("channel", "month")
       .agg(sum("duration_s").as("dur"))
-    val cur = monthly.as("cur")
-    // channels x months — tiny at any data scale; aggregate stats are
-    // unknown to the planner, so hint the broadcast explicitly
-    val prev = monthly.select(
-      col("channel"),
-      add_months(col("month"), 1).as("month"),
-      col("dur").as("prev_dur")).as("prev")
-    cur
-      .join(broadcast(prev), Seq("channel", "month"), "left")
+    // The reference formulates this as a self-join on month-1; LAG over
+    // (channel ORDER BY month) with a continuity guard is semantically
+    // identical (a gap month makes prev_dur null, so change = dur) and
+    // needs ONE rollup + one tiny channel-keyed window shuffle instead of
+    // computing the orders-join-rollup twice.
+    val w = Window.partitionBy("channel").orderBy(col("month").asc)
+    monthly
+      .withColumn("prev_month", lag("month", 1).over(w))
+      .withColumn("prev_dur",
+        when(add_months(col("prev_month"), 1) === col("month"),
+          lag("dur", 1).over(w)))
       .withColumn("hours", fl(col("dur").cast("double") / 3600d, 4))
       .withColumn("change",
         fl(coalesce(col("dur") - col("prev_dur"), col("dur")).cast("double") / 3600d, 4))
