@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashFunctions, VectorFunctions}
+
+/** Property tests for the custom Catalyst expressions: randomized inputs
+  * (scalacheck generators, fixed seed for reproducibility) flow through the
+  * real DataFrame path — so whole-stage codegen, not just interpreted eval —
+  * and every result is compared to an independent driver-side model.
+  */
+class ExpressionPropertySpec extends SparkSpec {
+
+  private val N = 300
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    val seed0 = Seed(0xA11CE5EEDL)
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, seed0.reseed(i.toLong)))
+  }
+
+  // finite doubles away from overflow so the model's arithmetic is exact
+  private val finiteD: Gen[Double] = Gen.chooseNum(-1e6, 1e6)
+
+  test("DotProduct matches the driver-side fold on random arrays (codegen path)") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 20)
+      nb <- Gen.chooseNum(0, 20)
+      a <- Gen.listOfN(na, finiteD)
+      b <- Gen.listOfN(nb, finiteD)
+    } yield (a.toArray, b.toArray)
+    val data = sample(gen, N)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = false)),
+      StructField("b", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (a, b) => Row(a.toSeq, b.toSeq) }, 4),
+      schema)
+    val got = df.select(VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getDouble(0))
+    got.zip(data).foreach { case (g, (a, b)) =>
+      var acc = 0d
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      assert(g == acc, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("DotProduct: any null element in the overlapping prefix nulls the result") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      a <- Gen.listOfN(n, Gen.option(finiteD))
+      b <- Gen.listOfN(n, Gen.option(finiteD))
+    } yield (a.toArray, b.toArray)
+    val data = sample(gen, N)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        data.map { case (a, b) =>
+          Row(a.toSeq.map(_.map(Double.box).orNull), b.toSeq.map(_.map(Double.box).orNull))
+        }, 4),
+      schema)
+    val got = df.select(VectorFunctions.vecDot(col("a"), col("b")).as("d")).collect()
+    got.zip(data).foreach { case (row, (a, b)) =>
+      // model: fold stops at the FIRST null encountered in the loop
+      var expectNull = false
+      var acc = 0d
+      var i = 0
+      var done = false
+      while (i < a.length && !done) {
+        (a(i), b(i)) match {
+          case (Some(x), Some(y)) => acc += x * y
+          case _ => expectNull = true; done = true
+        }
+        i += 1
+      }
+      if (expectNull) assert(row.isNullAt(0), s"a=${a.toSeq} b=${b.toSeq}")
+      else assert(row.getDouble(0) == acc, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("MinhashSignature matches the per-perm affine model on random shingle sets") {
+    val p = 2147483647L
+    val aConsts = (0 until 32).map(i => (i * 2654435761L + 1) % p).map(math.abs)
+    val bConsts = (0 until 32).map(i => (i * 40503L + 7) % p).map(math.abs)
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, (1L << 60) - 1))
+    } yield xs.toArray
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("shs", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(xs => Row(xs.toSeq)), 4), schema)
+    val got = df.select(
+      HashFunctions.minhashSignature(col("shs"), aConsts, bConsts, p).as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(data).foreach { case (sig, xs) =>
+      val model = (0 until 32).map { j =>
+        if (xs.isEmpty) Long.MaxValue
+        else xs.map(x => ((x % p) * aConsts(j) + bConsts(j)) % p).min
+      }
+      assert(sig == model, s"xs=${xs.toSeq}")
+    }
+  }
+
+  test("vec_sum aggregates element-wise across partitions like the driver-side model") {
+    val dim = 8
+    val gen = for {
+      key <- Gen.chooseNum(0, 5)
+      xs <- Gen.listOfN(dim, finiteD)
+    } yield (key, xs.toArray)
+    val data = sample(gen, N)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (k, v) => Row(k, v.toSeq) }, 4), schema)
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("psumin")
+    val got = spark.sql(s"SELECT k, vec_sum(v, $dim) AS s FROM psumin GROUP BY k")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val model = data.groupBy(_._1).map { case (k, rows) =>
+      k -> (0 until dim).map(i => rows.map(_._2(i)).sum)
+    }
+    model.foreach { case (k, exp) =>
+      val g = got(k)
+      // merge order differs across partitions -> tolerance, not bit equality
+      exp.indices.foreach(i => assert(math.abs(g(i) - exp(i)) < 1e-6 * (1 + math.abs(exp(i))),
+        s"k=$k i=$i got=${g(i)} exp=${exp(i)}"))
+    }
+  }
+}
