@@ -174,8 +174,13 @@ object ChatStats {
     * deduped relation keyed by (user, week).
     */
   def commonUsersMatrix(events: DataFrame): DataFrame = {
+    // consumed three times (both self-join sides + channel sizes) with
+    // different downstream pruning/partitioning, so Catalyst cannot reuse
+    // one exchange for all of them; materialize the MV-shaped rollup once
+    // (see attrition for the full rationale)
     val ucw = userWeeklyActivity(events)
       .select("user_id", "channel", "week")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ucw.as("a")
     val b = ucw.as("b")
     val pairCounts = a
@@ -210,7 +215,9 @@ object ChatStats {
     * different periods, unlike the matrix).
     */
   def commonUsersPair(events: DataFrame, chA: String, wa: String, chB: String, wb: String): DataFrame = {
+    // four consumers (each side's membership join + each side's size count)
     val ucw = userWeeklyActivity(events).select("user_id", "channel", "week")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = ucw.filter(col("channel") === chA && col("week") === to_date(lit(wa))).select("user_id")
     val sb = ucw.filter(col("channel") === chB && col("week") === to_date(lit(wb))).select("user_id")
     val common = sa.join(sb, "user_id").agg(count(lit(1)).as("num_common_users"))
@@ -244,6 +251,7 @@ object ChatStats {
       .agg(max("membership_rank").as("rank"))
       .filter(col("rank") >= 0)
       .select("user_id", "channel", "week")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairCounts = ud.as("a")
       .join(ud.as("b"), col("a.user_id") === col("b.user_id") && col("a.week") === col("b.week"))
       .groupBy(col("a.week").as("week"), col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
@@ -320,6 +328,7 @@ object ChatStats {
     val qualified = userWeeklyActivity(events)
       .filter(col("messages") >= threshold)
       .select("user_id", "channel", "week")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tagged = qualified
       .select(col("user_id"), col("channel"), col("week"), lit(1).as("c"), lit(0).as("p"))
       .unionByName(qualified
@@ -364,6 +373,7 @@ object ChatStats {
     */
   def exclusiveUsers(events: DataFrame): DataFrame = {
     val ucw = userWeeklyActivity(events).select("user_id", "channel", "week")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = ucw
       .groupBy("user_id", "week")
       .agg(count(lit(1)).as("n_channels"))

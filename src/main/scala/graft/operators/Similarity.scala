@@ -24,9 +24,20 @@ object Similarity {
     * Emits ordered pairs (a < b) that share >= 1 user (zero-sim pairs are
     * absent by construction in both engines).
     */
-  def channelSimilarity(events: DataFrame): DataFrame = {
-    val w = EventSemantics.userWeeklyActivity(events)
-      .select(col("user_id"), col("channel"), col("week"), col("messages"))
+  def channelSimilarity(events: DataFrame): DataFrame =
+    channelSimilarityFrom(
+      // consumed three times (both dot-product sides + norms); materialize
+      // the MV-shaped rollup once instead of scanning the fact per consumer
+      // (see ChatStats.attrition for the full rationale)
+      EventSemantics.userWeeklyActivity(events)
+        .select(col("user_id"), col("channel"), col("week"), col("messages"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Cosine similarity from an already-materialized weekly rollup `w` —
+    * lets callers (clusteringCommunities) share one rollup across every
+    * consumer instead of building a second identical relation.
+    */
+  private[operators] def channelSimilarityFrom(w: DataFrame): DataFrame = {
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.week") === col("b.week") &&
@@ -64,8 +75,10 @@ object Similarity {
     * top-10, log-dampened 0-100 score.
     */
   def recommend(events: DataFrame, userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): DataFrame = {
+    // five consumers (both dot sides, norms, the user's own channels twice)
     val w = EventSemantics.userWeeklyActivity(events)
       .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dots = w.as("a").join(w.as("b"), col("a.user_id") === col("b.user_id"))
       .groupBy(col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
       .agg(sum(col("a.weight") * col("b.weight")).as("dot"))
@@ -200,11 +213,15 @@ object Similarity {
   }
 
   def clusteringCommunities(events: DataFrame): DataFrame = {
-    val edges = channelSimilarity(events)
+    // one materialized rollup feeds the similarity edges AND the node list
+    val w = EventSemantics.userWeeklyActivity(events)
+      .select(col("user_id"), col("channel"), col("week"), col("messages"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = channelSimilarityFrom(w)
       .withColumn("thr", expr("percentile(similarity, 0.5)").over(Window.partitionBy("week")))
       .filter(col("similarity") > col("thr"))
       .select(col("week"), col("channel_a"), col("channel_b"))
-    val nodesW = EventSemantics.userWeeklyActivity(events)
+    val nodesW = w
       .select("week", "channel").distinct()
       .groupBy("week").agg(sort_array(collect_list("channel")).as("ns"))
     val edgesW = edges.groupBy("week")
