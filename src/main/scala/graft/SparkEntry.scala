@@ -96,7 +96,8 @@ object SparkEntry {
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
-    "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF())
+    "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
+    "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -158,7 +159,8 @@ object SparkEntry {
     "t_pii_scrub" -> TextOps.piiScrubDocsSql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
-    "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql
+    "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
+    "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql
   )
 
   private val languageStatsSql: String =
