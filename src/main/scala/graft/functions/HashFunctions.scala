@@ -80,10 +80,88 @@ case class MinhashSignature(child: Expression, aConsts: Seq[Long], bConsts: Seq[
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over a word array, computed entirely IN-ROW: for each
+  * non-empty word, the first 60 md5 bits vote ±1 per bit position; bit j of
+  * the result is set iff the sum is positive. Bit patterns are identical to
+  * the SQL formulation `conv(substring(md5(word), 1, 15), 16, 10)` so the
+  * DuckDB oracle is unchanged.
+  *
+  * Exists because SimHash is a pure per-document function: the
+  * explode-words → groupBy(doc_id) formulation shuffles every word
+  * occurrence in the corpus, which at 100 TB is a full-corpus shuffle for
+  * something computable map-side. Null array propagates null; null/empty
+  * words are skipped (an all-empty array hashes to 0).
+  */
+case class SimhashBits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashBits.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the md5 loop lives in a compiled helper; codegen keeps the call site
+    // inside the whole-stage pipeline (no interpreted expression fallback)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimhashBits.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashBits {
+  /** Shared by interpreted eval and codegen. One MessageDigest per row
+    * (= per document), reset per word.
+    */
+  def compute(arr: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) {
+        md.reset()
+        val d = md.digest(w.getBytes)
+        // first 15 hex chars of the md5 = bytes 0-6 plus the high nibble of
+        // byte 7, read big-endian — exactly conv(substr(md5, 1, 15), 16, 10)
+        var x = 0L
+        var b = 0
+        while (b < 7) { x = (x << 8) | (d(b) & 0xffL); b += 1 }
+        x = (x << 4) | ((d(7) & 0xf0L) >>> 4)
+        var j = 0
+        while (j < 60) {
+          sums(j) += (if (((x >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) h |= (1L << j); j += 1 }
+    h
+  }
+}
+
 object HashFunctions {
   /** Minhash signature Column over an ARRAY<BIGINT> shingle-id column. */
   def minhashSignature(shingles: Column, aConsts: Seq[Long], bConsts: Seq[Long],
                        prime: Long): Column =
     ColumnBridge.column(
       MinhashSignature(ColumnBridge.expression(shingles), aConsts, bConsts, prime))
+
+  /** In-row 60-bit SimHash Column over an ARRAY<STRING> word column. */
+  def simhashBits(words: Column): Column =
+    ColumnBridge.column(SimhashBits(ColumnBridge.expression(words)))
 }

@@ -288,22 +288,17 @@ object Dedup {
     */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val dd = dedupInput(documents)
-    // word OCCURRENCES, not (doc, word) counts: the count-weighted sum over
-    // distinct words equals the plain sum over occurrences (distributivity),
-    // so the (doc_id, word) pre-aggregation shuffle is unnecessary
-    val words = dd
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
-      .select(col("doc_id"), conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("x"))
-    // 60 sum-aggregates over the occurrence rows (map-side partial agg,
-    // single doc_id-keyed shuffle) instead of a 60x bit explode.
-    val bitAggs = (0 until 60).map { j =>
-      sum(expr(s"shiftright(x, $j) & 1") * 2L - 1L).as(s"s$j")
-    }
-    val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val simhashCol = (0 until 60)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    val sim = sums.select(col("doc_id"), simhashCol.as("simhash"))
+    // SimHash is a pure per-document function, so it is computed IN-ROW by
+    // a single codegen'd expression (graft.functions.SimhashBits): zero
+    // shuffles to build the fingerprint. The previous formulation exploded
+    // word occurrences and ran 60 sum-aggregates through a doc_id-keyed
+    // shuffle — a full-corpus shuffle at 100 TB for a map-side computation.
+    // Repartition spreads the md5-heavy projection across all cores (the
+    // corpus scan may have few splits; see shingleArrays).
+    val sim = dd
+      .repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhashBits(split(col("text"), "\\s+")).as("simhash"))
     val chunks = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(ci => expr(s"shiftright(simhash, ${ci * 15}) & 32767")): _*))
           .as(Seq("ci", "chunk")))

@@ -109,6 +109,31 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("SimhashBits matches the driver-side md5 vote model on random word lists") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("ws", ArrayType(StringType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(ws => Row(ws)), 4), schema)
+    val got = df.select(HashFunctions.simhashBits(col("ws")).as("h"))
+      .collect().map(_.getLong(0))
+    got.zip(data).foreach { case (h, ws) =>
+      val sums = new Array[Int](60)
+      ws.filter(_.nonEmpty).foreach { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val x = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        (0 until 60).foreach(j => sums(j) += (if (((x >> j) & 1L) == 1L) 1 else -1))
+      }
+      val model = (0 until 60).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+      assert(h == model, s"ws=$ws")
+    }
+  }
+
   test("vec_sum aggregates element-wise across partitions like the driver-side model") {
     val dim = 8
     val gen = for {
