@@ -61,6 +61,10 @@ object GraftExtensions {
       graft.functions.VectorSumAgg(args(0),
         args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
     }),
+    "graft_simhash" -> ((args: Seq[Expression]) => {
+      expectArity("graft_simhash", args, 1)
+      graft.functions.SimhashBits(args.head)
+    }),
     "graft_categorize" -> unary("graft_categorize", TextFunctions.categorize),
     "graft_membership_rank" -> unary("graft_membership_rank", TextFunctions.membershipRank),
     "graft_has_humor" -> unary("graft_has_humor", TextFunctions.hasHumor),

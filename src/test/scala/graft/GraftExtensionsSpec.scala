@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT doc_id, graft_categorize(text) AS cat, graft_lang_id(text) AS lang,
         |       graft_ws_tokens(text) AS toks, graft_quality(text) AS q,
-        |       graft_fingerprint(text) AS fp, graft_has_humor(text) AS humor
+        |       graft_fingerprint(text) AS fp, graft_has_humor(text) AS humor,
+        |       graft_simhash(split(text, '\\s+')) AS sh
         |FROM docs_ext""".stripMargin)
     val viaCol = docs.select(
       col("doc_id"),
@@ -43,7 +44,8 @@ class GraftExtensionsSpec extends SparkSpec {
       TextFunctions.wsTokenCount(col("text")).as("toks"),
       TextFunctions.qualityScore(col("text")).as("q"),
       TextFunctions.polyFingerprint(col("text")).as("fp"),
-      TextFunctions.hasHumor(col("text")).as("humor"))
+      TextFunctions.hasHumor(col("text")).as("humor"),
+      graft.functions.HashFunctions.simhashBits(split(col("text"), "\\s+")).as("sh"))
     assert(viaSql.count() > 0)
     assert(viaSql.exceptAll(viaCol).count() == 0)
     assert(viaCol.exceptAll(viaSql).count() == 0)
