@@ -337,23 +337,67 @@ object Dedup {
 
   // ---- #41 exact n-gram Jaccard via inverted-index join --------------------
   /** All pairs sharing >= 1 shingle (inverted-index join; 3-gram document
-    * frequency is near-1 so the join is linear), exact Jaccard >= threshold.
+    * frequency is near-1 in this corpus so the join is linear), exact
+    * Jaccard >= threshold.
+    *
+    * `maxDf` is the hot-key lever for real corpora, where stopword
+    * trigrams ("of the and") have huge document frequency and make the
+    * index key quadratic: shingles with df > maxDf are dropped from
+    * CANDIDATE GENERATION only (the Jaccard itself is computed from the
+    * full per-pair intersection, so surviving pairs keep exact scores).
+    * A pair is missed only if ALL its shared shingles are above the cap.
+    * Two consequences: the cap must EXCEED the expected duplicate-cluster
+    * size (copies inflate every shared shingle's df by the cluster
+    * cardinality — the spec demonstrates the miss at cap < cluster), and
+    * at J >= 0.3 a surviving non-cluster pair shares many distinct-df
+    * shingles, so residual recall loss is negligible. The default (None)
+    * keeps candidate generation exhaustive and is what the DuckDB oracle
+    * checks.
     */
-  def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+  def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3,
+                   maxDf: Option[Long] = None): DataFrame = {
     val arr = shingleArrays(dedupInput(documents), k)
     // inverted index from the in-row sets (map-side explode, already distinct)
     val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
-    val inter = inv.as("a")
-      .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(arr.select(col("doc_id").as("doc_a"), size(col("shs")).as("n_a")), "doc_a")
-      .join(arr.select(col("doc_id").as("doc_b"), size(col("shs")).as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+    maxDf match {
+      case None =>
+        // Exhaustive path: every shared shingle is a join hit, so the
+        // intersection size IS the per-pair hit count — ints through a
+        // partial-agg shuffle (in-row set verify would ship whole arrays
+        // for every ≥1-shared-shingle pair; measured 2x slower here).
+        val inter = inv.as("a")
+          .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(arr.select(col("doc_id").as("doc_a"), size(col("shs")).as("n_a")), "doc_a")
+          .join(arr.select(col("doc_id").as("doc_b"), size(col("shs")).as("n_b")), "doc_b")
+          .withColumn("jaccard",
+            fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+          .filter(col("jaccard") >= minJaccard)
+          .select("doc_a", "doc_b", "jaccard")
+      case Some(cap) =>
+        // Capped path: the pruned index only GENERATES candidates (a join
+        // hit count would undercount capped shingles), so the Jaccard is
+        // recomputed exactly from the in-row sets — the right verify shape
+        // for a selective candidate list.
+        val rare = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("xsh")
+        val cand = inv.join(rare, "xsh").as("a")
+          .join(inv.join(rare, "xsh").as("b"),
+            col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+          .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+          .withColumn("jaccard",
+            fl(col("inter").cast("double") /
+              (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
+          .filter(col("jaccard") >= minJaccard)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   def ngramJaccardSql(k: Int = 3, minJaccard: Double = 0.3): String =

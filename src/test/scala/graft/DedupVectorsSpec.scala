@@ -35,6 +35,25 @@ class DedupVectorsSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.7 && r.getDouble(2) <= 1.0))
   }
 
+  test("df-capped ngram jaccard keeps exact scores and near-dup recall") {
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // a tight cap prunes most of the index yet every surviving pair must
+    // carry the IDENTICAL exact score, and the strong pairs (J >= 0.9
+    // share nearly all shingles) must all survive. The cap must exceed the
+    // duplicate-CLUSTER size: copies inflate a shingle's df by the cluster
+    // cardinality (caught by this test at cap=3 with 4-copy clusters).
+    val capped = Dedup.ngramJaccard(docs, minJaccard = 0.3, maxDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"capped score differs for $pair")
+    }
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty)
+    strong.foreach(p => assert(capped.contains(p), s"capped path lost strong pair $p"))
+  }
+
   test("dedup clusters: planted copies join their source's cluster, source survives") {
     val comp = Dedup.dedupClusters(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
