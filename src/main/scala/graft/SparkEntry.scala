@@ -55,6 +55,9 @@ object SparkEntry {
     "q_heavy_lang_users" -> ((s, d) => ChatStats.heavyLangUsers(ev(s, d))),
     "q_user_percentile" -> ((s, d) => ChatStats.userPercentile(ev(s, d))),
     "q_engagement" -> ((s, d) => ChatStats.engagement(ev(s, d))),
+    // sketch twin — HLL output is engine-specific, so no DuckDB oracle
+    // (rows-only check); the spec bounds its error against q_engagement
+    "q_engagement_approx" -> ((s, d) => ChatStats.engagementApprox(ev(s, d))),
     "q_attrition" -> ((s, d) => ChatStats.attrition(ev(s, d))),
     "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
     // --- highlights (#5-6) + video-highlight listing (#51) + log QA (#53) ---

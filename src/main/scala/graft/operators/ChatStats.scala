@@ -151,6 +151,25 @@ object ChatStats {
        |  ${flSql("CAST(SUM(messages) AS DOUBLE) / CAST(COUNT(user_id) AS DOUBLE)", 4)} AS avg_messages_per_user
        | FROM act GROUP BY 1, 2""".stripMargin.replace("\n", "")
 
+  /** Sketch twin of [[engagement]] for the 100 TB interactive path: HLL++
+    * distinct users straight off the event scan — no per-user rollup
+    * shuffle at all, one partial-aggregated exchange of fixed-size sketch
+    * buffers per (channel, week). `rsd` 0.02 ⇒ ~1.5 KB sketches. The
+    * exact version stays the oracle-checked default; the spec bounds this
+    * one's relative error. Message totals are exact either way (plain
+    * sums commute).
+    */
+  def engagementApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .filter(!isGift)
+      .groupBy(channel, week.as("week"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("total_messages"))
+      .withColumn(
+        "avg_messages_per_user",
+        fl(col("total_messages").cast("double") / col("approx_users").cast("double"), 4))
+
   /** get_user_info percentile (api.py:2820-2843): per user-channel-week,
     * message count + percentile (fraction of channel users with count <=
     * yours) — exactly cume_dist over the weekly activity.

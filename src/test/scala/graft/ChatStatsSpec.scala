@@ -19,6 +19,22 @@ class ChatStatsSpec extends SparkSpec {
     assert(catSum === raw)
   }
 
+  test("engagementApprox: HLL user counts within 5% of exact, messages exact") {
+    val exact = ChatStats.engagement(events)
+      .select(col("channel"), col("week"), col("total_users"),
+        col("total_messages").as("m_exact"))
+    val approx = ChatStats.engagementApprox(events)
+      .select(col("channel"), col("week"), col("approx_users"),
+        col("total_messages").as("m_approx"))
+    val joined = exact.join(approx, Seq("channel", "week"))
+    assert(joined.count() == exact.count(), "sketch twin lost groups")
+    assert(joined.filter(col("m_exact") =!= col("m_approx")).count() == 0)
+    val offenders = joined.filter(
+      abs(col("approx_users") - col("total_users")).cast("double") >
+        col("total_users").cast("double") * 0.05).count()
+    assert(offenders == 0, "HLL estimate drifted beyond 5% relative error")
+  }
+
   test("leaderboard: at most k rows per channel-week, positions contiguous") {
     val lb = ChatStats.leaderboard(events, k = 5)
     val over = lb.groupBy("channel", "week").count().filter(col("count") > 5).count()
