@@ -192,14 +192,23 @@ object ChatStats {
     * Distinct (user, channel, week) first; the self-join runs on that
     * deduped relation keyed by (user, week).
     */
-  def commonUsersMatrix(events: DataFrame): DataFrame = {
+  def commonUsersMatrix(events: DataFrame): DataFrame =
     // consumed three times (both self-join sides + channel sizes) with
     // different downstream pruning/partitioning, so Catalyst cannot reuse
     // one exchange for all of them; materialize the MV-shaped rollup once
     // (see attrition for the full rationale)
-    val ucw = userWeeklyActivity(events)
-      .select("user_id", "channel", "week")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    commonUsersMatrixFrom(
+      userWeeklyActivity(events)
+        .select("user_id", "channel", "week")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Matrix from an already-materialized (user_id, channel, week) rollup —
+    * the deploy seam for a warehouse that maintains the reference's MV as
+    * a table: bucketed by user_id (Layout.writeBucketed), the self-join
+    * runs with ZERO exchanges (bucket partitioning on a subset of the join
+    * keys co-partitions both sides; LayoutSpec pins this).
+    */
+  def commonUsersMatrixFrom(ucw: DataFrame): DataFrame = {
     val a = ucw.as("a")
     val b = ucw.as("b")
     val pairCounts = a

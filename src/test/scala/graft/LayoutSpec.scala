@@ -10,6 +10,36 @@ import graft.operators.{EventSemantics, Layout}
   */
 class LayoutSpec extends SparkSpec {
 
+  test("commonUsersMatrix over a bucketed MV table avoids the self-join shuffle") {
+    val ucw = EventSemantics.userWeeklyActivity(Tables.events(spark, sfDir))
+      .select("user_id", "channel", "week")
+    Layout.writeBucketed(ucw, "ucw_mv", "user_id", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // deploy conf (SCALING.md): accept co-partitioning on a SUBSET of the
+    // join keys — both sides are bucketed on user_id, the join adds week
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val viaBucketed = graft.operators.ChatStats.commonUsersMatrixFrom(spark.table("ucw_mv"))
+      val plan = viaBucketed.queryExecution.executedPlan.toString
+      // the pair self-join on (user_id, week) must co-partition from the
+      // user_id buckets; only the post-join channel-pair aggregation and
+      // the sizes-side aggregation may shuffle
+      val joinInputShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      assert(joinInputShuffles == 0,
+        s"bucketed matrix self-join still shuffles its inputs:\n$plan")
+      // results are identical to the standard operator
+      val viaEvents = graft.operators.ChatStats.commonUsersMatrix(Tables.events(spark, sfDir))
+      assert(viaBucketed.exceptAll(viaEvents).count() == 0)
+      assert(viaEvents.exceptAll(viaBucketed).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (50 * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+      spark.sql("DROP TABLE IF EXISTS ucw_mv")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bucketed-by-key join is exchange-free; unbucketed join shuffles") {
     val act = EventSemantics.userWeeklyActivity(Tables.events(spark, sfDir))
     Layout.writeBucketed(act, "act_bucketed_a", "user_id", 4)
