@@ -47,6 +47,40 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data: a row older than the watermark never lands") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val t0 = 1704067200000L
+    def at(minutes: Long, id: Long) =
+      Ev(id, id % 5, "ch0", new Timestamp(t0 + minutes * 60000L), 0d)
+
+    val stream = MemoryStream[Ev]
+    val query = EventStream.sessionize(stream.toDF(), windowLen = "10 minutes",
+      watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("late_data")
+      .outputMode("append").start()
+
+    // batch 1: 3 rows in the first window, then one far ahead — after this
+    // batch the watermark (max event time - 10 min) is past the first
+    // window's end, so it finalizes and is emitted
+    stream.addData(Seq(at(0, 1), at(1, 2), at(2, 3), at(40, 4)))
+    query.processAllAvailable()
+    // batch 2: a LATE row for the first window (event time below the
+    // watermark) must be discarded, not re-open the finalized window
+    stream.addData(Seq(at(3, 5), at(41, 6)))
+    query.processAllAvailable()
+    val firstWindow = s.table("late_data")
+      .filter(col("window_start") === new Timestamp(t0))
+      .select("n_events").collect()
+    query.stop()
+
+    assert(firstWindow.length == 1, "finalized window must be emitted exactly once")
+    assert(firstWindow(0).getLong(0) == 3L,
+      "late row leaked into the finalized window")
+  }
+
   test("exact batch twin agrees with streaming twin on counts") {
     val s = spark
     import s.implicits._
