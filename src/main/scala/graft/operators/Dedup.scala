@@ -215,55 +215,89 @@ object Dedup {
     * other at J >= threshold), so the diameter is tiny and a fixed iteration
     * count converges; each round is one join + one partial-agg shuffle.
     */
+  /** `smallGraphEdges`: when the verified pair list is at most this many
+    * edges, components are solved exactly by union-find on the driver and
+    * the labels broadcast back — the dup GRAPH (not the corpus) is usually
+    * tiny even at 100 TB, and the distributed loop's per-superstep jobs
+    * dominate wall time on small graphs. Above the threshold the exact
+    * distributed min-label loop runs. Both paths produce identical output.
+    */
   def dedupClusters(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7,
-                    maxIterations: Int = 50): DataFrame = {
+                    maxIterations: Int = 50,
+                    smallGraphEdges: Long = 5000000L): DataFrame = {
     // cache BELOW the union: both union branches read the pinned pair list
     // instead of each recomputing the whole minhash lineage
     val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()
-    val undirected = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val nodes = dedupInput(documents).select("doc_id")
-    // The iteration runs ONLY over nodes that appear in the edge list: in a
-    // real corpus duplicates are a small fraction, and a node with no edge
-    // keeps cluster_id = doc_id forever. At 100 TB this shrinks every
-    // superstep from |corpus| to |dup graph| — the singleton majority is
-    // labeled by one final left join instead of being dragged through every
-    // round.
-    val edgeNodes = undirected.select(col("doc_a").as("doc_id")).distinct()
-    // Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
-    // twice per round, so an uncached lineage recomputes earlier supersteps
-    // exponentially — the GraphX/GraphFrames persist-per-superstep pattern.
-    // The loop runs to CONVERGENCE (no label changed), so the result is the
-    // exact component labeling for any graph; near-dup clusters are
-    // near-cliques, so real corpora converge in ~2 rounds. Convergence is
-    // read off a carried changed-flag column on the already-materialized
-    // superstep — no compare-join against the previous round.
-    var comp = edgeNodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxIterations) {
-      val viaEdge = undirected
-        .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "nb"),
-          Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("nb").as("nb"))
-      val next = comp.join(viaEdge, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nb"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      comp = next.drop("chg")
-      round += 1
+    val nEdges = pairs.count()
+    val labels: DataFrame = if (nEdges <= smallGraphEdges) {
+      // ---- small-graph path: exact driver-side union-find ----------------
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = documents.sparkSession
+      import spark.implicits._
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "edge_cluster")
+    } else {
+      // ---- distributed path: exact min-label propagation ------------------
+      val undirected = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      // The iteration runs ONLY over nodes that appear in the edge list: a
+      // node with no edge keeps cluster_id = doc_id forever, so the
+      // singleton majority is labeled by the final left join instead of
+      // being dragged through every round.
+      val edgeNodes = undirected.select(col("doc_a").as("doc_id")).distinct()
+      // Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
+      // twice per round, so an uncached lineage recomputes earlier
+      // supersteps exponentially — the GraphX/GraphFrames
+      // persist-per-superstep pattern. The loop runs to CONVERGENCE (no
+      // label changed), so the result is the exact component labeling at
+      // any graph diameter; near-dup clusters are near-cliques, so real
+      // corpora converge in ~2 rounds. Convergence is read off a carried
+      // changed-flag column on the already-materialized superstep — no
+      // compare-join against the previous round.
+      var comp = edgeNodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < maxIterations) {
+        val viaEdge = undirected
+          .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "nb"),
+            Seq("doc_b"))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min("nb").as("nb"))
+        val next = comp.join(viaEdge, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nb"), col("cluster_id")) < col("cluster_id")).as("chg"))
+          .localCheckpoint(true)
+        changed = next.filter(col("chg")).count()
+        comp = next.drop("chg")
+        round += 1
+      }
+      if (changed > 0) {
+        throw new IllegalStateException(
+          s"dedupClusters did not converge within $maxIterations rounds " +
+            s"($changed labels still changing) — component diameter exceeds the cap; " +
+            "raise maxIterations rather than returning approximate clusters")
+      }
+      comp.withColumnRenamed("cluster_id", "edge_cluster")
     }
-    if (changed > 0) {
-      throw new IllegalStateException(
-        s"dedupClusters did not converge within $maxIterations rounds " +
-          s"($changed labels still changing) — component diameter exceeds the cap; " +
-          "raise maxIterations rather than returning approximate clusters")
-    }
+    // small path: labels fit on the driver by construction -> broadcast;
+    // distributed path: the label relation can be large -> let AQE decide
+    val labelSide = if (nEdges <= smallGraphEdges) broadcast(labels) else labels
     nodes
-      .join(comp.withColumnRenamed("cluster_id", "edge_cluster"), Seq("doc_id"), "left")
+      .join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
       .withColumn("is_survivor", col("cluster_id") === col("doc_id"))

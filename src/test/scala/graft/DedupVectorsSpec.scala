@@ -54,6 +54,13 @@ class DedupVectorsSpec extends SparkSpec {
     strong.foreach(p => assert(capped.contains(p), s"capped path lost strong pair $p"))
   }
 
+  test("dedup clusters: distributed loop and driver union-find paths agree exactly") {
+    val small = Dedup.dedupClusters(docs) // small-graph path at this SF
+    val dist = Dedup.dedupClusters(docs, smallGraphEdges = 0L) // force the loop
+    assert(small.exceptAll(dist).count() == 0)
+    assert(dist.exceptAll(small).count() == 0)
+  }
+
   test("dedup clusters: planted copies join their source's cluster, source survives") {
     val comp = Dedup.dedupClusters(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
