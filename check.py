@@ -35,9 +35,15 @@ for name, sql in sorted(oracle.items()):
     o = odf[ocols].sort_values(ocols).reset_index(drop=True)
     if len(s) != len(o):
         fails.append((name, f"rows: spark={len(s)} oracle={len(o)}")); continue
+    # dtype-strict: the driver hashes raw values, so int64 vs float64
+    # (DuckDB HUGEINT sums) or tz-aware vs naive timestamps MUST fail here too
+    dt_bad = [(c, str(s[c].dtype), str(o[c].dtype)) for c in scols
+              if str(s[c].dtype) != str(o[c].dtype)]
+    if dt_bad:
+        fails.append((name, f"dtype: {dt_bad}")); continue
     try:
         import pandas as pd
-        pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
         print(f"PASS {name} ({len(s)} rows)")
     except AssertionError as e:
         fails.append((name, str(e).split(chr(10))[0:4]))

@@ -169,21 +169,21 @@ object SparkEntry {
   private val languageStatsSql: String =
     s"""WITH ud AS (${EventSemantics.userDataSql})
        | SELECT channel, CAST(date_trunc('week', day) AS DATE) AS week,
-       |  SUM(jp_count) AS jp_count, SUM(kr_count) AS kr_count,
-       |  SUM(ru_count) AS ru_count, SUM(emoji_count) AS emoji_count,
-       |  SUM(es_en_id_count) AS es_en_id_count,
-       |  SUM(total_message_count) AS total_messages
+       |  CAST(SUM(jp_count) AS BIGINT) AS jp_count, CAST(SUM(kr_count) AS BIGINT) AS kr_count,
+       |  CAST(SUM(ru_count) AS BIGINT) AS ru_count, CAST(SUM(emoji_count) AS BIGINT) AS emoji_count,
+       |  CAST(SUM(es_en_id_count) AS BIGINT) AS es_en_id_count,
+       |  CAST(SUM(total_message_count) AS BIGINT) AS total_messages
        | FROM ud WHERE total_message_count > 0 GROUP BY 1, 2""".stripMargin.replace("\n", "")
 
   private val userLanguageShareSql: String =
     s"""WITH ud AS (${EventSemantics.userDataSql})
        | SELECT user_id, channel, CAST(date_trunc('week', day) AS DATE) AS week,
-       |  SUM(jp_count) AS total_jp_messages,
-       |  SUM(total_message_count - emoji_count) AS total_non_emoji_messages
+       |  CAST(SUM(jp_count) AS BIGINT) AS total_jp_messages,
+       |  CAST(SUM(total_message_count - emoji_count) AS BIGINT) AS total_non_emoji_messages
        | FROM ud WHERE total_message_count > 0 GROUP BY 1, 2, 3""".stripMargin.replace("\n", "")
 
   private val membershipTotalSql: String =
-    s"""SELECT channel, week, SUM(membership_count) AS total_members
+    s"""SELECT channel, week, CAST(SUM(membership_count) AS BIGINT) AS total_members
        | FROM (${ChatStats.membershipSummarySql})
        | WHERE membership_rank <> -1 GROUP BY 1, 2""".stripMargin.replace("\n", "")
 }

@@ -40,10 +40,13 @@ object Tables {
       "lineitem" -> lineitem _, "events" -> events _,
       "documents" -> documents _, "embeddings" -> embeddings _)
       .foreach { case (name, rd) =>
-        // only "path/table does not exist" is tolerated (table absent at
-        // this SF); anything else must surface, not silently skip the view
+        // only "path does not exist" is tolerated (table absent at this
+        // SF); any other analysis error must surface, not silently skip
         try rd(spark, dir).createOrReplaceTempView(name)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") => ()
+        }
       }
     GraftExtensions.register(spark)
   }

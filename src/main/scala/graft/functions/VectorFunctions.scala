@@ -116,6 +116,25 @@ case class VectorSumAgg(child: Expression, dim: Int,
 
   import org.apache.spark.sql.catalyst.InternalRow
 
+  // vec_sum is SQL-exposed (GraftExtensions), so malformed input must fail at
+  // ANALYSIS time with a readable message, not as an executor ClassCastException
+  private def primitiveNumeric(t: DataType): Boolean = t match {
+    case DoubleType | org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if primitiveNumeric(e) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum requires a primitive numeric array (no decimal), " +
+            s"got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
 
   private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
@@ -132,13 +151,20 @@ case class VectorSumAgg(child: Expression, dim: Int,
       }
       var i = 0
       while (i < n) {
-        buffer(i) += (t match {
-          case DoubleType => arr.getDouble(i)
-          case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
-          case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
-          case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toDouble
-          case other => throw new IllegalArgumentException(s"vec_sum: unsupported element type $other")
-        })
+        // SQL-SUM semantics per slot: a null element contributes nothing
+        // (vec_dot's propagate-null fold is for pairwise products; a sum
+        // aggregate ignoring nulls matches SUM over the exploded column)
+        if (!arr.isNullAt(i)) {
+          buffer(i) += (t match {
+            case DoubleType => arr.getDouble(i)
+            case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
+            case org.apache.spark.sql.types.LongType => arr.getLong(i).toDouble
+            case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toDouble
+            case org.apache.spark.sql.types.ShortType => arr.getShort(i).toDouble
+            case org.apache.spark.sql.types.ByteType => arr.getByte(i).toDouble
+            case other => throw new IllegalArgumentException(s"vec_sum: unsupported element type $other")
+          })
+        }
         i += 1
       }
     }

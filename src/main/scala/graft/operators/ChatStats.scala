@@ -119,7 +119,7 @@ object ChatStats {
     act
       .withColumn("lrn", row_number().over(local))
       .filter(col("lrn") <= k)
-      .withColumn("position", row_number().over(global))
+      .withColumn("position", row_number().over(global).cast("long"))
       .filter(col("position") <= k)
       .select("channel", "week", "position", "user_id", "messages")
   }
@@ -147,7 +147,7 @@ object ChatStats {
   val engagementSql: String =
     s"""WITH act AS ($userWeeklyActivitySql)
        | SELECT channel, week, COUNT(user_id) AS total_users,
-       |  SUM(messages) AS total_messages,
+       |  CAST(SUM(messages) AS BIGINT) AS total_messages,
        |  ${flSql("CAST(SUM(messages) AS DOUBLE) / CAST(COUNT(user_id) AS DOUBLE)", 4)} AS avg_messages_per_user
        | FROM act GROUP BY 1, 2""".stripMargin.replace("\n", "")
 

@@ -221,10 +221,16 @@ object Dedup {
     * tiny even at 100 TB, and the distributed loop's per-superstep jobs
     * dominate wall time on small graphs. Above the threshold the exact
     * distributed min-label loop runs. Both paths produce identical output.
+    *
+    * Default sized for an ORDINARY driver heap: 500k edges means at most
+    * 1M boxed map entries for the union-find (~100 MB transient) and a
+    * <=1M-row broadcast label relation (~16 MB) — safe well under a 2 GB
+    * driver. Raise it only with driver memory to match (~200 bytes/edge
+    * transient + 16 bytes/label broadcast).
     */
   def dedupClusters(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7,
                     maxIterations: Int = 50,
-                    smallGraphEdges: Long = 5000000L): DataFrame = {
+                    smallGraphEdges: Long = 500000L): DataFrame = {
     // cache BELOW the union: both union branches read the pinned pair list
     // instead of each recomputing the whole minhash lineage
     val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()

@@ -42,7 +42,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
 
   def sessionizeExactSql(windowSeconds: Long = 21600L): String =
-    s"""SELECT to_timestamp(CAST(floor(epoch(ts) / $windowSeconds) AS BIGINT) * $windowSeconds) AS window_start,
+    s"""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / $windowSeconds) AS BIGINT) * $windowSeconds) AS TIMESTAMP) AS window_start,
        | event_type AS channel, COUNT(*) AS n_events,
        | COUNT(DISTINCT user_id) AS n_users
        | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")

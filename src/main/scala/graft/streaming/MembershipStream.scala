@@ -59,7 +59,10 @@ object MembershipStream {
   /** The state transition function — shared by batch and streaming modes. */
   def detect(key: (Long, String), rows: Iterator[RankEvent],
              state: GroupState[RankState]): Iterator[Transition] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // full-precision ordering: getTime is millis-truncated, so two events in
+    // the same millisecond need getNanos (the full fractional second) to sort
+    // the way the oracle's ORDER BY ts, event_id does
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     var last = state.getOption.map(_.lastRank)
     val out = Seq.newBuilder[Transition]
     sorted.foreach { e =>

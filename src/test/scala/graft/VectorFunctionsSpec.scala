@@ -59,6 +59,26 @@ class VectorFunctionsSpec extends SparkSpec {
       || err.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
 
+  test("vec_sum: null ELEMENTS are skipped (SQL-SUM per slot), null arrays ignored") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(1.0D, CAST(NULL AS DOUBLE), 3.0D)),
+        | (array(10.0D, 20.0D, CAST(NULL AS DOUBLE))),
+        | (CAST(NULL AS ARRAY<DOUBLE>))
+        | AS t(v)""".stripMargin)
+    val r = df.select(VectorFunctions.vecSum(col("v"), 3).as("s"))
+      .collect()(0).getSeq[Double](0)
+    assert(r == Seq(11.0, 20.0, 3.0))
+  }
+
+  test("vec_sum rejects non-array and decimal-array inputs at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(1).select(VectorFunctions.vecSum(lit(1), 3)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("numeric array")
+      || err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("interpreted eval path matches the dataframe (codegen) path") {
     val av = Array(1.5f, -2.25f, 3.125f, 0.0f)
     val bv = Array(0.5f, 4.0f, -1.75f, 9.0f)
