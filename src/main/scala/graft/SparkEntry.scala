@@ -94,6 +94,11 @@ object SparkEntry {
     "t_token_count" -> ((s, d) => TextOps.tokenCountDocs(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
     "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(docs(s, d))),
+    // --- corpus-pipeline ops (#61-64) ---
+    "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
+    "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
+    "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
+    "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
@@ -160,6 +165,10 @@ object SparkEntry {
     "t_token_count" -> TextOps.tokenCountDocsSql,
     "t_fingerprint" -> TextOps.fingerprintDocsSql,
     "t_pii_scrub" -> TextOps.piiScrubDocsSql,
+    "p_decontaminate" -> Pipeline.decontaminateSql(),
+    "t_repetition" -> Pipeline.repetitionScoreSql(),
+    "p_sample_hash" -> Pipeline.sampleHashSql(),
+    "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,

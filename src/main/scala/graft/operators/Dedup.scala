@@ -235,10 +235,16 @@ object Dedup {
     // instead of each recomputing the whole minhash lineage
     val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()
     val nodes = dedupInput(documents).select("doc_id")
-    val nEdges = pairs.count()
-    val labels: DataFrame = if (nEdges <= smallGraphEdges) {
+    // ONE action decides the path AND fetches the small graph: collect at
+    // most threshold+1 edges — if we got <= threshold, that IS the complete
+    // edge list (limit is only a cap); a full count()+collect() pair would
+    // cost an extra job over the cache, and a plain collect() would pull an
+    // unbounded edge list onto the driver before the size were known
+    val cap = math.min(smallGraphEdges, Int.MaxValue - 1L).toInt
+    val capped = pairs.limit(cap + 1).collect()
+    val labels: DataFrame = if (capped.length <= smallGraphEdges) {
       // ---- small-graph path: exact driver-side union-find ----------------
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = capped.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -301,7 +307,7 @@ object Dedup {
     }
     // small path: labels fit on the driver by construction -> broadcast;
     // distributed path: the label relation can be large -> let AQE decide
-    val labelSide = if (nEdges <= smallGraphEdges) broadcast(labels) else labels
+    val labelSide = if (capped.length <= smallGraphEdges) broadcast(labels) else labels
     nodes
       .join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),

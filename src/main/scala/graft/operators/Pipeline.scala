@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import EventSemantics.{fl, flSql}
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup (SURVEY §2 #61-64): benchmark decontamination, in-document
+  * repetition scoring, and deterministic (hash / stratified) sampling.
+  *
+  * Scale design: decontamination broadcasts the (tiny) benchmark shingle
+  * set against the (huge) training scan — the only train-side shuffle is
+  * the one partial-aggregated hit count keyed by doc_id; repetition is a
+  * pure in-row projection (zero shuffle); hash sampling is an in-row
+  * filter (zero shuffle); stratified sampling uses the same salted
+  * two-phase top-k as the leaderboard so no task ever sorts a whole
+  * stratum.
+  */
+object Pipeline {
+
+  /** md5-derived 60-bit id of a string — the cross-engine join key used by
+    * every shingle/hash operator (same formula as Dedup's shingle ids).
+    */
+  private def md5Id(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def md5IdSql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- #61 benchmark decontamination ---------------------------------------
+  /** Flag training documents that share any `k`-gram with the benchmark
+    * (eval) set — the standard pre-training decontamination pass.
+    *
+    * The synthetic corpus has no real benchmark, so the eval set is carved
+    * deterministically: for every doc with doc_id % 17 = 0, words 3..22
+    * become a "benchmark prompt" (the identical slice exists in the oracle
+    * SQL). Those source docs are genuinely contaminated — they contain the
+    * benchmark text verbatim — so the operator has verifiable positives,
+    * and any natural cross-doc k-gram collision is scored identically by
+    * both engines.
+    *
+    * Scale shape: the benchmark shingle relation is tiny (eval suites are
+    * MBs, the corpus is TBs) → broadcast inner join against the exploded
+    * in-row train shingle sets, then ONE partial-aggregated count keyed by
+    * doc_id; the zero-hit majority joins back via a broadcast left join,
+    * so the 100 TB scan never shuffles its text.
+    */
+  def decontaminate(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = split(lower(trim(col("text"))), "\\s+")
+    // per-doc distinct k-gram ids, in-row (same construction as Dedup)
+    def shingleSet(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           | filter(
+           |  CASE WHEN size(w) >= $k
+           |   THEN transform(sequence(1, size(w) - $k + 1),
+           |     i -> array_join(slice(w, i, $k), ' '))
+           |   ELSE CAST(array() AS ARRAY<STRING>) END,
+           |  s -> length(s) > 0),
+           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
+          .stripMargin.replace("\n", "")).as("shs"))
+    val evalGrams = shingleSet(
+      documents.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), concat_ws(" ", slice(w, 3, 20)).as("text")))
+      .select(explode(col("shs")).as("xsh")).distinct()
+    val hits = shingleSet(documents)
+      .select(col("doc_id"), explode(col("shs")).as("xsh"))
+      .join(broadcast(evalGrams), "xsh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    documents.select("doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  def decontaminateSql(k: Int = 5): String =
+    s"""WITH wdocs AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM documents),
+       | evtext AS (
+       |  SELECT doc_id, array_to_string(w[3:22], ' ') AS text FROM wdocs WHERE doc_id % 17 = 0),
+       | evgrams AS (
+       |  SELECT DISTINCT ${md5IdSql("sh")} AS xsh FROM (
+       |   SELECT unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
+       |     i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
+       |   FROM (SELECT regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM evtext))
+       |  WHERE length(sh) > 0),
+       | trsh AS (
+       |  SELECT DISTINCT doc_id, ${md5IdSql("sh")} AS xsh FROM (
+       |   SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
+       |     i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
+       |   FROM wdocs)
+       |  WHERE length(sh) > 0),
+       | hits AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_hits
+       |  FROM trsh t JOIN evgrams e ON t.xsh = e.xsh GROUP BY 1)
+       | SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+       | FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin.replace("\n", "")
+
+  // ---- #62 repetition scoring ----------------------------------------------
+  /** Gopher-style within-document repetition: the fraction of n-gram
+    * occurrences that are duplicates (1 − distinct/total). The natural
+    * corpus is repetition-free, so docs with doc_id % 9 = 0 get their first
+    * six words appended twice (the identical CASE exists in the oracle),
+    * giving the scorer verifiable positives.
+    *
+    * Pure in-row projection — zero shuffles; pipelines inside one
+    * WholeStageCodegen span over the parquet scan at any scale.
+    */
+  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame = {
+    val base = lower(trim(col("text")))
+    val rep = array_join(slice(split(base, "\\s+"), 1, 6), " ")
+    val msg = when(col("doc_id") % 9 === 0, concat_ws(" ", base, rep, rep)).otherwise(base)
+    documents
+      .select(col("doc_id"), split(msg, "\\s+").as("w"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(w) >= $n
+           | THEN transform(sequence(1, size(w) - $n + 1), i -> array_join(slice(w, i, $n), ' '))
+           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin.replace("\n", "")).as("gr"))
+      .select(col("doc_id"),
+        size(col("gr")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("gr"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") > 0,
+          fl(lit(1d) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 4))
+          .otherwise(lit(0d)))
+  }
+
+  def repetitionScoreSql(n: Int = 3): String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |   CASE WHEN doc_id % 9 = 0
+       |    THEN concat(lower(trim(text)), ' ', rep, ' ', rep)
+       |    ELSE lower(trim(text)) END AS msg
+       |  FROM (SELECT doc_id, text,
+       |    array_to_string(regexp_extract_all(lower(trim(text)), '\\S+')[1:6], ' ') AS rep
+       |   FROM documents)),
+       | grams AS (
+       |  SELECT doc_id,
+       |   list_transform(range(0, greatest(len(w) - $n + 1, 0)),
+       |     i -> array_to_string(w[i+1:i+$n], ' ')) AS gr
+       |  FROM (SELECT doc_id, regexp_extract_all(msg, '\\S+') AS w FROM aug))
+       | SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_ngrams,
+       |  CAST(len(list_distinct(gr)) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(gr) > 0
+       |   THEN ${flSql("1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / CAST(len(gr) AS DOUBLE)", 4)}
+       |   ELSE 0.0 END AS dup_frac
+       | FROM grams""".stripMargin.replace("\n", "")
+
+  // ---- #63 deterministic hash sampling -------------------------------------
+  /** Keep documents whose md5-derived bucket (over doc_id) falls below
+    * `pct` of 100 — the reproducible corpus-sampling primitive. An in-row
+    * filter with NO RNG state: the same doc always lands in the same
+    * bucket, so samples are stable across reruns, resumable after partial
+    * failures, and disjoint buckets partition the corpus exactly.
+    */
+  def sampleHash(documents: DataFrame, pct: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"), pmod(md5Id(col("doc_id").cast("string")), lit(100L)).as("bucket"))
+      .filter(col("bucket") < pct)
+
+  def sampleHashSql(pct: Int = 20): String =
+    s"""SELECT doc_id, ${md5IdSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       | FROM documents
+       | WHERE ${md5IdSql("CAST(doc_id AS VARCHAR)")} % 100 < $pct""".stripMargin.replace("\n", "")
+
+  // ---- #64 stratified (language-balanced) sampling -------------------------
+  /** Per-stratum quota sample: the `quota` docs with the smallest
+    * md5-derived hash inside each `lang` — the language-balancing pass of a
+    * corpus build. Deterministic (hash + doc_id tiebreak) and SALTED
+    * two-phase like the leaderboard: phase 1 takes a local top-quota
+    * inside (lang, hash(doc) % saltBuckets), phase 2 ranks the surviving
+    * saltBuckets×quota rows — no task ever sorts a whole stratum, which at
+    * 100 TB is billions of docs for the majority language. (For quotas too
+    * large for a driver-side final rank, the same hash column supports
+    * threshold sampling — keep h below the quota/|stratum| quantile — at
+    * the cost of an approximate cut; this operator is the exact path.)
+    */
+  def sampleStratified(documents: DataFrame, quota: Int = 30, saltBuckets: Int = 16): DataFrame = {
+    val h = md5Id(col("doc_id").cast("string"))
+    val ord = Seq(col("h").asc, col("doc_id").asc)
+    val local = Window
+      .partitionBy(col("lang"), pmod(hash(col("doc_id")), lit(saltBuckets)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy("lang").orderBy(ord: _*)
+    documents
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= quota)
+      .withColumn("pos", row_number().over(global).cast("long"))
+      .filter(col("pos") <= quota)
+      .select("lang", "doc_id", "pos")
+  }
+
+  def sampleStratifiedSql(quota: Int = 30): String =
+    s"""SELECT lang, doc_id, pos FROM (
+       |  SELECT lang, doc_id,
+       |   ROW_NUMBER() OVER (PARTITION BY lang
+       |     ORDER BY ${md5IdSql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS pos
+       |  FROM documents)
+       | WHERE pos <= $quota""".stripMargin.replace("\n", "")
+}

