@@ -26,6 +26,23 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => }
+    // Absorb first-execution machinery costs (broadcast thread pools, AQE,
+    // window/cache/codegen paths, JIT of shuffle internals) on a tiny slice
+    // so the FIRST timed query measures its plan, not session init — the
+    // alphabetically-first queries were paying ~3s of one-time overhead.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(spark, sfDir).limit(2000).cache()
+      e.count()
+      e.groupBy("event_type").agg(countDistinct("user_id").as("u")).count()
+      e.join(broadcast(e.select(col("user_id")).distinct()), "user_id").count()
+      e.select(row_number().over(
+        Window.partitionBy("event_type").orderBy("ts")).as("rn")).count()
+      e.select(size(array_distinct(transform(
+        split(lit("a b c d e"), " "), x => upper(x)))).as("n")).count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => }
     // best-of-2 per query; caches cleared between queries so one query's
     // pinned relations never skew the next one's memory budget
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
