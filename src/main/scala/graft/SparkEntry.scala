@@ -105,7 +105,8 @@ object SparkEntry {
     "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
-    "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d)))
+    "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d))),
+    "s_stream_velocity" -> ((s, d) => graft.streaming.VelocityStream.bursts(ev(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -172,7 +173,8 @@ object SparkEntry {
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
-    "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql
+    "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,
+    "s_stream_velocity" -> graft.streaming.VelocityStream.burstsSql()
   )
 
   private val languageStatsSql: String =
