@@ -99,6 +99,8 @@ object SparkEntry {
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
+    "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
+    "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
@@ -170,6 +172,8 @@ object SparkEntry {
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
+    "p_pack" -> Pipeline.packSequencesSql(),
+    "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,

@@ -202,4 +202,45 @@ object Pipeline {
        |     ORDER BY ${md5IdSql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS pos
        |  FROM documents)
        | WHERE pos <= $quota""".stripMargin.replace("\n", "")
+
+  // ---- #66 sequence packing ------------------------------------------------
+  /** Pack documents into fixed-token-capacity training sequences — the
+    * context-assembly step of a pre-training data build. Documents are
+    * sharded deterministically (doc_id % nShards), each shard packs its
+    * docs in doc_id order by running token count, and a doc belongs to the
+    * sequence where it STARTS (stream-chunking semantics — the straddle is
+    * resolved by the consumer's truncation rule, which is out of band).
+    *
+    * This is the semantics distributed packers actually implement: exact
+    * bin packing is order-dependent and serial, so real pipelines shard
+    * first and pack each shard independently — which is also exactly what
+    * makes it scale: the window runs per shard (embarrassingly parallel,
+    * one shuffle keyed by shard), never over a global document order.
+    * Output: (doc_id, shard, seq_id, offset, n_tokens).
+    */
+  def packSequences(documents: DataFrame, capacity: Long = 512L, nShards: Int = 32): DataFrame = {
+    val tok = graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), tok.as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before DIV $capacity").as("seq_id"),
+        (col("cum_before") % capacity).as("offset"),
+        col("n_tokens"))
+  }
+
+  def packSequencesSql(capacity: Long = 512L, nShards: Int = 32): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |   CAST(${graft.functions.TextFunctions.bpeTokenCountSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       | c AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       | SELECT doc_id, shard, cum_before // $capacity AS seq_id,
+       |  cum_before % $capacity AS offset, n_tokens
+       | FROM c""".stripMargin.replace("\n", "")
 }

@@ -130,4 +130,44 @@ object Vectors {
        | FROM embeddings e JOIN probed p ON e.label = p.label CROSS JOIN q
        | WHERE e.vec_id <> $qId
        | ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
+
+  /** #67 symmetric int8 scalar quantization of the embedding column — the
+    * storage/bandwidth step of a vector pipeline (4× smaller vectors; at
+    * 100 TB the quantized table is what ANN scans). Per vector: scale =
+    * max|v|/127 and the max round-trip error of floor-quantization
+    * (floor, not round-half-up: both engines floor identically on IEEE
+    * doubles, where rounding modes differ). Pure in-row projection — zero
+    * shuffle; the quantized array itself is `transform(v, x -> floor(x /
+    * scale))`, omitted from the verified output because array columns
+    * don't hash-compare across engines (params + error bound pin the
+    * math).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    embeddings
+      .select(col("vec_id"), vd.as("v"))
+      // distinct name: outputting `fl(...) AS scale` below would otherwise
+      // CAPTURE the later scale references via lateral column alias
+      // resolution, quantizing against the display-rounded scale
+      .select(col("vec_id"), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / lit(127d)).as("scale_raw"))
+      .select(col("vec_id"),
+        fl(col("scale_raw"), 6).as("scale"),
+        when(col("scale_raw") === 0d, lit(0d))
+          .otherwise(fl(array_max(transform(col("v"),
+            x => abs(floor(x / col("scale_raw")) * col("scale_raw") - x))), 6))
+          .as("max_err"))
+  }
+
+  val quantizeInt8Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | s AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM v)
+       | SELECT vec_id, ${flSql("scale", 6)} AS scale,
+       |  CASE WHEN scale = 0 THEN 0.0
+       |   ELSE ${flSql("list_max(list_transform(v, x -> abs(floor(x / scale) * scale - x)))", 6)}
+       |  END AS max_err
+       | FROM s""".stripMargin.replace("\n", "")
 }

@@ -60,6 +60,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: offsets stay under capacity and cumulative arithmetic is consistent") {
+    val cap = 512L
+    val res = Pipeline.packSequences(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(res.length == docs.count())
+    res.foreach { case (id, shard, seq, off, tok) =>
+      assert(shard == id % 32)
+      assert(off >= 0 && off < cap, s"offset $off out of range for doc $id")
+      assert(seq >= 0)
+    }
+    // replay each shard in doc_id order: seq/offset must equal the running
+    // token total's chunking, and seq ids never decrease
+    res.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, seq, off, tok) =>
+        assert(seq == cum / cap, s"doc $id: seq $seq != ${cum / cap}")
+        assert(off == cum % cap, s"doc $id: offset $off != ${cum % cap}")
+        cum += tok
+      }
+    }
+  }
+
+  test("quantizeInt8: round-trip error is bounded by one quantization step") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = graft.operators.Vectors.quantizeInt8(emb).collect()
+    assert(res.length == emb.count())
+    res.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      assert(scale >= 0d)
+      // |floor(x/s)*s - x| < s by construction (one step of the grid)
+      assert(err >= 0d && err <= scale + 1e-9, s"err $err exceeds step $scale")
+    }
+  }
+
   test("sampleStratified: exactly min(quota, |stratum|) docs per lang, rank contiguous from 1") {
     val quota = 30
     val res = Pipeline.sampleStratified(docs, quota).collect()
