@@ -59,6 +59,16 @@ object SparkEntry {
     // (rows-only check); the spec bounds its error against q_engagement
     "q_engagement_approx" -> ((s, d) => ChatStats.engagementApprox(ev(s, d))),
     "q_attrition" -> ((s, d) => ChatStats.attrition(ev(s, d))),
+    // incremental-MV maintenance: rollup(old partition) merged with the new
+    // partition must equal the full-scan rollup (the oracle re-scans all)
+    "q_rollup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val e = ev(s, d)
+      val cutoff = to_date(lit("2024-01-20"))
+      EventSemantics.incrementRollup(
+        EventSemantics.userWeeklyActivity(e.filter(col("ts") < cutoff)),
+        e.filter(col("ts") >= cutoff))
+    }),
     "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
     // --- highlights (#5-6) + video-highlight listing (#51) + log QA (#53) ---
     "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
@@ -140,6 +150,9 @@ object SparkEntry {
     "q_user_percentile" -> ChatStats.userPercentileSql,
     "q_engagement" -> ChatStats.engagementSql,
     "q_attrition" -> ChatStats.attritionSql(),
+    // the full-scan rollup IS the oracle: increment(rollup(old), new) must
+    // reproduce it exactly (additive-merge equivalence)
+    "q_rollup_incremental" -> EventSemantics.userWeeklyActivitySql,
     "q_site_stats" -> ChatStats.siteStatsSql,
     "q_funniest_moment" -> Highlights.funniestMomentSql(),
     "q_highlight_velocity" -> Highlights.highlightVelocitySql(),

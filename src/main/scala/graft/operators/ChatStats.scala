@@ -457,7 +457,7 @@ object ChatStats {
     * them active in each subsequent week. The top-K set is a tiny
     * relation -> broadcast to the activity scan.
     */
-  def attrition(events: DataFrame, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame = {
+  def attrition(events: DataFrame, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame =
     // The weekly rollup is consumed three times (week index, baseline
     // top-K, later-weeks presence). The branches prune different columns,
     // so Catalyst canonicalizes them to DIFFERENT exchanges — without a
@@ -467,8 +467,18 @@ object ChatStats {
     // (db/queries.py:179). One fact pass at 100 TB instead of three; the
     // cached relation is |user x channel x week|, orders of magnitude
     // smaller than the raw fact (see README "Cache lifecycle").
-    val act = userWeeklyActivity(events)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    attritionFrom(
+      userWeeklyActivity(events)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      topK, baselineWeeks)
+
+  /** Attrition from an already-materialized weekly rollup — the deploy
+    * seam for a warehouse that maintains the rollup as a TABLE
+    * (EventSemantics.incrementRollup keeps it fresh; Layout.writeBucketed
+    * lays it out): no fact pass at all, the query runs entirely off the
+    * |user × channel × week| relation.
+    */
+  def attritionFrom(act: DataFrame, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame = {
     val weeksOrdered = Window.orderBy(col("week").asc)
     val weekIdx = act.select("week").distinct()
       .withColumn("week_idx", row_number().over(weeksOrdered))

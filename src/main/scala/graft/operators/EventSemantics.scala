@@ -113,6 +113,26 @@ object EventSemantics {
        | COUNT(*) AS messages FROM events WHERE NOT $isGiftSql
        | GROUP BY 1, 2, 3""".stripMargin.replace("\n", "")
 
+  /** Incremental maintenance of the weekly rollup — the reference's
+    * monthly MV refresh (`refresh_membership_data_for_month`,
+    * db/queries.py:120) re-expressed as additive merge: aggregate ONLY the
+    * new event partition, then re-aggregate against the stored rollup.
+    * Counts are additive, so increment(rollup(old), new) ≡ rollup(old ∪
+    * new) at any split — `q_rollup_incremental` proves that equivalence
+    * against the full-scan oracle.
+    *
+    * Scale: the 100 TB history is never re-scanned — the fact pass
+    * touches only the new partition (days, not years, of events); the
+    * merge shuffles |rollup| + |delta| keyed by the rollup key, and on a
+    * warehouse where the stored rollup is bucketed by user_id
+    * (Layout.writeBucketed) the stored side moves through NO exchange.
+    */
+  def incrementRollup(storedRollup: DataFrame, newEvents: DataFrame): DataFrame =
+    storedRollup
+      .unionByName(userWeeklyActivity(newEvents))
+      .groupBy("user_id", "channel", "week")
+      .agg(sum("messages").as("messages"))
+
   /** Deterministic rounding used everywhere a ratio leaves the engine:
     * floor(x * 10^s) / 10^s — no round-half ambiguity between engines.
     */
