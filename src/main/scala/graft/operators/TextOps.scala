@@ -168,6 +168,59 @@ object TextOps {
       | WHEN 2 THEN concat(substr(text, 1, 60), ' ssn 123-45-6789')
       | ELSE substr(text, 1, 60) END""".stripMargin.replace("\n", "")
 
+  // ---- #69 HTML/boilerplate stripping --------------------------------------
+  // Web-corpus cleaning: the synthetic corpus is plain text, so markup is
+  // injected deterministically (identical CASE in the oracle) and then
+  // stripped — tags removed, the four standard entities unescaped,
+  // whitespace collapsed. Pure in-row regex chain: zero shuffle, no UDF.
+  private def synthHtml: Column = {
+    val t = substring(col("text"), 1, 60); val m = col("doc_id") % 4
+    when(m === 0, concat(lit("<html><body><p>"), t, lit("</p><br/><div class=\"x\">footer</div></body></html>")))
+      .when(m === 1, concat(lit("<a href=\"http://example.com?a=1&amp;b=2\">"), t, lit("</a> &lt;3")))
+      .when(m === 2, concat(lit("x &gt; y &amp;&amp; y &lt; z: "), t))
+      .otherwise(t)
+  }
+  private val synthHtmlSql =
+    """CASE doc_id % 4
+      | WHEN 0 THEN concat('<html><body><p>', substr(text, 1, 60), '</p><br/><div class="x">footer</div></body></html>')
+      | WHEN 1 THEN concat('<a href="http://example.com?a=1&amp;b=2">', substr(text, 1, 60), '</a> &lt;3')
+      | WHEN 2 THEN concat('x &gt; y &amp;&amp; y &lt; z: ', substr(text, 1, 60))
+      | ELSE substr(text, 1, 60) END""".stripMargin.replace("\n", "")
+
+  private val tagPat = "<[^>]+>"
+
+  /** #69 strip markup: tag count + cleaned text (tags → space, entities
+    * unescaped, whitespace collapsed, trimmed).
+    */
+  def stripHtmlDocs(documents: DataFrame): DataFrame = {
+    val raw = synthHtml
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(raw, tagPat, " "), "&amp;", "&"),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "\\s+", " "))
+    documents.select(
+      col("doc_id"),
+      regexp_count(raw, lit(tagPat)).cast("long").as("n_tags"),
+      cleaned.as("cleaned"))
+  }
+  val stripHtmlDocsSql: String = {
+    val raw = s"($synthHtmlSql)"
+    val cleaned =
+      s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |regexp_replace(regexp_replace($raw, '$tagPat', ' ', 'g'),
+         | '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+         | '&quot;', '"', 'g'), '\\s+', ' ', 'g'))""".stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all($raw, '$tagPat')) AS BIGINT) AS n_tags,
+       | $cleaned AS cleaned
+       | FROM documents""".stripMargin.replace("\n", "")
+  }
+
   /** #58 PII scrub: count + redact emails/phones/SSNs (SSNs first — the
     * phone pattern would otherwise half-match an SSN).
     */

@@ -83,4 +83,25 @@ class TextFunctionsSpec extends SparkSpec {
       assert(g == want, s"langId('$in') = $g, want $want")
     }
   }
+
+  test("stripHtml removes every tag, unescapes entities, collapses whitespace") {
+    val res = graft.operators.TextOps.stripHtmlDocs(Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(res.nonEmpty)
+    res.foreach { case (id, (nTags, cleaned)) =>
+      assert(!cleaned.contains("<html>") && !cleaned.contains("</p>"),
+        s"doc $id: markup survived: $cleaned")
+      assert(!cleaned.contains("  "), s"doc $id: whitespace not collapsed")
+      id % 4 match {
+        case 0 => assert(nTags == 9, s"doc $id: expected 9 tags, got $nTags")
+        case 1 =>
+          assert(nTags == 2)
+          assert(cleaned.endsWith("<3"), s"doc $id: entity not unescaped: $cleaned")
+        case 2 =>
+          assert(nTags == 0)
+          assert(cleaned.startsWith("x > y && y < z:"), s"doc $id: $cleaned")
+        case _ => assert(nTags == 0)
+      }
+    }
+  }
 }
