@@ -262,48 +262,7 @@ object Dedup {
       import spark.implicits._
       parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "edge_cluster")
     } else {
-      // ---- distributed path: exact min-label propagation ------------------
-      val undirected = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      // The iteration runs ONLY over nodes that appear in the edge list: a
-      // node with no edge keeps cluster_id = doc_id forever, so the
-      // singleton majority is labeled by the final left join instead of
-      // being dragged through every round.
-      val edgeNodes = undirected.select(col("doc_a").as("doc_id")).distinct()
-      // Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
-      // twice per round, so an uncached lineage recomputes earlier
-      // supersteps exponentially — the GraphX/GraphFrames
-      // persist-per-superstep pattern. The loop runs to CONVERGENCE (no
-      // label changed), so the result is the exact component labeling at
-      // any graph diameter; near-dup clusters are near-cliques, so real
-      // corpora converge in ~2 rounds. Convergence is read off a carried
-      // changed-flag column on the already-materialized superstep — no
-      // compare-join against the previous round.
-      var comp = edgeNodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxIterations) {
-        val viaEdge = undirected
-          .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "nb"),
-            Seq("doc_b"))
-          .groupBy(col("doc_a").as("doc_id"))
-          .agg(min("nb").as("nb"))
-        val next = comp.join(viaEdge, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nb"), col("cluster_id"))).as("cluster_id"),
-            (coalesce(col("nb"), col("cluster_id")) < col("cluster_id")).as("chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("chg")).count()
-        comp = next.drop("chg")
-        round += 1
-      }
-      if (changed > 0) {
-        throw new IllegalStateException(
-          s"dedupClusters did not converge within $maxIterations rounds " +
-            s"($changed labels still changing) — component diameter exceeds the cap; " +
-            "raise maxIterations rather than returning approximate clusters")
-      }
-      comp.withColumnRenamed("cluster_id", "edge_cluster")
+      minLabelComponents(pairs, maxIterations).withColumnRenamed("cluster_id", "edge_cluster")
     }
     // small path: labels fit on the driver by construction -> broadcast;
     // distributed path: the label relation can be large -> let AQE decide
@@ -313,6 +272,82 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
       .withColumn("is_survivor", col("cluster_id") === col("doc_id"))
+  }
+
+  /** Exact distributed connected components by accelerated min-label
+    * propagation over a directed pair list (made undirected internally).
+    * Returns (doc_id, cluster_id = component-min doc_id) for every node
+    * that appears in an edge; edgeless nodes are the caller's (they keep
+    * their own id — see dedupClusters' final left join).
+    *
+    * Each round relaxes BOTH one edge hop (min over neighbours' labels)
+    * and one POINTER JUMP (my label's current label — shortcutting, as in
+    * hash-to-min / large-star algorithms): label chains halve every round,
+    * so convergence is O(log diameter) rounds instead of O(diameter) —
+    * on a path graph of 64 nodes, 8 rounds instead of 63, i.e. ~8 shuffle
+    * stages saved per extra hop of diameter at 100 TB. Near-dup clusters
+    * are near-cliques (diameter ~2), so the jump costs one extra keyed
+    * join per round and buys insurance against chain-shaped components
+    * (e.g. drifting near-dup chains A~B~C where A!~C).
+    *
+    * Exactness: when a round changes nothing, in particular the edge
+    * relaxation changed nothing, so labels are constant across every edge
+    * → each component is uniformly labeled with its minimum id (the min
+    * seeds itself). The pointer jump only ever proposes labels of
+    * component members, so it cannot escape the component. The loop runs
+    * to CONVERGENCE and THROWS if the iteration cap is hit — never a
+    * silent approximation.
+    *
+    * Each superstep is MATERIALIZED (localCheckpoint): comp is referenced
+    * three times per round, and an uncached lineage recomputes earlier
+    * supersteps exponentially (GraphX's persist-per-superstep pattern).
+    * Convergence is read off a carried changed-flag on the materialized
+    * superstep — no compare-join against the previous round. The jump
+    * join's key (the current label) grows hot as components coalesce —
+    * that skew is AQE's skew-join case, and the relation is |V(edges)|,
+    * orders below the corpus.
+    */
+  private[graft] def minLabelComponents(pairs: DataFrame, maxIterations: Int): DataFrame = {
+    val undirected = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Only nodes that appear in an edge enter the loop: the singleton
+    // majority never pays a superstep.
+    val edgeNodes = undirected.select(col("doc_a").as("doc_id")).distinct()
+    var comp = edgeNodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxIterations) {
+      val viaEdge = undirected
+        .join(comp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "nb"),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nb").as("nb"))
+      // distinct names throughout (jkey/ll/next_id/prev_id): aliasing a
+      // column to an existing name inside a select invites lateral-alias
+      // capture (SURVEY §9 lesson) — never shadow here
+      val viaJump = comp
+        .select(col("doc_id").as("jkey"), col("cluster_id").as("ll"))
+      val next = comp
+        .join(viaEdge, Seq("doc_id"), "left")
+        .join(viaJump, col("cluster_id") === col("jkey"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev_id"),
+          least(col("cluster_id"),
+            coalesce(col("nb"), col("cluster_id")),
+            coalesce(col("ll"), col("cluster_id"))).as("next_id"))
+        .select(col("doc_id"), col("next_id").as("cluster_id"),
+          (col("next_id") < col("prev_id")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      comp = next.drop("chg")
+      round += 1
+    }
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"minLabelComponents did not converge within $maxIterations rounds " +
+          s"($changed labels still changing) — raise maxIterations rather than " +
+          "returning approximate clusters")
+    }
+    comp
   }
 
   def dedupClustersSql(k: Int = 3, minJaccard: Double = 0.7): String =

@@ -61,6 +61,23 @@ class DedupVectorsSpec extends SparkSpec {
     assert(dist.exceptAll(small).count() == 0)
   }
 
+  test("minLabelComponents: pointer jumping converges on a 64-chain well under its diameter") {
+    val s = spark
+    import s.implicits._
+    // path graph 0-1-...-63 (diameter 63) + a separate 3-chain: ONE-hop
+    // min-label propagation needs 63 rounds to flood the min to the far
+    // end; the pointer jump doubles the closed distance per round, so 12
+    // rounds must suffice (it throws on non-convergence, so a cap this
+    // low IS the acceleration assertion)
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.minLabelComponents(pairs, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(labels(_) == 0L), "chain must collapse to min id 0")
+    assert((100L to 102L).forall(labels(_) == 100L), "second component keeps its own min")
+    assert(labels.size == 67)
+  }
+
   test("dedup clusters: planted copies join their source's cluster, source survives") {
     val comp = Dedup.dedupClusters(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
