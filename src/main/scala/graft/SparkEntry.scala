@@ -111,6 +111,8 @@ object SparkEntry {
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
+    "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
+    "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
@@ -188,6 +190,8 @@ object SparkEntry {
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     "p_pack" -> Pipeline.packSequencesSql(),
+    "p_unigram_nll" -> Pipeline.unigramNllSql,
+    "p_top_terms" -> Pipeline.topTermsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),

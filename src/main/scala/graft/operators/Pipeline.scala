@@ -231,6 +231,81 @@ object Pipeline {
         col("n_tokens"))
   }
 
+  // ---- #70 unigram LM scoring ----------------------------------------------
+  /** Mean per-token negative log-likelihood under the corpus's own unigram
+    * model (add-one smoothing) — the cheap stand-in for the LM-perplexity
+    * quality filter of a CCNet-style pipeline: gibberish and off-corpus
+    * docs score high, fluent in-domain docs score low.
+    *
+    * Scale shape: the vocab (term → count) is a rollup orders below the
+    * corpus; scoring joins occurrences to vocab keyed by term (hot
+    * stopword keys are exactly what partial aggregation absorbs — the
+    * occurrence side is pre-counted per (doc, term) first, so the join
+    * multiplicity per term is |docs containing it|, never raw occurrence
+    * count), then one partial-agg shuffle keyed by doc_id.
+    */
+  def unigramNll(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    // pre-count per (doc, term): the vocab join then moves one row per
+    // distinct (doc, term), not one per occurrence
+    val dt = words.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val vocab = dt.groupBy("term").agg(sum("n").as("freq"))
+    val scalars = vocab.agg(sum("freq").as("total"), count(lit(1)).as("v_size"))
+    dt
+      .join(vocab, "term")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").cast("long").as("n_tokens"),
+        (sum(col("n").cast("double") *
+          -log((col("freq").cast("double") + 1d) / (col("total").cast("double") + col("v_size").cast("double"))))
+          / sum(col("n")).cast("double")).as("raw_nll"))
+      .select(col("doc_id"), col("n_tokens"), fl(col("raw_nll"), 4).as("mean_nll"))
+  }
+
+  val unigramNllSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  FROM documents),
+       | dt AS (SELECT doc_id, term, COUNT(*) AS n FROM words WHERE length(term) > 0 GROUP BY 1, 2),
+       | vocab AS (SELECT term, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY 1),
+       | sc AS (SELECT CAST(SUM(freq) AS BIGINT) AS total, COUNT(*) AS v_size FROM vocab)
+       | SELECT dt.doc_id, CAST(SUM(dt.n) AS BIGINT) AS n_tokens,
+       |  ${flSql("SUM(CAST(dt.n AS DOUBLE) * -ln((CAST(v.freq AS DOUBLE) + 1) / (CAST(sc.total AS DOUBLE) + CAST(sc.v_size AS DOUBLE)))) / CAST(SUM(dt.n) AS DOUBLE)", 4)} AS mean_nll
+       | FROM dt JOIN vocab v ON dt.term = v.term CROSS JOIN sc
+       | GROUP BY 1""".stripMargin.replace("\n", "")
+
+  // ---- #71 corpus term statistics ------------------------------------------
+  /** Top-k most frequent terms per language — the corpus-reporting query
+    * every data build runs. Spark's WindowGroupLimit pushes the rank
+    * filter below the exchange (partial top-k per map task), so the
+    * shuffle carries at most k rows per (lang, task).
+    */
+  def topTerms(documents: DataFrame, k: Int = 10): DataFrame = {
+    val terms = documents
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("term").asc)
+    terms
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .select("lang", "pos", "term", "freq")
+  }
+
+  def topTermsSql(k: Int = 10): String =
+    s"""WITH terms AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  FROM documents),
+       | tf AS (SELECT lang, term, COUNT(*) AS freq FROM terms WHERE length(term) > 0 GROUP BY 1, 2)
+       | SELECT lang, pos, term, freq FROM (
+       |  SELECT lang, term, freq,
+       |   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, term ASC) AS pos
+       |  FROM tf)
+       | WHERE pos <= $k""".stripMargin.replace("\n", "")
+
   def packSequencesSql(capacity: Long = 512L, nShards: Int = 32): String =
     s"""WITH t AS (
        |  SELECT doc_id, doc_id % $nShards AS shard,

@@ -94,6 +94,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("unigramNll: every doc scored, positive nll, token counts match the tokenizer") {
+    val res = Pipeline.unigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.size == docs.count())
+    res.foreach { case (id, (n, nll)) =>
+      assert(n > 0, s"doc $id has no tokens")
+      assert(nll > 0d, s"doc $id: nll must be positive under add-one smoothing")
+    }
+    // a doc made of corpus-frequent words must score lower than the max —
+    // sanity that the model differentiates at all
+    assert(res.values.map(_._2).toSet.size > 1, "nll must not be constant")
+  }
+
+  test("topTerms: contiguous ranks per lang, frequencies non-increasing") {
+    val res = Pipeline.topTerms(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byLang = res.groupBy(_._1)
+    assert(byLang.keySet == docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq, s"$lang ranks not contiguous")
+      sorted.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (a, b) = (pair(0), pair(1))
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"$lang order violated at ${b._2}")
+        }
+      }
+    }
+  }
+
   test("sampleStratified: exactly min(quota, |stratum|) docs per lang, rank contiguous from 1") {
     val quota = 30
     val res = Pipeline.sampleStratified(docs, quota).collect()
