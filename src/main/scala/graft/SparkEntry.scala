@@ -110,6 +110,7 @@ object SparkEntry {
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
+    "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
@@ -189,6 +190,7 @@ object SparkEntry {
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
+    "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
     "p_pack" -> Pipeline.packSequencesSql(),
     "p_unigram_nll" -> Pipeline.unigramNllSql,
     "p_top_terms" -> Pipeline.topTermsSql(),

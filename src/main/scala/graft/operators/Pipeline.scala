@@ -203,6 +203,34 @@ object Pipeline {
        |  FROM documents)
        | WHERE pos <= $quota""".stripMargin.replace("\n", "")
 
+  /** Threshold-sampling variant of [[sampleStratified]] for quotas too
+    * large for an exact per-stratum rank: keep a doc when its hash falls
+    * below quota/|stratum| of the hash range — one broadcast of per-lang
+    * counts and an in-row filter, NO window and NO sort at any stratum
+    * size. The sample size is binomial around the quota (exact-k needs
+    * the rank path); the cut is deterministic, so re-runs and resumption
+    * agree row-for-row.
+    */
+  def sampleThreshold(documents: DataFrame, quota: Long = 30L): DataFrame = {
+    val HASH_MAX = (1L << 60).toDouble // md5Id yields 60-bit non-negative ids
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    documents
+      .join(broadcast(counts), "lang")
+      .select(col("lang"), col("doc_id"), md5Id(col("doc_id").cast("string")).as("h"),
+        (least(lit(quota).cast("double") / col("n_lang").cast("double"), lit(1d)) * HASH_MAX).as("thr"))
+      .filter(col("h") < col("thr"))
+      .select("lang", "doc_id")
+  }
+
+  def sampleThresholdSql(quota: Long = 30L): String = {
+    val hashMax = (1L << 60).toDouble
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
+       | SELECT d.lang, d.doc_id
+       | FROM documents d JOIN counts c ON d.lang = c.lang
+       | WHERE ${md5IdSql("CAST(d.doc_id AS VARCHAR)")} <
+       |  least(CAST($quota AS DOUBLE) / CAST(c.n_lang AS DOUBLE), 1.0) * $hashMax""".stripMargin.replace("\n", "")
+  }
+
   // ---- #66 sequence packing ------------------------------------------------
   /** Pack documents into fixed-token-capacity training sequences — the
     * context-assembly step of a pre-training data build. Documents are

@@ -33,11 +33,15 @@ object Similarity {
         .select(col("user_id"), col("channel"), col("week"), col("messages"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Cosine similarity from an already-materialized weekly rollup `w` —
-    * lets callers (clusteringCommunities) share one rollup across every
-    * consumer instead of building a second identical relation.
+  /** Cosine similarity from an already-materialized weekly rollup `w`
+    * (user_id, channel, week, messages) — the deploy seam for a warehouse
+    * that maintains the rollup as a TABLE (EventSemantics.incrementRollup
+    * keeps it fresh): bucketed by user_id (Layout.writeBucketed), the
+    * pair self-join runs with no input exchange (LayoutSpec pins this).
+    * Also shares one rollup across consumers in-session
+    * (clusteringCommunities).
     */
-  private[operators] def channelSimilarityFrom(w: DataFrame): DataFrame = {
+  def channelSimilarityFrom(w: DataFrame): DataFrame = {
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.week") === col("b.week") &&

@@ -40,6 +40,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("channelSimilarity over a bucketed MV table avoids the self-join shuffle") {
+    val w = EventSemantics.userWeeklyActivity(Tables.events(spark, sfDir))
+      .select("user_id", "channel", "week", "messages")
+    Layout.writeBucketed(w, "ucw_sim_mv", "user_id", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val viaBucketed = graft.operators.Similarity.channelSimilarityFrom(spark.table("ucw_sim_mv"))
+      val plan = viaBucketed.queryExecution.executedPlan.toString
+      val joinInputShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      assert(joinInputShuffles == 0,
+        s"bucketed similarity self-join still shuffles its inputs:\n$plan")
+      val viaEvents = graft.operators.Similarity.channelSimilarity(Tables.events(spark, sfDir))
+      assert(viaBucketed.exceptAll(viaEvents).count() == 0)
+      assert(viaEvents.exceptAll(viaBucketed).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (50 * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+      spark.sql("DROP TABLE IF EXISTS ucw_sim_mv")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bucketed-by-key join is exchange-free; unbucketed join shuffles") {
     val act = EventSemantics.userWeeklyActivity(Tables.events(spark, sfDir))
     Layout.writeBucketed(act, "act_bucketed_a", "user_id", 4)

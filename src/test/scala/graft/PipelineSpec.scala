@@ -94,6 +94,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sampleThreshold: deterministic, per-lang size binomial around the quota") {
+    val a = Pipeline.sampleThreshold(docs, 30L).collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = Pipeline.sampleThreshold(docs, 30L).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSet == b.toSet, "threshold sampling must be deterministic")
+    val perLang = a.groupBy(_._1).view.mapValues(_.length).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(perLang.keySet.subsetOf(langs))
+    perLang.foreach { case (lang, n) =>
+      // binomial around quota=30: a generous ±3σ band still catches a
+      // broken threshold (0 or everything)
+      assert(n > 5 && n < 60, s"$lang sampled $n docs, expected ~30")
+    }
+  }
+
   test("unigramNll: every doc scored, positive nll, token counts match the tokenizer") {
     val res = Pipeline.unigramNll(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
