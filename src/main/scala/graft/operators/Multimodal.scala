@@ -69,6 +69,74 @@ object Multimodal {
       .select(col("doc_id"), col("format"), col("frame_idx"),
         col("blob").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
 
+  // ---- real codec round-trip (#73) -----------------------------------------
+  case class ImageIn(doc_id: Long, png: Array[Byte])
+  case class ImageFeat(doc_id: Long, width: Int, height: Int,
+                       mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic pixel value for (doc, x, y) — shared by the encoder and
+    * the round-trip spec.
+    */
+  private[graft] def pixelRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((docId * 17 + x * 3 + y * 5) % 256).toInt
+    val b = ((docId * 29 + x * 11 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Synthesize a REAL PNG binary column — 8×8 RGB images encoded with the
+    * JDK's ImageIO (no external codec libraries needed). This is the
+    * ingest-side twin of [[imageDecode]]: together they are a genuine
+    * encode → binary column → decode round-trip, not a stub.
+    */
+  def imageTable(documents: DataFrame, w: Int = 8, h: Int = 8): DataFrame = {
+    val ds = documents.select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, pixelRgb(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageIn(id, bos.toByteArray)
+      }
+    }(Encoders.product[ImageIn]).toDF()
+  }
+
+  /** REAL decode: `ImageIO.read` over the binary column through the same
+    * typed `mapPartitions` boundary the stub uses — per-row codec work,
+    * partition-preserving, zero shuffle; a third-party decoder (JNI,
+    * TurboJPEG, ffmpeg) plugs into this exact seam. Emits dimensions +
+    * per-channel means (the normalization statistics a training pipeline
+    * extracts).
+    */
+  def imageDecode(documents: DataFrame): DataFrame = {
+    val ds: Dataset[ImageIn] = imageTable(documents).as(Encoders.product[ImageIn])
+    ds.mapPartitions { rows =>
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        ImageFeat(m.doc_id, w, h, sr / n, sg / n, sb / n)
+      }
+    }(Encoders.product[ImageFeat]).toDF()
+  }
+
   /** Resize-shaped stub through the same typed boundary: deterministic
     * center-crop/pad of the payload to `targetBytes` standing in for a
     * pixel resize (the batch shape — iterator of typed rows in, iterator

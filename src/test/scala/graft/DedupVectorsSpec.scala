@@ -123,6 +123,25 @@ class DedupVectorsSpec extends SparkSpec {
     assert(a.forall(_.getInt(4) == 16))
   }
 
+  test("multimodal: PNG encode -> decode round-trip recovers exact pixels and dimensions") {
+    val feats = Multimodal.imageDecode(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(feats.size == docs.count())
+    feats.foreach { case (id, (w, h, mr, mg, mb)) =>
+      assert(w == 8 && h == 8, s"doc $id: decoded dims $w x $h")
+      // PNG is lossless: per-channel means must equal the synthesized
+      // pixels' means exactly
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val p = Multimodal.pixelRgb(id, x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      assert(mr == sr / 64d && mg == sg / 64d && mb == sb / 64d,
+        s"doc $id: decoded channel means diverge from the synthesized image")
+    }
+  }
+
   test("multimodal: frame sampling emits every stride-th fixed-size frame") {
     val frames = Multimodal.frameSample(docs, frameBytes = 4, stride = 2).collect()
     // 16-byte blobs, 4-byte frames, stride 2 -> frames 0 and 2 per doc
