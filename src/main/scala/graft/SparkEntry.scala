@@ -119,8 +119,9 @@ object SparkEntry {
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
-    // real JDK-ImageIO PNG round-trip — engine-side codec, no SQL oracle
+    // real JDK codec round-trips (ImageIO PNG, javax.sound WAV) — no SQL oracle
     "m_image_decode" -> ((s, d) => Multimodal.imageDecode(docs(s, d))),
+    "m_audio_decode" -> ((s, d) => Multimodal.audioDecode(docs(s, d))),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
     "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d))),

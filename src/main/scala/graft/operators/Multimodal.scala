@@ -137,6 +137,74 @@ object Multimodal {
     }(Encoders.product[ImageFeat]).toDF()
   }
 
+  // ---- real audio round-trip (#74) -----------------------------------------
+  case class AudioIn(doc_id: Long, wav: Array[Byte])
+  case class AudioFeat(doc_id: Long, sample_rate: Int, channels: Int,
+                       n_samples: Int, rms: Double, peak: Int)
+
+  private val SAMPLE_RATE = 8000f
+  private val N_SAMPLES = 64
+
+  /** Deterministic 16-bit PCM sample for (doc, i) — shared by the encoder
+    * and the round-trip spec.
+    */
+  private[graft] def pcmSample(docId: Long, i: Int): Short =
+    (((docId * 37 + i.toLong * 911) % 65536L) - 32768L).toShort
+
+  /** Synthesize a REAL WAV binary column — 16-bit mono PCM encoded with
+    * the JDK's javax.sound.sampled (no external codec libraries). The
+    * audio twin of [[imageTable]].
+    */
+  def audioTable(documents: DataFrame): DataFrame = {
+    val ds = documents.select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(SAMPLE_RATE, 16, 1, true, false)
+      ids.map { id =>
+        val pcm = new Array[Byte](N_SAMPLES * 2)
+        var i = 0
+        while (i < N_SAMPLES) {
+          val s = pcmSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, N_SAMPLES.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioIn(id, bos.toByteArray)
+      }
+    }(Encoders.product[AudioIn]).toDF()
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` over the binary column
+    * through the typed boundary — emits format metadata + RMS/peak (the
+    * loudness statistics an audio-filtering pipeline extracts).
+    */
+  def audioDecode(documents: DataFrame): DataFrame = {
+    val ds: Dataset[AudioIn] = audioTable(documents).as(Encoders.product[AudioIn])
+    ds.mapPartitions { rows =>
+      rows.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.wav))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var (sumSq, peak) = (0d, 0)
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          sumSq += s.toDouble * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        AudioFeat(a.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+          if (n == 0) 0d else math.sqrt(sumSq / n), peak)
+      }
+    }(Encoders.product[AudioFeat]).toDF()
+  }
+
   /** Resize-shaped stub through the same typed boundary: deterministic
     * center-crop/pad of the payload to `targetBytes` standing in for a
     * pixel resize (the batch shape — iterator of typed rows in, iterator

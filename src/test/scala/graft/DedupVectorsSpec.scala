@@ -142,6 +142,25 @@ class DedupVectorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: WAV encode -> decode round-trip recovers format and exact PCM statistics") {
+    val feats = Multimodal.audioDecode(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+    assert(feats.size == docs.count())
+    feats.foreach { case (id, (rate, ch, n, rms, peak)) =>
+      assert(rate == 8000 && ch == 1 && n == 64, s"doc $id: format $rate/$ch/$n")
+      // WAV PCM is lossless: recompute RMS/peak from the synthesized samples
+      var (sumSq, expPeak) = (0d, 0)
+      for (i <- 0 until 64) {
+        val s = Multimodal.pcmSample(id, i).toInt
+        sumSq += s.toDouble * s
+        if (math.abs(s) > expPeak) expPeak = math.abs(s)
+      }
+      assert(rms == math.sqrt(sumSq / 64) && peak == expPeak,
+        s"doc $id: decoded PCM statistics diverge")
+    }
+  }
+
   test("multimodal: frame sampling emits every stride-th fixed-size frame") {
     val frames = Multimodal.frameSample(docs, frameBytes = 4, stride = 2).collect()
     // 16-byte blobs, 4-byte frames, stride 2 -> frames 0 and 2 per doc
