@@ -125,7 +125,8 @@ object SparkEntry {
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
     "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d))),
-    "s_stream_velocity" -> ((s, d) => graft.streaming.VelocityStream.bursts(ev(s, d)))
+    "s_stream_velocity" -> ((s, d) => graft.streaming.VelocityStream.bursts(ev(s, d))),
+    "s_sessionize_gap" -> ((s, d) => graft.streaming.EventStream.gapSessions(ev(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -202,7 +203,8 @@ object SparkEntry {
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
     "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,
-    "s_stream_velocity" -> graft.streaming.VelocityStream.burstsSql()
+    "s_stream_velocity" -> graft.streaming.VelocityStream.burstsSql(),
+    "s_sessionize_gap" -> graft.streaming.EventStream.gapSessionsSql()
   )
 
   private val languageStatsSql: String =

@@ -46,4 +46,42 @@ object EventStream {
        | event_type AS channel, COUNT(*) AS n_events,
        | COUNT(DISTINCT user_id) AS n_users
        | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
+  /** GAP-based sessionization per user — Spark's native `session_window`
+    * (dynamic windows that extend `gap` past each event and merge while
+    * they overlap), the operator behind "user session" analytics. In
+    * streaming mode the state store holds one open session per active
+    * user, closed and emitted when the watermark passes session end; in
+    * batch mode the same expression is the oracle-checked twin.
+    *
+    * Scale: state is ONE (start, end, count) triple per user with an open
+    * session — bounded by active users inside the gap horizon, not event
+    * volume. Merge semantics: a new event joins the session when its time
+    * is strictly less than previous end (= prev ts + gap), so the oracle's
+    * LAG formulation breaks sessions on diff >= gap.
+    */
+  def gapSessions(events: DataFrame, gap: String = "30 minutes",
+                  watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+  }
+
+  def gapSessionsSql(gapSeconds: Long = 1800L): String =
+    s"""WITH lagd AS (
+       |  SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |  FROM events),
+       | flag AS (
+       |  SELECT user_id, ts,
+       |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= $gapSeconds THEN 1 ELSE 0 END AS new_s
+       |  FROM lagd),
+       | sid AS (
+       |  SELECT user_id, ts,
+       |   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flag)
+       | SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       |  COUNT(*) AS n_events
+       | FROM sid GROUP BY user_id, sid""".stripMargin.replace("\n", "")
 }

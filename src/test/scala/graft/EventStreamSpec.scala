@@ -81,6 +81,43 @@ class EventStreamSpec extends SparkSpec {
       "late row leaked into the finalized window")
   }
 
+  test("gap sessions: streaming session_window matches the batch twin, merging across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val t0 = 1704067200000L
+    def at(minutes: Long, id: Long, user: Long) =
+      Ev(id, user, "ch0", new Timestamp(t0 + minutes * 60000L), 0d)
+
+    // user 1: events at 0, 10, 20 min (one session), then 120 min (new
+    // session); user 2: single event
+    val batch1 = Seq(at(0, 1, 1), at(10, 2, 1), at(20, 3, 1), at(5, 4, 2))
+    val batch2 = Seq(at(29, 5, 1), at(120, 6, 1), at(600, 99, 1)) // 29min MERGES into the open session
+
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.EventStream.gapSessions(stream.toDF(), gap = "30 minutes",
+      watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    val streamed = s.table("gap_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    q.stop()
+
+    val batch = graft.streaming.EventStream.gapSessions((batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // every session the stream finalized must match the batch computation
+    assert(streamed.subsetOf(batch), s"streamed $streamed not in batch $batch")
+    // the cross-batch merge: user 1's first session must count 4 events
+    // (0,10,20 from batch 1 + 29 from batch 2)
+    assert(streamed.contains((1L, new Timestamp(t0), 4L)),
+      s"open session did not absorb the next batch's in-gap event: $streamed")
+  }
+
   test("exact batch twin agrees with streaming twin on counts") {
     val s = spark
     import s.implicits._
