@@ -112,6 +112,7 @@ object SparkEntry {
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
+    "p_corpus_build" -> ((s, d) => Pipeline.corpusBuild(docs(s, d))),
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
@@ -196,6 +197,7 @@ object SparkEntry {
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
     "p_pack" -> Pipeline.packSequencesSql(),
+    "p_corpus_build" -> Pipeline.corpusBuildSql(),
     "p_unigram_nll" -> Pipeline.unigramNllSql,
     "p_top_terms" -> Pipeline.topTermsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,

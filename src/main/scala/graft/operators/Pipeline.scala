@@ -334,6 +334,67 @@ object Pipeline {
        |  FROM tf)
        | WHERE pos <= $k""".stripMargin.replace("\n", "")
 
+  // ---- #76 end-to-end corpus build -----------------------------------------
+  /** The capstone composition: clean → quality-filter → exact-dedup →
+    * sequence-pack as ONE declarative plan — the whole corpus-prep
+    * pipeline Catalyst can see end to end (filter pushdown through every
+    * stage, one window per shard, one dedup shuffle keyed by content
+    * hash). Emits, per surviving document: its shard, packed sequence id
+    * and offset, token count, and quality score.
+    *
+    * At 100 TB this is the point of the library: the stages do NOT
+    * materialize between steps — quality filtering prunes before the
+    * dedup shuffle, dedup prunes before packing, and the only exchanges
+    * are the content-hash groupBy and the per-shard pack window.
+    */
+  def corpusBuild(documents: DataFrame, minQuality: Double = 0.5,
+                  capacity: Long = 512L, nShards: Int = 32): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = documents.select(
+      col("doc_id"),
+      lower(trim(col("text"))).as("clean"),
+      fl(TextFunctions.qualityScore(col("text")), 4).as("quality"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val sur = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("clean"), 256)).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sur
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        col("n_tokens"), col("quality"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before DIV $capacity").as("seq_id"),
+        (col("cum_before") % capacity).as("offset"),
+        col("n_tokens"), col("quality"))
+  }
+
+  def corpusBuildSql(minQuality: Double = 0.5, capacity: Long = 512L, nShards: Int = 32): String = {
+    import graft.functions.TextFunctions
+    s"""WITH scored AS (
+       |  SELECT doc_id, lower(trim(text)) AS clean,
+       |   ${flSql(TextFunctions.qualityScoreSql("text"), 4)} AS quality,
+       |   CAST(${TextFunctions.bpeTokenCountSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       | kept AS (SELECT * FROM scored WHERE quality >= $minQuality),
+       | sur AS (
+       |  SELECT * FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(clean) ORDER BY doc_id) AS rn
+       |   FROM kept)
+       |  WHERE rn = 1),
+       | c AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard, n_tokens, quality,
+       |   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % $nShards ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM sur)
+       | SELECT doc_id, shard, cum_before // $capacity AS seq_id,
+       |  cum_before % $capacity AS offset, n_tokens, quality
+       | FROM c""".stripMargin.replace("\n", "")
+  }
+
   def packSequencesSql(capacity: Long = 512L, nShards: Int = 32): String =
     s"""WITH t AS (
        |  SELECT doc_id, doc_id % $nShards AS shard,

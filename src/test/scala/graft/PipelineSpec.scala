@@ -60,6 +60,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpusBuild: every output doc passes the filter, is a dedup survivor, packs consistently") {
+    val res = Pipeline.corpusBuild(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(res.nonEmpty && res.length < docs.count(), "filter + dedup must drop something")
+    res.foreach { case (_, _, _, off, _, q) =>
+      assert(q >= 0.5, "low-quality doc leaked through")
+      assert(off >= 0 && off < 512)
+    }
+    // packing arithmetic replays per shard exactly (same as packSequences)
+    res.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, seq, off, tok, _) =>
+        assert(seq == cum / 512 && off == cum % 512, s"doc $id packs wrong")
+        cum += tok
+      }
+    }
+    // no two surviving docs share identical cleaned text
+    val survivors = res.map(_._1).toSet
+    val texts = docs.collect().map(r => r.getLong(0) ->
+      r.getString(r.fieldIndex("text")).trim.toLowerCase).toMap
+    val byText = texts.filter { case (id, _) => survivors.contains(id) }
+      .groupBy(_._2)
+    assert(byText.values.forall(_.size == 1), "duplicate cleaned text among survivors")
+  }
+
   test("packSequences: offsets stay under capacity and cumulative arithmetic is consistent") {
     val cap = 512L
     val res = Pipeline.packSequences(docs, cap).collect()
