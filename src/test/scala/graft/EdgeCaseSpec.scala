@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Degenerate-input robustness: empty relations and pathological documents
+  * must flow through every operator family without throwing — the oracle
+  * gate never exercises these, but a 100 TB run WILL contain an empty
+  * partition, an empty document, and a whitespace-only document.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val emptyEvents = Tables.events(spark, sfDir).limit(0)
+  private lazy val emptyDocs = Tables.documents(spark, sfDir).limit(0)
+
+  private lazy val weirdDocs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "", "en", "src0"),
+      (2L, "   ", "en", "src0"),
+      (3L, "x", "de", "src1"),
+      (4L, "one two", "fr", "src1"),
+      (5L, "\tword\n\nword\t ", "es", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("rollup-family operators return zero rows on empty events") {
+    assert(EventSemantics.userWeeklyActivity(emptyEvents).count() == 0)
+    assert(ChatStats.leaderboard(emptyEvents).count() == 0)
+    assert(ChatStats.engagement(emptyEvents).count() == 0)
+    assert(ChatStats.membershipSummary(emptyEvents).count() == 0)
+    assert(ChatStats.attrition(emptyEvents).count() == 0)
+    assert(Similarity.channelSimilarity(emptyEvents).count() == 0)
+    assert(Similarity.clusteringCommunities(emptyEvents).count() == 0)
+  }
+
+  test("dedup suite survives an empty corpus") {
+    assert(Dedup.dedupExact(emptyDocs).count() == 0)
+    assert(Dedup.dedupMinhash(emptyDocs).count() == 0)
+    assert(Dedup.dedupSimhash(emptyDocs).count() == 0)
+    assert(Dedup.dedupClusters(emptyDocs).count() == 0)
+  }
+
+  test("pipeline ops survive an empty corpus") {
+    assert(Pipeline.decontaminate(emptyDocs).count() == 0)
+    assert(Pipeline.repetitionScore(emptyDocs).count() == 0)
+    assert(Pipeline.sampleStratified(emptyDocs).count() == 0)
+    assert(Pipeline.packSequences(emptyDocs).count() == 0)
+    assert(Pipeline.unigramNll(emptyDocs).count() == 0)
+    assert(Pipeline.corpusBuild(emptyDocs).count() == 0)
+  }
+
+  test("text + pipeline ops handle empty/whitespace/single-char documents") {
+    // every doc must come back scored, no exceptions, no NaN/nulls in
+    // non-null columns
+    val rep = Pipeline.repetitionScore(weirdDocs).collect()
+    assert(rep.length == 5)
+    rep.foreach(r => assert(!r.anyNull && !r.getDouble(3).isNaN))
+
+    val qual = TextOps.qualityDocs(weirdDocs).collect()
+    assert(qual.length == 5)
+    qual.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+
+    val pack = Pipeline.packSequences(weirdDocs).collect()
+    assert(pack.length == 5)
+
+    val decon = Pipeline.decontaminate(weirdDocs).collect()
+    assert(decon.length == 5)
+    decon.foreach(r => assert(!r.getBoolean(2) || r.getLong(1) > 0))
+
+    // dedup input canonicalizes "" and "   " to the same empty text —
+    // they must form one exact-dup group, not crash the shingle pipeline
+    val exact = Dedup.dedupExact(weirdDocs).collect()
+    assert(exact.nonEmpty)
+    val mh = Dedup.dedupMinhash(weirdDocs)
+    assert(mh.count() >= 0) // must evaluate; too-short docs simply have no shingles
+  }
+
+  test("unigramNll on whitespace-only corpus yields no rows rather than dividing by zero") {
+    val s = spark
+    import s.implicits._
+    val blank = Seq((1L, "", "en", "s"), (2L, "  \t ", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Pipeline.unigramNll(blank).count() == 0)
+  }
+}
