@@ -78,11 +78,21 @@ object Similarity {
     * weights), excluding channels where the user already has > 3 messages,
     * top-10, log-dampened 0-100 score.
     */
-  def recommend(events: DataFrame, userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): DataFrame = {
-    // five consumers (both dot sides, norms, the user's own channels twice)
-    val w = EventSemantics.userWeeklyActivity(events)
-      .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def recommend(events: DataFrame, userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): DataFrame =
+    recommendFrom(
+      EventSemantics.userWeeklyActivity(events)
+        .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      userId, exclThreshold, k)
+
+  /** Recommendations from an already-materialized full-period weight
+    * rollup `w` (user_id, channel, weight) — the deploy seam for a
+    * warehouse that maintains this table (derivable from the weekly MV by
+    * one aggregation, so `incrementRollup` keeps it one step away).
+    * Consumed five times (both dot sides, norms, the user's channels
+    * twice), hence the persist in [[recommend]].
+    */
+  def recommendFrom(w: DataFrame, userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): DataFrame = {
     val dots = w.as("a").join(w.as("b"), col("a.user_id") === col("b.user_id"))
       .groupBy(col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
       .agg(sum(col("a.weight") * col("b.weight")).as("dot"))
