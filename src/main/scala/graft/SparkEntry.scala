@@ -91,6 +91,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
+    "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(docs(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -113,6 +114,7 @@ object SparkEntry {
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "p_corpus_build" -> ((s, d) => Pipeline.corpusBuild(docs(s, d))),
+    "p_token_percentiles" -> ((s, d) => Pipeline.tokenPercentiles(docs(s, d))),
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
@@ -179,6 +181,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d_embed_neardup" -> Dedup.embedNearDupSql(),
     "d_dedup_clusters" -> Dedup.dedupClustersSql(),
+    "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),
@@ -198,6 +201,7 @@ object SparkEntry {
     "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
     "p_pack" -> Pipeline.packSequencesSql(),
     "p_corpus_build" -> Pipeline.corpusBuildSql(),
+    "p_token_percentiles" -> Pipeline.tokenPercentilesSql,
     "p_unigram_nll" -> Pipeline.unigramNllSql,
     "p_top_terms" -> Pipeline.topTermsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,

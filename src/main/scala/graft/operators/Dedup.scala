@@ -363,6 +363,44 @@ object Dedup {
        |  (MIN(r) = doc_id) AS is_survivor
        | FROM reach GROUP BY 1""".stripMargin.replace("\n", "")
 
+  // ---- #77 incremental (delta) exact dedup ---------------------------------
+  /** Exact dedup of a NEW ingestion partition against the already-stored
+    * corpus — the batch twin of `DedupStream`: drop a new doc when its
+    * content hash already exists in the store, and dedup within the delta
+    * itself (min doc_id survives). The delta split is doc_id < cutoff =
+    * stored, >= cutoff = new (ids are ingestion-ordered in the testdata).
+    *
+    * Scale: only the HASH column of the stored corpus moves — 32 bytes
+    * per stored doc through one anti-join keyed by hash; the delta is
+    * days, not years, of data. On a warehouse, store the hash dictionary
+    * as a table bucketed by hash (Layout.writeBucketed) and the stored
+    * side of the anti-join moves through NO exchange.
+    */
+  def dedupIncremental(documents: DataFrame, cutoff: Long = 400L): DataFrame = {
+    // dedupInput plants exact copies at doc_id+2e7: copies of stored docs
+    // (< cutoff) must be dropped by the store anti-join, copies of delta
+    // docs must collapse within the delta — both paths get positives
+    val hashed = dedupInput(documents).select(col("doc_id"),
+      sha2(col("text"), 256).as("content_hash"))
+    val storedHashes = hashed.filter(col("doc_id") < cutoff)
+      .select("content_hash").distinct()
+    hashed.filter(col("doc_id") >= cutoff)
+      .join(storedHashes, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups_in_delta"))
+  }
+
+  def dedupIncrementalSql(cutoff: Long = 400L): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM dd),
+       | stored AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id < $cutoff)
+       | SELECT h.content_hash, MIN(h.doc_id) AS keep_id,
+       |  COUNT(*) AS n_dups_in_delta
+       | FROM hashed h
+       | WHERE h.doc_id >= $cutoff
+       |  AND h.content_hash NOT IN (SELECT content_hash FROM stored)
+       | GROUP BY 1""".stripMargin.replace("\n", "")
+
   // ---- #40 SimHash ---------------------------------------------------------
   /** 60-bit SimHash over word-count vectors (md5-derived bit patterns),
     * 15-bit chunk bucketing, hamming <= maxHamming via bit_count(xor).

@@ -334,6 +334,39 @@ object Pipeline {
        |  FROM tf)
        | WHERE pos <= $k""".stripMargin.replace("\n", "")
 
+  // ---- #78 token-length percentiles ----------------------------------------
+  /** Per-language token-count percentiles (p50/p90/p99) — the length
+    * distribution report every corpus build emits (and the input to
+    * truncation/packing decisions). Exact linear-interpolated percentile
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB swap in
+    * `approx_percentile` for one fixed-size sketch per (lang) instead of
+    * the exact sort — same report schema, the exact version stays the
+    * oracle.
+    */
+  def tokenPercentiles(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    documents
+      .select(col("lang"), TextFunctions.wsTokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        fl(expr("percentile(n, 0.5)"), 4).as("p50"),
+        fl(expr("percentile(n, 0.9)"), 4).as("p90"),
+        fl(expr("percentile(n, 0.99)"), 4).as("p99"))
+  }
+
+  def tokenPercentilesSql: String = {
+    import graft.functions.TextFunctions
+    s"""WITH t AS (
+       |  SELECT lang, CAST(${TextFunctions.wsTokenCountSql("text")} AS BIGINT) AS n
+       |  FROM documents)
+       | SELECT lang, COUNT(*) AS n_docs,
+       |  ${flSql("quantile_cont(n, 0.5)", 4)} AS p50,
+       |  ${flSql("quantile_cont(n, 0.9)", 4)} AS p90,
+       |  ${flSql("quantile_cont(n, 0.99)", 4)} AS p99
+       | FROM t GROUP BY 1""".stripMargin.replace("\n", "")
+  }
+
   // ---- #76 end-to-end corpus build -----------------------------------------
   /** The capstone composition: clean → quality-filter → exact-dedup →
     * sequence-pack as ONE declarative plan — the whole corpus-prep

@@ -78,6 +78,25 @@ class DedupVectorsSpec extends SparkSpec {
     assert(labels.size == 67)
   }
 
+  test("dedupIncremental: copies of stored docs are dropped, in-delta copies collapse") {
+    val cutoff = 400L
+    val res = Dedup.dedupIncremental(docs, cutoff).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> n_dups_in_delta
+    assert(res.nonEmpty)
+    // exact copies (source + 2e7) of STORED sources (< cutoff) must not
+    // appear at all — their hash exists in the store
+    val copyOfStored = res.keys.filter(id => id >= 20000000L && id - 20000000L < cutoff)
+    assert(copyOfStored.isEmpty, s"store-dup docs leaked: $copyOfStored")
+    // exact copies of DELTA sources (>= cutoff) collapse onto the source
+    // within the delta: the source survives with n_dups = 2
+    val deltaSources = (cutoff until 500L).filter(_ % 25 == 0)
+    assert(deltaSources.nonEmpty)
+    deltaSources.foreach { id =>
+      assert(res.get(id).contains(2L), s"delta source $id should survive with its copy: ${res.get(id)}")
+      assert(!res.contains(id + 20000000L), s"delta copy of $id wrongly survived")
+    }
+  }
+
   test("dedup clusters: planted copies join their source's cluster, source survives") {
     val comp = Dedup.dedupClusters(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
