@@ -106,6 +106,7 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
     "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(docs(s, d))),
     "t_strip_html" -> ((s, d) => TextOps.stripHtmlDocs(docs(s, d))),
+    "t_char_entropy" -> ((s, d) => TextOps.charEntropyDocs(docs(s, d))),
     // --- corpus-pipeline ops (#61-64) ---
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
@@ -194,6 +195,7 @@ object SparkEntry {
     "t_fingerprint" -> TextOps.fingerprintDocsSql,
     "t_pii_scrub" -> TextOps.piiScrubDocsSql,
     "t_strip_html" -> TextOps.stripHtmlDocsSql,
+    "t_char_entropy" -> TextOps.charEntropyDocsSql,
     "p_decontaminate" -> Pipeline.decontaminateSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),

@@ -144,6 +144,52 @@ object TextOps {
        | ${polyFingerprintSql("text")} AS fp_poly
        | FROM documents""".stripMargin.replace("\n", "")
 
+  // ---- #79 character-entropy scoring ---------------------------------------
+  /** Shannon entropy of the per-document character distribution (nats) —
+    * the classic gibberish/binary-junk detector of a corpus quality
+    * pipeline: natural text sits ~2.5-3.5 nats, repeated-char spam near 0,
+    * random bytes near ln(alphabet).
+    *
+    * Computed IN-ROW: explode-free — the distinct-char set and each
+    * char's count come from `array_distinct`/`filter` over the in-row
+    * char array, so the whole scorer pipelines inside one
+    * WholeStageCodegen span over the scan (zero exchanges, preserving the
+    * t_* plan invariant). O(distinct × length) per doc — bounded by
+    * alphabet size, not corpus size.
+    */
+  def charEntropyDocs(documents: DataFrame): DataFrame =
+    documents
+      // Java "".split("") is [""], not [] — guard so an empty doc scores
+      // (0, 0.0) like the oracle's left join does
+      .select(col("doc_id"),
+        when(length(col("text")) === 0, array().cast("array<string>"))
+          .otherwise(split(col("text"), "")).as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars"),
+        expr(
+          """CASE WHEN size(cs) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            | aggregate(array_distinct(cs), CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc - (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))
+            |    * ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE)))
+            | END""".stripMargin.replace("\n", "")).as("raw_h"))
+      .select(col("doc_id"), col("n_chars"),
+        EventSemantics.fl(col("raw_h"), 4).as("entropy"))
+
+  val charEntropyDocsSql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+       | freq AS (SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY 1, 2),
+       | tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM freq GROUP BY 1),
+       | h AS (
+       |  SELECT f.doc_id, tot.total,
+       |   -SUM((CAST(f.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+       |     * ln(CAST(f.n AS DOUBLE) / CAST(tot.total AS DOUBLE))) AS raw_h
+       |  FROM freq f JOIN tot ON f.doc_id = tot.doc_id GROUP BY 1, 2)
+       | SELECT d.doc_id,
+       |  COALESCE(h.total, 0) AS n_chars,
+       |  COALESCE(${EventSemantics.flSql("h.raw_h", 4)}, 0.0) AS entropy
+       | FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin.replace("\n", "")
+
   // ---- #58 PII scrubbing ---------------------------------------------------
   // The corpus is synthetic, so PII is injected deterministically (the
   // identical CASE exists in the oracle) and then redacted — exercising the

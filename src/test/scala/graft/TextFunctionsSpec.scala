@@ -84,6 +84,25 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: spam near zero, uniform text at ln(k), natural text in between") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaaaa"),           // one symbol -> H = 0
+      (2L, "abababababab"),         // two equiprobable -> H = ln 2
+      (3L, "abcdabcdabcd"),         // four equiprobable -> H = ln 4
+      (4L, ""),                     // empty -> (0, 0.0)
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val res = graft.operators.TextOps.charEntropyDocs(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res(1L) == ((10L, 0.0)))
+    assert(math.abs(res(2L)._2 - math.log(2)) < 1e-3)
+    assert(math.abs(res(3L)._2 - math.log(4)) < 1e-3)
+    assert(res(4L) == ((0L, 0.0)))
+    assert(res(5L)._2 > 2.0 && res(5L)._2 < 3.5, s"natural text entropy: ${res(5L)._2}")
+  }
+
   test("stripHtml removes every tag, unescapes entities, collapses whitespace") {
     val res = graft.operators.TextOps.stripHtmlDocs(Tables.documents(spark, sfDir))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
