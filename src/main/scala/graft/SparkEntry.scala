@@ -92,6 +92,7 @@ object SparkEntry {
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(docs(s, d))),
+    "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(docs(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -183,6 +184,7 @@ object SparkEntry {
     "d_embed_neardup" -> Dedup.embedNearDupSql(),
     "d_dedup_clusters" -> Dedup.dedupClustersSql(),
     "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),
+    "d_substring_overlap" -> Dedup.substringOverlapSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),

@@ -363,6 +363,35 @@ object Dedup {
        |  (MIN(r) = doc_id) AS is_survivor
        | FROM reach GROUP BY 1""".stripMargin.replace("\n", "")
 
+  // ---- #80 exact substring overlap -----------------------------------------
+  /** Exact substring-overlap detection (the third dedup pillar after set
+    * similarity and fingerprints, à la "Deduplicating Training Data Makes
+    * Language Models Better"): two docs overlap when they share ANY run of
+    * `k` consecutive tokens — which is exactly sharing a k-gram, so the
+    * in-row shingle sets + inverted-index join do the whole job with k
+    * large (13 tokens ≈ the literature's 50-char runs). Emits the pair and
+    * how many distinct k-runs they share.
+    *
+    * Scale: a 13-gram's document frequency is ~1 except for genuinely
+    * copied passages, so the index join is linear in the corpus; the
+    * planted near-dups (prefix copies) guarantee verifiable positives.
+    */
+  def substringOverlap(documents: DataFrame, k: Int = 13): DataFrame = {
+    val arr = shingleArrays(dedupInput(documents), k)
+    val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
+    inv.as("a")
+      .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_runs"))
+  }
+
+  def substringOverlapSql(k: Int = 13): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | sh AS (${shinglesSql(k)})
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_runs
+       | FROM sh a JOIN sh b ON a.xsh = b.xsh AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
   // ---- #77 incremental (delta) exact dedup ---------------------------------
   /** Exact dedup of a NEW ingestion partition against the already-stored
     * corpus — the batch twin of `DedupStream`: drop a new doc when its

@@ -78,6 +78,26 @@ class DedupVectorsSpec extends SparkSpec {
     assert(labels.size == 67)
   }
 
+  test("substringOverlap: planted prefix copies share runs with their source") {
+    val pairs = Dedup.substringOverlap(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    // near-dups (source minus last 5 words, +1e7) share every 13-run of
+    // the common prefix with their source — the pair MUST be found with
+    // many shared runs
+    val nearSources = docs.collect().map(_.getLong(0))
+      .filter(id => id % 5 == 0)
+    val found = nearSources.flatMap(id => pairs.get((id, id + 10000000L)))
+    assert(found.nonEmpty, "no planted prefix-copy pair detected")
+    found.foreach(runs => assert(runs >= 1, s"prefix copy shares $runs runs"))
+    // exact copies share ALL their runs
+    // an exact copy shares ALL its runs — at least one for any doc long
+    // enough to have a 13-gram (short docs have few runs, not none)
+    val exactFound = docs.collect().map(_.getLong(0)).filter(_ % 25 == 0)
+      .flatMap(id => pairs.get((id, id + 20000000L)))
+    assert(exactFound.nonEmpty && exactFound.forall(_ >= 1))
+  }
+
   test("dedupIncremental: copies of stored docs are dropped, in-delta copies collapse") {
     val cutoff = 400L
     val res = Dedup.dedupIncremental(docs, cutoff).collect()
