@@ -92,8 +92,13 @@ object Multimodal {
   def imageTable(documents: DataFrame, w: Int = 8, h: Int = 8): DataFrame = {
     val ds = documents.select(col("doc_id")).as(Encoders.scalaLong)
     ds.mapPartitions { ids =>
+      // codec setup ONCE PER PARTITION (ImageIO.write creates and disposes
+      // a writer per call — the dominant cost for small images); the
+      // image buffer is reused too. This is the general per-partition
+      // amortization pattern any codec boundary should use.
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       ids.map { id =>
-        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
@@ -101,7 +106,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
         ImageIn(id, bos.toByteArray)
       }
     }(Encoders.product[ImageIn]).toDF()
@@ -117,8 +125,15 @@ object Multimodal {
   def imageDecode(documents: DataFrame): DataFrame = {
     val ds: Dataset[ImageIn] = imageTable(documents).as(Encoders.product[ImageIn])
     ds.mapPartitions { rows =>
+      // reader created once per partition (ImageIO.read builds a fresh
+      // reader chain per call), reset per image via setInput
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.png))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)
         var y = 0
