@@ -59,6 +59,7 @@ object SparkEntry {
     // (rows-only check); the spec bounds its error against q_engagement
     "q_engagement_approx" -> ((s, d) => ChatStats.engagementApprox(ev(s, d))),
     "q_attrition" -> ((s, d) => ChatStats.attrition(ev(s, d))),
+    "q_retention_cohort" -> ((s, d) => ChatStats.retentionCohort(ev(s, d))),
     // incremental-MV maintenance: rollup(old partition) merged with the new
     // partition must equal the full-scan rollup (the oracle re-scans all)
     "q_rollup_incremental" -> ((s, d) => {
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
     "v_ann_ivf" -> ((s, d) => Vectors.annIvf(emb(s, d))),
+    "v_ann_lsh" -> ((s, d) => Vectors.annLsh(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
@@ -108,6 +110,7 @@ object SparkEntry {
     "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(docs(s, d))),
     "t_strip_html" -> ((s, d) => TextOps.stripHtmlDocs(docs(s, d))),
     "t_char_entropy" -> ((s, d) => TextOps.charEntropyDocs(docs(s, d))),
+    "t_gopher_rules" -> ((s, d) => TextOps.gopherRulesDocs(docs(s, d))),
     // --- corpus-pipeline ops (#61-64) ---
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
@@ -163,6 +166,7 @@ object SparkEntry {
     "q_user_percentile" -> ChatStats.userPercentileSql,
     "q_engagement" -> ChatStats.engagementSql,
     "q_attrition" -> ChatStats.attritionSql(),
+    "q_retention_cohort" -> ChatStats.retentionCohortSql,
     // the full-scan rollup IS the oracle: increment(rollup(old), new) must
     // reproduce it exactly (additive-merge equivalence)
     "q_rollup_incremental" -> EventSemantics.userWeeklyActivitySql,
@@ -188,6 +192,7 @@ object SparkEntry {
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),
+    "v_ann_lsh" -> Vectors.annLshSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,
@@ -198,6 +203,7 @@ object SparkEntry {
     "t_pii_scrub" -> TextOps.piiScrubDocsSql,
     "t_strip_html" -> TextOps.stripHtmlDocsSql,
     "t_char_entropy" -> TextOps.charEntropyDocsSql,
+    "t_gopher_rules" -> TextOps.gopherRulesDocsSql,
     "p_decontaminate" -> Pipeline.decontaminateSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),

@@ -162,6 +162,40 @@ object TextFunctions {
        |  + least($chars / $words / 8, 1) * 0.25 END""".stripMargin.replace("\n", "")
   }
 
+  // ---- Gopher-style rule filter (training-data op #81) ---------------------
+  /** The published Gopher repetition/quality RULES (Rae et al. 2021, §A1.1)
+    * as explicit per-document flags — distinct from [[qualityScore]], which
+    * BLENDS signals into one number: a corpus build filters on hard rules
+    * first, then ranks survivors by score. Thresholds follow the paper
+    * (word count 50..100k, mean word length 3..10, symbol-to-word < 0.1,
+    * ≥ 80% words with an alphabetic char, ≥ 2 distinct stopwords).
+    * All in-row exact double arithmetic — zero exchanges (t_ invariant).
+    */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherWords(c: Column): Column = wsTokenCount(c).cast("double")
+  def gopherMwl(c: Column): Column =
+    length(regexp_replace(c, "\\s", "")).cast("double") / gopherWords(c)
+  def gopherSymbolRatio(c: Column): Column =
+    (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.")))
+      .cast("double") / gopherWords(c)
+  def gopherAlphaFrac(c: Column): Column =
+    regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast("double") / gopherWords(c)
+  def gopherStopCount(c: Column): Column =
+    gopherStops.map(s => when(lower(c).rlike(s"\\b$s\\b"), 1).otherwise(0))
+      .reduce[Column](_ + _).cast("long")
+
+  def gopherWordsSql(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '\\S+')) AS DOUBLE)"
+  def gopherMwlSql(e: String): String =
+    s"CAST(length(regexp_replace($e, '\\s', '', 'g')) AS DOUBLE) / ${gopherWordsSql(e)}"
+  def gopherSymbolRatioSql(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '#')) + len(regexp_extract_all($e, '\\.\\.\\.')) AS DOUBLE) / ${gopherWordsSql(e)}"
+  def gopherAlphaFracSql(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '\\S*[A-Za-z]\\S*')) AS DOUBLE) / ${gopherWordsSql(e)}"
+  def gopherStopCountSql(e: String): String =
+    s"CAST(${gopherStops.map(s => s"(CASE WHEN regexp_matches(lower($e), '\\b$s\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)"
+
   // ---- document fingerprint (training-data op #48) -------------------------
   /** Canonical-token md5 fingerprint (whitespace-normalization invariant). */
   def md5Fingerprint(c: Column): Column =

@@ -512,6 +512,66 @@ object ChatStats {
        |  ${flSql(s"CAST(COUNT(*) AS DOUBLE) * 100 / $topK", 4)} AS percent_active
        | FROM later JOIN top USING (user_id) GROUP BY week""".stripMargin.replace("\n", "")
 
+  /** #82 cohort retention matrix — the classic product-analytics twin of
+    * attrition (api.py:2355 tracks ONE fixed baseline cohort; this tracks
+    * EVERY weekly first-seen cohort per channel): users grouped by their
+    * first active week in a channel, then for each week-offset the count
+    * still active and its share of the cohort.
+    *
+    * Shape: runs entirely off the weekly rollup. Cohort week is a window
+    * MIN over (user, channel) — one exchange, no self-join — then one
+    * partial-agg shuffle to (channel, cohort_week, offset), then a
+    * cohort-size window. The rollup is orders of magnitude smaller than
+    * the fact table, so all three exchanges move rollup-sized data; the
+    * offset-0 row is the cohort definition itself, so cohort_size needs
+    * no second pass over activity.
+    */
+  def retentionCohort(events: DataFrame): DataFrame =
+    retentionCohortFrom(userWeeklyActivity(events))
+
+  /** Retention from an already-materialized weekly rollup (deploy seam,
+    * like [[attritionFrom]]). */
+  def retentionCohortFrom(act: DataFrame): DataFrame = {
+    val byUserChannel = Window.partitionBy(col("user_id"), col("channel"))
+    val withCohort = act
+      .select(col("user_id"), col("channel"), col("week"))
+      .withColumn("cohort_week", min(col("week")).over(byUserChannel))
+      // weeks are Monday-truncated dates, so the day gap is an exact
+      // multiple of 7 and the division is exact in both engines
+      .withColumn("offset_weeks",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+    val cells = withCohort
+      .groupBy(col("channel"), col("cohort_week"), col("offset_weeks"))
+      .agg(count(lit(1)).as("active_users"))
+    val byCohort = Window.partitionBy(col("channel"), col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset_weeks") === 0, col("active_users"))).over(byCohort))
+      .select(col("channel"), col("cohort_week"), col("offset_weeks"),
+        col("active_users"), col("cohort_size"),
+        fl(col("active_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  val retentionCohortSql: String =
+    s"""WITH act AS ($userWeeklyActivitySql),
+       | wc AS (
+       |  SELECT user_id, channel, week,
+       |   MIN(week) OVER (PARTITION BY user_id, channel) AS cohort_week
+       |  FROM act),
+       | cells AS (
+       |  SELECT channel, cohort_week,
+       |   CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS offset_weeks,
+       |   COUNT(*) AS active_users
+       |  FROM wc GROUP BY 1, 2, 3)
+       | SELECT channel, cohort_week, offset_weeks, active_users,
+       |  MAX(CASE WHEN offset_weeks = 0 THEN active_users END)
+       |   OVER (PARTITION BY channel, cohort_week) AS cohort_size,
+       |  ${flSql(
+          "CAST(active_users AS DOUBLE) / CAST(MAX(CASE WHEN offset_weeks = 0 THEN active_users END) OVER (PARTITION BY channel, cohort_week) AS DOUBLE)",
+          6)} AS retention
+       | FROM cells""".stripMargin.replace("\n", "")
+
   /** Site-wide stats (api.py:2629-2676): #chat-logs (channel-days), total
     * messages, date range. One scan, one row.
     */

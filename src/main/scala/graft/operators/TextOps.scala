@@ -122,6 +122,59 @@ object TextOps {
        | ${EventSemantics.flSql(qualityScoreSql("text"), 4)} AS quality
        | FROM documents""".stripMargin.replace("\n", "")
 
+  /** #81 Gopher rule filter: the published hard rules as per-doc flags +
+    * keep verdict (the stage BEFORE score-ranking in a corpus build).
+    * Pure in-row projection — zero exchanges; at 100 TB this is the text
+    * scan itself, and `keep` pushes down as a plain boolean filter for
+    * every downstream consumer.
+    */
+  def gopherRulesDocs(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = gopherWords(t)
+    val mwl = gopherMwl(t)
+    val sym = gopherSymbolRatio(t)
+    val alpha = gopherAlphaFrac(t)
+    val stops = gopherStopCount(t)
+    val zero = words === 0d
+    val rLen = !zero && words >= 50d && words <= 100000d
+    val rMwl = !zero && mwl >= 3d && mwl <= 10d
+    val rSym = !zero && sym < 0.1d
+    val rAlpha = !zero && alpha > 0.8d
+    val rStop = stops >= 2L
+    documents.select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      when(zero, 0d).otherwise(EventSemantics.fl(mwl, 6)).as("mean_word_len"),
+      when(zero, 0d).otherwise(EventSemantics.fl(sym, 6)).as("symbol_ratio"),
+      when(zero, 0d).otherwise(EventSemantics.fl(alpha, 6)).as("alpha_frac"),
+      stops.as("n_stop"),
+      rLen.as("r_len"), rMwl.as("r_mwl"), rSym.as("r_symbol"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rLen && rMwl && rSym && rAlpha && rStop).as("keep"))
+  }
+  val gopherRulesDocsSql: String = {
+    val w = gopherWordsSql("text")
+    val mwl = gopherMwlSql("text")
+    val sym = gopherSymbolRatioSql("text")
+    val alpha = gopherAlphaFracSql("text")
+    val stops = gopherStopCountSql("text")
+    val rLen = s"($w > 0 AND $w >= 50 AND $w <= 100000)"
+    val rMwl = s"($w > 0 AND $mwl >= 3 AND $mwl <= 10)"
+    val rSym = s"($w > 0 AND $sym < 0.1)"
+    val rAlpha = s"($w > 0 AND $alpha > 0.8)"
+    val rStop = s"($stops >= 2)"
+    s"""SELECT doc_id,
+       | CAST($w AS BIGINT) AS n_words,
+       | CASE WHEN $w = 0 THEN 0 ELSE ${EventSemantics.flSql(mwl, 6)} END AS mean_word_len,
+       | CASE WHEN $w = 0 THEN 0 ELSE ${EventSemantics.flSql(sym, 6)} END AS symbol_ratio,
+       | CASE WHEN $w = 0 THEN 0 ELSE ${EventSemantics.flSql(alpha, 6)} END AS alpha_frac,
+       | $stops AS n_stop,
+       | $rLen AS r_len, $rMwl AS r_mwl, $rSym AS r_symbol,
+       | $rAlpha AS r_alpha, $rStop AS r_stop,
+       | ($rLen AND $rMwl AND $rSym AND $rAlpha AND $rStop) AS keep
+       | FROM documents""".stripMargin.replace("\n", "")
+  }
+
   /** #47 token counting (whitespace + BPE-ish). */
   def tokenCountDocs(documents: DataFrame): DataFrame =
     documents.select(

@@ -131,6 +131,95 @@ object Vectors {
        | WHERE e.vec_id <> $qId
        | ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
 
+  // ---- #83 random-hyperplane LSH ANN ---------------------------------------
+  private val LSH_TABLES = 4
+  private val LSH_BITS = 6
+
+  /** Deterministic ±1 hyperplane component for (table, bit, dim): parity of
+    * an md5-derived value, computed once on the driver and inlined as a
+    * LITERAL in both the Spark plan and the oracle SQL — the two engines
+    * share the planes by construction (same trick as Dedup's minhash perm
+    * constants).
+    */
+  private def lshSign(t: Int, j: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh$t-$j-$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 7), 16) & 1L) == 0L) 1.0 else -1.0
+  }
+  private def lshPlane(t: Int, j: Int): Seq[Double] =
+    (1 to DIM).map(d => lshSign(t, j, d))
+
+  /** #83 LSH-bucketed ANN (Charikar's SimHash-for-cosine, the sibling of
+    * the IVF path): per table t, a `LSH_BITS`-bit signature — bit j = sign
+    * of the dot with a fixed random hyperplane — buckets the corpus; the
+    * query probes its own bucket in EVERY table, the union of collisions is
+    * verified with exact cosine, top-k of the survivors. Recall < 1 by
+    * design (that is the LSH trade) — but deterministic, so the oracle
+    * matches exactly.
+    *
+    * Scale: the signature is an in-row projection over the scan (zero
+    * shuffle — the sign dots are codegen'd strict folds against literal
+    * arrays). At 100 TB the (table, bucket) pair is the partition key of a
+    * precomputed index relation; a query touches TABLES × 1 buckets =
+    * ~TABLES/2^BITS of the corpus, and the probe side (TABLES rows) is
+    * broadcast. No distance is computed outside the probed buckets.
+    */
+  def annLsh(embeddings: DataFrame, qId: Long = 0L, k: Int = 10): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    def bucket(t: Int): Column =
+      (0 until LSH_BITS).map { j =>
+        val plane = array(lshPlane(t, j).map(lit): _*)
+        when(graft.functions.VectorFunctions.vecDot(col("vdd"), plane) >= 0d,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val sig = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"), vd.as("vdd"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(array((0 until LSH_TABLES).map(bucket): _*)).as(Seq("t", "bucket")))
+    val qBuckets = sig.filter(col("vec_id") === qId).select("t", "bucket")
+    val q = queryVec(embeddings, qId)
+    sig.filter(col("vec_id") =!= qId)
+      .join(broadcast(qBuckets), Seq("t", "bucket"))
+      .select("vec_id", "label", "embedding").distinct()
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annLshSql(qId: Long = 0L, k: Int = 10): String = {
+    def planeLit(t: Int, j: Int): String =
+      lshPlane(t, j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    // same strict left-fold element order as the Spark-side vec_dot
+    def signDot(t: Int, j: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST(v[i] AS DOUBLE) * (${planeLit(t, j)})[i])), (acc, x) -> acc + x)"
+    def bucketExpr(t: Int): String =
+      (0 until LSH_BITS)
+        .map(j => s"(CASE WHEN ${signDot(t, j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    val buckets = (0 until LSH_TABLES).map(bucketExpr).mkString("[", ", ", "]")
+    val ts = (0 until LSH_TABLES).mkString("[", ", ", "]")
+    s"""WITH vd AS (
+       |  SELECT vec_id, label, embedding,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | sig AS (
+       |  SELECT vec_id, label, embedding,
+       |   unnest($ts) AS t, unnest($buckets) AS bucket
+       |  FROM vd),
+       | qb AS (SELECT t, bucket FROM sig WHERE vec_id = $qId),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qId),
+       | cand AS (
+       |  SELECT DISTINCT s.vec_id, s.label, s.embedding
+       |  FROM sig s JOIN qb ON s.t = qb.t AND s.bucket = qb.bucket
+       |  WHERE s.vec_id <> $qId)
+       | SELECT c.vec_id, c.label,
+       |  ${flSql(cosToSql("c.embedding", "q.qv"), 6)} AS cosine
+       | FROM cand c CROSS JOIN q
+       | ORDER BY cosine DESC, c.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
+  }
+
   /** #67 symmetric int8 scalar quantization of the embedding column — the
     * storage/bandwidth step of a vector pipeline (4× smaller vectors; at
     * 100 TB the quantized table is what ANN scans). Per vector: scale =

@@ -80,4 +80,16 @@ class ChatStatsSpec extends SparkSpec {
     val at = ChatStats.attrition(events, topK = 100, baselineWeeks = 3)
     assert(at.filter(col("percent_active") < 0 || col("percent_active") > 100).count() === 0)
   }
+
+  test("retentionCohort: offset 0 is the full cohort, later offsets never exceed it") {
+    val rc = ChatStats.retentionCohort(events).cache()
+    assert(rc.count() > 0)
+    // at offset 0 every cohort member is active by definition of first week
+    assert(rc.filter(col("offset_weeks") === 0 &&
+      (col("active_users") =!= col("cohort_size") || col("retention") =!= 1.0)).count() === 0)
+    assert(rc.filter(col("active_users") > col("cohort_size")).count() === 0)
+    assert(rc.filter(col("retention") <= 0 || col("retention") > 1).count() === 0)
+    assert(rc.filter(col("offset_weeks") < 0).count() === 0)
+    rc.unpersist()
+  }
 }

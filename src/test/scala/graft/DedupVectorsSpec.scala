@@ -153,6 +153,31 @@ class DedupVectorsSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
   }
 
+  test("ann: lsh hits carry exact brute-force cosines (a true subset of the scan)") {
+    val brute = Vectors.annTopK(emb, k = Int.MaxValue - 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lsh = Vectors.annLsh(emb, k = 10).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(brute(r.getLong(0)) == r.getDouble(2),
+        s"lsh cosine diverges from exact for vec ${r.getLong(0)}")
+    }
+    val cosines = lsh.map(_.getDouble(2))
+    assert(cosines.sameElements(cosines.sorted(Ordering[Double].reverse)))
+  }
+
+  test("ann: lsh always finds an exact copy of the query vector") {
+    // an identical vector has identical sign dots -> collides in EVERY
+    // table; recall for true duplicates is 1 regardless of the planes
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding")
+      .first().getSeq[Float](0).toArray
+    val planted = emb.withColumn("embedding",
+      when(col("vec_id") === 123L, typedlit(qv)).otherwise(col("embedding")))
+    val top = Vectors.annLsh(planted, qId = 0L, k = 1).collect()
+    assert(top.length == 1 && top.head.getLong(0) == 123L)
+    assert(top.head.getDouble(2) >= 0.999999)
+  }
+
   test("multimodal: stub decode preserves rows and is deterministic") {
     val a = Multimodal.mediaFeatures(docs).orderBy("doc_id").collect()
     val b = Multimodal.mediaFeatures(docs).orderBy("doc_id").collect()

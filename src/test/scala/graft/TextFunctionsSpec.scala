@@ -123,4 +123,25 @@ class TextFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopherRules: each rule trips on its designed violation, clean doc keeps") {
+    val s = spark
+    import s.implicits._
+    val clean = (("the be to of and that have with " +
+      Seq.fill(6)("solid plain words flow nicely here again ready").mkString(" ")))
+    val df = Seq(
+      (1L, clean),                                        // passes everything
+      (2L, "too short to count"),                         // r_len (< 50 words)
+      (3L, clean + " " + Seq.fill(60)("###").mkString(" ")), // r_symbol + r_alpha
+      (4L, Seq.fill(60)("word").mkString(" ")),           // r_stop (no stopwords)
+      (5L, ""))                                           // zero words: nothing passes
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.gopherRulesDocs(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_len") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("r_symbol") && !r(3L).getAs[Boolean]("r_alpha"))
+    assert(!r(4L).getAs[Boolean]("r_stop") && r(4L).getAs[Boolean]("r_len"))
+    assert(r(5L).getLong(1) == 0L && !r(5L).getAs[Boolean]("keep"))
+  }
 }
