@@ -117,6 +117,8 @@ object SparkEntry {
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
+    "p_mix_sample" -> ((s, d) => Pipeline.mixSample(docs(s, d))),
+    "p_dataset_card" -> ((s, d) => Pipeline.datasetCard(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "p_corpus_build" -> ((s, d) => Pipeline.corpusBuild(docs(s, d))),
     "p_token_percentiles" -> ((s, d) => Pipeline.tokenPercentiles(docs(s, d))),
@@ -209,6 +211,8 @@ object SparkEntry {
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
+    "p_mix_sample" -> Pipeline.mixSampleSql(),
+    "p_dataset_card" -> Pipeline.datasetCardSql,
     "p_pack" -> Pipeline.packSequencesSql(),
     "p_corpus_build" -> Pipeline.corpusBuildSql(),
     "p_token_percentiles" -> Pipeline.tokenPercentilesSql,

@@ -231,6 +231,99 @@ object Pipeline {
        |  least(CAST($quota AS DOUBLE) / CAST(c.n_lang AS DOUBLE), 1.0) * $hashMax""".stripMargin.replace("\n", "")
   }
 
+  // ---- #84 weighted source mixing -------------------------------------------
+  /** Deterministic source-mixture sampling — the composition step of a
+    * training-data build (DoReMi-style source reweighting): given target
+    * weights per `source`, keep each doc with probability
+    * min(1, w_s/Σw · T / n_s), realized as the same stateless hash-threshold
+    * cut as [[sampleThreshold]]. Up-weighted sources keep more of their
+    * docs; sources smaller than their target keep everything (rate capped
+    * at 1 — upsampling via repetition is the consumer's epoch logic).
+    *
+    * Shape at 100 TB: per-source counts are a tiny aggregate (|sources|
+    * rows) broadcast to the scan; the keep decision is in-row. No shuffle
+    * of the corpus, ever.
+    */
+  def mixSample(documents: DataFrame, targetTotal: Long = 200L,
+                upWeighted: Set[String] = (0 to 9).map(i => s"src$i").toSet,
+                upWeight: Double = 3.0): DataFrame = {
+    val HASH_MAX = (1L << 60).toDouble
+    val w = when(col("source").isin(upWeighted.toSeq: _*), upWeight).otherwise(1d)
+    val counts = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_src"), max(w).as("w"))
+      .withColumn("w_sum", sum(col("w")).over(Window.partitionBy()))
+    documents
+      .join(broadcast(counts), "source")
+      .select(col("source"), col("doc_id"),
+        md5Id(col("doc_id").cast("string")).as("h"),
+        (least(col("w") / col("w_sum") * lit(targetTotal.toDouble) / col("n_src").cast("double"),
+          lit(1d)) * HASH_MAX).as("thr"))
+      .filter(col("h") < col("thr"))
+      .select("source", "doc_id")
+  }
+
+  def mixSampleSql(targetTotal: Long = 200L,
+                   upWeighted: Set[String] = (0 to 9).map(i => s"src$i").toSet,
+                   upWeight: Double = 3.0): String = {
+    val hashMax = (1L << 60).toDouble
+    val inList = upWeighted.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_src,
+       |   CASE WHEN source IN ($inList) THEN $upWeight ELSE 1.0 END AS w
+       |  FROM documents GROUP BY 1),
+       | norm AS (SELECT *, SUM(w) OVER () AS w_sum FROM counts)
+       | SELECT d.source, d.doc_id
+       | FROM documents d JOIN norm c ON d.source = c.source
+       | WHERE ${md5IdSql("CAST(d.doc_id AS VARCHAR)")} <
+       |  least(c.w / c.w_sum * CAST($targetTotal AS DOUBLE) / CAST(c.n_src AS DOUBLE), 1.0) * $hashMax""".stripMargin.replace("\n", "")
+  }
+
+  // ---- #85 dataset card -------------------------------------------------------
+  /** The corpus "dataset card" build: per (source, lang), document count,
+    * total whitespace tokens, mean quality score, mean character entropy,
+    * and the share passing the Gopher rules — the report a data team ships
+    * with a training corpus. Composes the in-row signal suite (every input
+    * is a zero-shuffle projection), so the whole card is ONE scan + one
+    * partial-agg shuffle of |sources × langs| groups at any corpus size.
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col("text")
+    val zero = gopherWords(t) === 0d
+    val keep = !zero &&
+      gopherWords(t) >= 50d && gopherWords(t) <= 100000d &&
+      gopherMwl(t) >= 3d && gopherMwl(t) <= 10d &&
+      gopherSymbolRatio(t) < 0.1d && gopherAlphaFrac(t) > 0.8d &&
+      gopherStopCount(t) >= 2L
+    documents
+      .select(col("source"), col("lang"),
+        wsTokenCount(t).cast("long").as("toks"),
+        qualityScore(t).as("q"),
+        keep.cast("int").as("k"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        EventSemantics.fl(avg(col("q")), 6).as("mean_quality"),
+        EventSemantics.fl(sum(col("k")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("gopher_keep_rate"))
+  }
+
+  val datasetCardSql: String = {
+    import graft.functions.TextFunctions._
+    val w = gopherWordsSql("text")
+    val keep =
+      s"""($w > 0 AND $w >= 50 AND $w <= 100000
+         | AND ${gopherMwlSql("text")} >= 3 AND ${gopherMwlSql("text")} <= 10
+         | AND ${gopherSymbolRatioSql("text")} < 0.1
+         | AND ${gopherAlphaFracSql("text")} > 0.8
+         | AND ${gopherStopCountSql("text")} >= 2)""".stripMargin.replace("\n", "")
+    s"""SELECT source, lang, COUNT(*) AS n_docs,
+       | CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       | ${EventSemantics.flSql(s"AVG(${qualityScoreSql("text")})", 6)} AS mean_quality,
+       | ${EventSemantics.flSql(s"CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS gopher_keep_rate
+       | FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", "")
+  }
+
   // ---- #66 sequence packing ------------------------------------------------
   /** Pack documents into fixed-token-capacity training sequences — the
     * context-assembly step of a pre-training data build. Documents are

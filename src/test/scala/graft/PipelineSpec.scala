@@ -181,4 +181,41 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(res.toSet == expected, "salting must not change the selected sample")
   }
+
+  test("mixSample: deterministic, near-target total, up-weighted sources oversampled") {
+    val a = Pipeline.mixSample(docs, targetTotal = 200L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = Pipeline.mixSample(docs, targetTotal = 200L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSet == b.toSet, "mix sampling must be deterministic")
+    // binomial around 200 — a generous band still catches a broken cut
+    assert(a.length > 120 && a.length < 300, s"sampled ${a.length}, expected ~200")
+    // src0-9 carry 3x weight: their aggregate keep RATE must exceed the
+    // down-weighted sources' (rates, not counts — sizes differ per source)
+    val bySource = a.groupBy(_._1).view.mapValues(_.length).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(srcs: Iterable[String]): Double = {
+      val kept = srcs.map(s => bySource.getOrElse(s, 0).toLong).sum.toDouble
+      kept / srcs.map(sizes).sum.toDouble
+    }
+    val up = sizes.keys.filter(s => (0 to 9).map(i => s"src$i").contains(s))
+    val down = sizes.keys.filterNot(up.toSet)
+    assert(rate(up) > rate(down) * 1.5,
+      s"up-weighted rate ${rate(up)} should dominate ${rate(down)}")
+  }
+
+  test("datasetCard: one row per (source, lang), counts reconcile, rates in range") {
+    val card = Pipeline.datasetCard(docs).collect()
+    val groups = docs.select("source", "lang").distinct().count()
+    assert(card.length == groups)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      val q = r.getAs[Double]("mean_quality")
+      val k = r.getAs[Double]("gopher_keep_rate")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(k >= 0.0 && k <= 1.0)
+    }
+  }
 }
