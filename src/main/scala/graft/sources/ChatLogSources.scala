@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native readers for the reference's on-disk cache layout — the
+  * actual ingestion surface a user of mipacd/HoloChatStats has on disk
+  * (`data_ingestion/cacheutil/cache_manager.py`):
+  *
+  *   CacheDir/chat_logs/{video_id}.jsonl.gz   one gzipped JSON-lines chat
+  *     log per video (cache_manager.py:172 write_chat_log_to_cache; line
+  *     fields from workers/chat_downloader.py:86-95)
+  *   CacheDir/videos/{channel_id}.json        one JSON object per channel
+  *     mapping video_id → {title, end_time, duration}
+  *     (cache_manager.py:117 write_metadata_to_cache)
+  *   channels.json                            {group → {name → channel_id}}
+  *
+  * Design for 100 TB of logs:
+  *   - schemas are EXPLICIT — json schema inference is a full extra pass
+  *     over the data and is never acceptable at scale;
+  *   - .jsonl.gz is not splittable, but the layout is one file per video,
+  *     so file-granular parallelism is the natural partitioning (millions
+  *     of videos → millions of tasks; `maxPartitionBytes` packs small
+  *     ones). A re-compression pass to zstd-parquet is the first thing a
+  *     real deployment runs — [[graft.operators.Layout]] covers that;
+  *   - video_id is carried by the FILE NAME, not the rows (the reference
+  *     names the file after the video) → recovered via input_file_name();
+  *   - the per-channel metadata files are top-level JSON OBJECTS (maps),
+  *     not records — read wholetext + from_json(MapType) + explode, with
+  *     channel_id likewise recovered from the file name.
+  */
+object ChatLogSources {
+
+  /** One chat-log line (chat_downloader.py:86-95 / :152-163): membership
+    * events carry message_type new_member/gift_member and empty message;
+    * regular chat carries the categorized message. `timestamp` is unix
+    * seconds (float — yt_chat_fallback.py:273 start_ts + offset_ms/1000).
+    */
+  val chatLogSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("username", StringType),
+    StructField("timestamp", DoubleType),
+    StructField("membership_rank", IntegerType),
+    StructField("message_category", StringType),
+    StructField("message", StringType),
+    StructField("message_type", StringType),
+    StructField("gifter", StringType)))
+
+  private val videoMetaValueSchema: DataType = MapType(StringType, StructType(Seq(
+    StructField("title", StringType),
+    StructField("end_time", StringType),
+    StructField("duration", LongType))))
+
+  private def fileStem(suffix: String) =
+    regexp_extract(input_file_name(), s"([^/]+)\\$suffix$$", 1)
+
+  /** All chat logs under `cacheDir`, one row per message, with `video_id`
+    * recovered from the file name and `ts` as a proper timestamp.
+    */
+  def readChatLogs(spark: SparkSession, cacheDir: String): DataFrame =
+    spark.read.schema(chatLogSchema)
+      .json(s"$cacheDir/chat_logs/*.jsonl.gz")
+      .withColumn("video_id", fileStem(".jsonl.gz"))
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+
+  /** Per-video metadata rows (channel_id, video_id, title, end_time,
+    * duration_seconds) from the per-channel JSON map files.
+    */
+  def readVideoMetadata(spark: SparkSession, cacheDir: String): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(s"$cacheDir/videos/*.json")
+      .select(fileStem(".json").as("channel_id"),
+        explode(from_json(col("value"), videoMetaValueSchema)).as(Seq("video_id", "m")))
+      .select(col("channel_id"), col("video_id"),
+        col("m.title").as("title"), col("m.end_time").as("end_time"),
+        col("m.duration").as("duration_seconds"))
+
+  /** channels.json → (channel_group, channel_name, channel_id) rows. */
+  def readChannels(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        MapType(StringType, MapType(StringType, StringType)))).as(Seq("channel_group", "members")))
+      .select(col("channel_group"), explode(col("members")).as(Seq("channel_name", "channel_id")))
+
+  /** The reference's in-memory per-video aggregation
+    * (chat_downloader.py:152-179) as one declarative rollup over the RAW
+    * log format: per (user_id, video_id) category-pivot counts over real
+    * chat lines, total, latest known rank, last timestamp, gift-only flag.
+    * This is the bridge from the reference's cache files to every
+    * downstream operator (the `user_data` table build).
+    */
+  def userVideoRollup(chatLogs: DataFrame): DataFrame = {
+    val isChat = col("message_type") === "chat"
+    val cats = Seq("jp", "kr", "ru", "emoji", "es_en_id")
+    val catCols = cats.map(c =>
+      count(when(isChat && col("message_category") === c, 1)).as(s"${c}_count"))
+    chatLogs
+      .groupBy(col("user_id"), col("video_id"))
+      .agg(catCols.head, (catCols.tail :+
+        count(when(isChat, 1)).as("total_message_count") :+
+        max(when(col("membership_rank") >= -1, col("membership_rank"))).as("membership_rank") :+
+        max(col("ts")).as("last_ts") :+
+        (count(when(isChat, 1)) === 0).as("is_gift")): _*)
+  }
+
+  /** Monthly streaming hours per channel from the metadata files — the
+    * feed of the hours suite (api.py:1232 et al.) computed straight off
+    * the source of truth: SUM(duration)/3600 per (channel, month of
+    * end_time). Broadcast-sized output (channels × months).
+    */
+  def streamingHours(videoMeta: DataFrame): DataFrame =
+    videoMeta
+      .groupBy(col("channel_id"),
+        date_trunc("month", to_timestamp(col("end_time"))).cast("date").as("month"))
+      .agg((sum(col("duration_seconds")).cast("double") / 3600d).as("hours"))
+}
