@@ -77,6 +77,8 @@ object SparkEntry {
     "q_video_highlights" -> ((s, d) =>
       Highlights.videoHighlights(Tables.lineitem(s, d), ord(s, d), cust(s, d))),
     "q_log_coverage" -> ((s, d) => Highlights.logCoverage(ev(s, d))),
+    "q_funniest_offsets" -> ((s, d) =>
+      Highlights.funniestOffsets(Tables.lineitem(s, d), ord(s, d), cust(s, d))),
     // --- channel dim listing (#52) ---
     "q_channel_names" -> ((s, d) => StreamingHours.channelNames(cust(s, d))),
     // --- similarity + forecast (#31-34, 37) ---
@@ -94,6 +96,7 @@ object SparkEntry {
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(docs(s, d))),
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(docs(s, d))),
+    "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(docs(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -177,6 +180,7 @@ object SparkEntry {
     "q_highlight_velocity" -> Highlights.highlightVelocitySql(),
     "q_video_highlights" -> Highlights.videoHighlightsSql(),
     "q_log_coverage" -> Highlights.logCoverageSql(),
+    "q_funniest_offsets" -> Highlights.funniestOffsetsSql(),
     "q_channel_names" -> StreamingHours.channelNamesSql,
     "q_channel_similarity" -> Similarity.channelSimilaritySql,
     "q_recommend" -> Similarity.recommendSql(),
@@ -191,6 +195,7 @@ object SparkEntry {
     "d_dedup_clusters" -> Dedup.dedupClustersSql(),
     "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),
     "d_substring_overlap" -> Dedup.substringOverlapSql(),
+    "d_dedup_lines" -> Dedup.dedupLinesSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),

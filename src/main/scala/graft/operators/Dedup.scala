@@ -579,6 +579,64 @@ object Dedup {
       .filter(col("cosine") >= minCos)
   }
 
+  // ---- #86 line-level (segment) dedup ---------------------------------------
+  /** CCNet-style duplicated-segment removal (reference workload: cleaning
+    * web-scale chat/text corpora before training): segment every document
+    * into fixed-width token runs ("lines" — the synthetic corpus has no
+    * newlines, so the deterministic segmentation stands in for the line
+    * split), count each segment's occurrences ACROSS the whole corpus, and
+    * rebuild each document from only the segments that occur once. Unlike
+    * document-level dedup (#38-40), this removes boilerplate shared by
+    * otherwise-distinct documents — headers, navigation, disclaimers.
+    *
+    * Scale: segments shuffle keyed by their md5 (fixed 32-byte key, never
+    * the text) for the corpus-wide count; the count relation joins back on
+    * the same key (exchange reuse on the build side), and the rebuild is
+    * one partial-agg shuffle keyed by doc_id. Three exchanges total, each
+    * keyed by content or document — no pair enumeration anywhere.
+    */
+  def dedupLines(documents: DataFrame, width: Int = 10): DataFrame = {
+    // tokenization hoisted into its own projection (round-1 lesson: a split
+    // inlined into the segmenting lambda re-evaluates once per SEGMENT)
+    val segments = dedupInput(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, int(ceil(size(w) / ${width}d)) - 1),
+             | i -> array_join(slice(w, i * $width + 1, $width), ' '))"""
+            .stripMargin.replace("\n", ""))).as(Seq("pos", "segment")))
+      .withColumn("h", md5(col("segment")))
+    val counts = segments.groupBy("h").agg(count(lit(1)).as("c"))
+    segments.join(counts, "h")
+      .withColumn("dup", col("c") > 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("dup"), struct(col("pos"), col("segment"))))),
+            x => x.getField("segment")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  def dedupLinesSql(width: Int = 10): String =
+    s"""WITH dd AS ($dedupInputSql),
+       | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+       | segs AS (
+       |  SELECT doc_id, i AS pos,
+       |   array_to_string(list_slice(t, CAST(i * $width + 1 AS BIGINT), CAST(i * $width + $width AS BIGINT)), ' ') AS segment
+       |  FROM toks, UNNEST(generate_series(0, CAST(ceil(len(t) / ${width}.0) AS BIGINT) - 1)) AS u(i)),
+       | cnt AS (SELECT md5(segment) AS h, COUNT(*) AS c FROM segs GROUP BY 1),
+       | flagged AS (SELECT s.doc_id, s.pos, s.segment, (cnt.c > 1) AS dup
+       |  FROM segs s JOIN cnt ON md5(s.segment) = cnt.h)
+       | SELECT doc_id,
+       |  coalesce(string_agg(segment, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '') AS clean_text,
+       |  COUNT(*) AS n_segments,
+       |  CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+       | FROM flagged GROUP BY 1""".stripMargin.replace("\n", "")
+
   def embedNearDupSql(minCos: Double = 0.3): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"

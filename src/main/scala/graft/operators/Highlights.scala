@@ -113,6 +113,59 @@ object Highlights {
        | JOIN customer c ON o.o_custkey = c.c_custkey
        |  AND c.c_mktsegment = '$group'""".stripMargin.replace("\n", "")
 
+  /** get_funniest_timestamps (api.py:2680): per-video funniest-moment
+    * offsets for one channel group and month. The reference query computes a
+    * `last_chat` relation (MAX(last_message_at) per video inside the month),
+    * joins it back to the videos of the channel, and projects
+    * `EXTRACT(EPOCH FROM funniest - last_message_at + duration)` — the
+    * player-relative seek offset. Testdata mapping: videos = `orders`
+    * (duration seconds = floor(o_totalprice), end_time = o_orderdate),
+    * per-video chat = `lineitem` (l_shipdate as message time), funniest
+    * analog = mid-stream (end - duration + duration/2).
+    *
+    * Scale: the month predicate prunes the lineitem scan; the channel dim is
+    * broadcast; last_chat is a partial-agg rollup keyed by video id joining
+    * orders on its natural key (bucket both by order key → shuffle-free).
+    */
+  def funniestOffsets(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                      group: String = "AUTOMOBILE", month: String = "1996-03-01"): DataFrame = {
+    val monthStart = to_date(lit(month))
+    val chans = broadcast(customer.filter(col("c_mktsegment") === group)
+      .select(col("c_custkey"), col("c_name").as("channel")))
+    val vids = orders.join(chans, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("channel"), col("o_orderpriority").as("title"),
+        floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long").as("end_epoch"),
+        floor(col("o_totalprice")).cast("long").as("dur"))
+    val lastChat = lineitem
+      .filter(col("l_shipdate") >= monthStart && col("l_shipdate") < add_months(monthStart, 1))
+      .groupBy(col("l_orderkey"))
+      .agg(floor(max(col("l_shipdate")).cast("timestamp").cast("double")).cast("long").as("last_chat_epoch"))
+    vids
+      .join(lastChat, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey").as("video_id"), col("channel"), col("title"),
+        // funniest = end - dur + dur/2; relative = funniest - last_chat + dur
+        (col("end_epoch") - col("dur") + expr("dur div 2")
+          - col("last_chat_epoch") + col("dur")).as("relative_ts"))
+  }
+
+  def funniestOffsetsSql(group: String = "AUTOMOBILE", month: String = "1996-03-01"): String =
+    s"""WITH chans AS (
+       |  SELECT c_custkey, c_name AS channel FROM customer WHERE c_mktsegment = '$group'),
+       | vids AS (
+       |  SELECT o_orderkey, channel, o_orderpriority AS title,
+       |   CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS end_epoch,
+       |   CAST(floor(o_totalprice) AS BIGINT) AS dur
+       |  FROM orders JOIN chans ON o_custkey = c_custkey),
+       | last_chat AS (
+       |  SELECT l_orderkey, CAST(floor(epoch(CAST(MAX(l_shipdate) AS TIMESTAMP))) AS BIGINT) AS last_chat_epoch
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '$month' AND l_shipdate < DATE '$month' + INTERVAL 1 MONTH
+       |  GROUP BY 1)
+       | SELECT v.o_orderkey AS video_id, v.channel, v.title,
+       |  v.end_epoch - v.dur + v.dur // 2 - lc.last_chat_epoch + v.dur AS relative_ts
+       | FROM vids v JOIN last_chat lc ON v.o_orderkey = lc.l_orderkey""".stripMargin.replace("\n", "")
+
   /** Chat-log coverage QA (data_ingestion/check_log_length.py): how much of
     * each channel-day the chat log actually spans, as the fraction of
     * distinct 15-minute buckets with at least one message. One partial-agg

@@ -133,6 +133,39 @@ class DedupVectorsSpec extends SparkSpec {
     }
   }
 
+  test("dedupLines: shared segments are dropped, unique text survives in order") {
+    val out = Dedup.dedupLines(docs).cache()
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // a planted exact copy (doc_id % 25 == 0, +2e7) shares EVERY segment
+    // with its source, so both lose all segments
+    val plantedSrc = docs.filter(col("doc_id") % 25 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(plantedSrc.nonEmpty)
+    plantedSrc.foreach { id =>
+      val (txt, n, dropped) = byId(id + 20000000L)
+      assert(txt == "" && dropped == n, s"copy of $id kept shared segments")
+      val (srcTxt, srcN, srcDropped) = byId(id)
+      assert(srcTxt == "" && srcDropped == srcN, s"source $id kept shared segments")
+    }
+    // a fully-unique doc is reconstructed verbatim (segment order preserved)
+    val input = Dedup.dedupInput(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = byId.filter { case (_, (_, _, dropped)) => dropped == 0 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (txt, _, _)) =>
+      assert(txt == input(id), s"doc $id not reconstructed verbatim")
+    }
+    // conservation: segment count == ceil(tokens / width) for every doc,
+    // and dropped never exceeds the total
+    byId.foreach { case (id, (_, n, dropped)) =>
+      val tokens = input(id).split(" ", -1).length
+      assert(n == (tokens + 9) / 10, s"doc $id segment count off")
+      assert(dropped >= 0 && dropped <= n)
+    }
+    out.unpersist()
+  }
+
   test("simhash: exact copies collide at hamming 0") {
     val pairs = Dedup.dedupSimhash(docs)
     val zeroPairs = pairs.filter(col("hamming") === 0)

@@ -16,6 +16,34 @@ class StreamingHoursSpec extends SparkSpec {
     assert(math.abs(total - global) < 1.0) // floor-rounding slack
   }
 
+  test("funniestOffsets: offsets match the reference formula per video") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Highlights.funniestOffsets(li, orders, customer).cache()
+    assert(out.count() > 0)
+    // recompute one video's offset by hand: relative = (end - dur + dur/2)
+    //   - last_chat + dur, everything in whole epoch seconds
+    val row = out.orderBy("video_id").first()
+    val vid = row.getLong(0)
+    val o = orders.filter(col("o_orderkey") === vid)
+      .select(col("o_totalprice"),
+        floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long")).first()
+    val dur = math.floor(o.getDouble(0)).toLong
+    val endEpoch = o.getLong(1)
+    val lastEpoch = li.filter(col("l_orderkey") === vid &&
+        col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .agg(floor(max("l_shipdate").cast("timestamp").cast("double")).cast("long"))
+      .first().getLong(0)
+    val expected = endEpoch - dur + dur / 2 - lastEpoch + dur
+    assert(row.getLong(3) == expected, s"video $vid offset mismatch")
+    // every listed video belongs to the AUTOMOBILE group
+    val autoKeys = customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val vidChans = out.join(orders, col("video_id") === col("o_orderkey"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(vidChans.subsetOf(autoKeys))
+    out.unpersist()
+  }
+
   test("avg <= max per channel-month") {
     val a = StreamingHours.avg(orders, customer).withColumnRenamed("hours", "avg_h")
     val m = StreamingHours.max(orders, customer).withColumnRenamed("hours", "max_h")
