@@ -102,6 +102,10 @@ object SparkEntry {
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
     "v_ann_ivf" -> ((s, d) => Vectors.annIvf(emb(s, d))),
     "v_ann_lsh" -> ((s, d) => Vectors.annLsh(emb(s, d))),
+    // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
+    // so no DuckDB oracle (rows-only check); the spec pins exact-path
+    // equality with brute force and determinism
+    "v_ann_pq" -> ((s, d) => Vectors.annPq(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
@@ -126,6 +130,7 @@ object SparkEntry {
     "p_corpus_build" -> ((s, d) => Pipeline.corpusBuild(docs(s, d))),
     "p_token_percentiles" -> ((s, d) => Pipeline.tokenPercentiles(docs(s, d))),
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
+    "p_bigram_nll" -> ((s, d) => Pipeline.bigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
@@ -222,6 +227,7 @@ object SparkEntry {
     "p_corpus_build" -> Pipeline.corpusBuildSql(),
     "p_token_percentiles" -> Pipeline.tokenPercentilesSql,
     "p_unigram_nll" -> Pipeline.unigramNllSql,
+    "p_bigram_nll" -> Pipeline.bigramNllSql,
     "p_top_terms" -> Pipeline.topTermsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -205,6 +205,104 @@ case class VectorSumAgg(child: Expression, dim: Int,
     copy(child = newChildren.head)
 }
 
+/** Codegen'd product-quantization encoder: splits a `dim`-element vector
+  * into `m` subspaces and emits, per subspace, the index of the nearest
+  * codebook centroid (squared-L2, ties to the lowest index) — the
+  * fixed-size code word (`m` small ints) that PQ ANN stores instead of the
+  * raw vector. The codebook is a driver-trained constant baked into the
+  * expression (reference workload: pgvector highlight search at corpus
+  * scale, web/api.py:3009).
+  *
+  * Exists because the argmin-over-centroids is a hot per-row loop
+  * (m × k × dim/m multiply-adds): as an expression tree it would be
+  * m × k DotProduct nodes; here it is one tight compiled loop inside
+  * whole-stage codegen. Null vector propagates null; null ELEMENTS read
+  * as 0.0 (PQ codes are storage, not arithmetic — a hole quantizes as 0).
+  */
+case class PqEncode(child: Expression, dim: Int, m: Int, k: Int, codebook: Array[Double])
+    extends UnaryExpression {
+
+  require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+  require(codebook.length == m * k * (dim / m),
+    s"codebook must be m*k*(dim/m) = ${m * k * (dim / m)} doubles, got ${codebook.length}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  /** |centroid|^2 per (subspace, code) — precomputed once at plan time. */
+  private lazy val cnorm: Array[Double] = {
+    val sub = dim / m
+    Array.tabulate(m * k) { sc =>
+      var acc = 0d
+      var j = 0
+      while (j < sub) { val x = codebook(sc * sub + j); acc += x * x; j += 1 }
+      acc
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], isFloat, dim, m, k, codebook, cnorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val cnRef = ctx.addReferenceObj("pqCnorm", cnorm, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqEncode.compute($c, $isFloat, $dim, $m, $k, $cbRef, $cnRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by interpreted eval and codegen: argmin_c |v_s - c|^2 per
+    * subspace via the expanded form |c|^2 - 2<v_s, c> (|v_s|^2 is constant
+    * within a subspace's argmin).
+    */
+  def compute(arr: ArrayData, isFloat: Boolean, dim: Int, m: Int, k: Int,
+              cb: Array[Double], cn: Array[Double]): ArrayData = {
+    val sub = dim / m
+    val v = new Array[Double](dim)
+    val n = math.min(arr.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var dot = 0d
+        var j = 0
+        while (j < sub) { dot += v(s * sub + j) * cb(base + j); j += 1 }
+        val d = cn(s * k + c) - 2d * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+}
+
 object VectorFunctions {
   /** `vec_dot(a, b)` as a Column — strict fold dot product, codegen'd. */
   def vecDot(a: Column, b: Column): Column =
@@ -217,4 +315,10 @@ object VectorFunctions {
   def vecSum(a: Column, dim: Int): Column =
     ColumnBridge.column(
       VectorSumAgg(ColumnBridge.expression(a), dim).toAggregateExpression())
+
+  /** PQ code word (`ARRAY<INT>` of length m) for a `dim`-element vector
+    * against a driver-trained flattened codebook (m × k × dim/m doubles).
+    */
+  def pqEncode(v: Column, dim: Int, m: Int, k: Int, codebook: Array[Double]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), dim, m, k, codebook))
 }

@@ -398,6 +398,68 @@ object Pipeline {
        | FROM dt JOIN vocab v ON dt.term = v.term CROSS JOIN sc
        | GROUP BY 1""".stripMargin.replace("\n", "")
 
+  // ---- #88 bigram LM scoring -------------------------------------------------
+  /** Mean per-bigram negative log-likelihood under the corpus's own
+    * add-one-smoothed bigram model — the next rung of the CCNet-style
+    * LM-quality ladder above [[unigramNll]]: word-ORDER anomalies (shuffled
+    * or templated text) score high even when the unigram mix looks normal.
+    * p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), with
+    * c(prev) the corpus unigram frequency and V the unigram vocab size.
+    *
+    * Scale shape mirrors unigram: bigrams are built IN-ROW (zip_with over
+    * the token array — no position explode), pre-counted per (doc, bigram)
+    * so the vocab joins move one row per distinct pair; the bigram vocab
+    * join is keyed by the bigram, the history join by the prev token (hot
+    * stopword histories absorbed by partial aggregation), and the score is
+    * one partial-agg shuffle keyed by doc_id. V broadcasts as a scalar.
+    */
+  def bigramNll(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)").as("w"))
+    val bg = toks
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          | (a, b) -> struct(a AS prev, concat(a, ' ', b) AS bigram))"""
+          .stripMargin.replace("\n", ""))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
+    val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
+    val bvocab = db.groupBy("bigram").agg(sum("n").cast("long").as("bfreq"))
+    val uvocab = toks.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ufreq"))
+    val scalars = uvocab.agg(count(lit(1)).as("v_size"))
+    db
+      .join(bvocab, "bigram")
+      .join(uvocab.withColumnRenamed("term", "prev").withColumnRenamed("ufreq", "pfreq"), "prev")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").cast("long").as("n_bigrams"),
+        (sum(col("n").cast("double") *
+          -log((col("bfreq").cast("double") + 1d) / (col("pfreq").cast("double") + col("v_size").cast("double"))))
+          / sum(col("n")).cast("double")).as("raw_nll"))
+      .select(col("doc_id"), col("n_bigrams"), fl(col("raw_nll"), 4).as("mean_nll"))
+  }
+
+  val bigramNllSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower(trim(text)), '\\S+'), t -> length(t) > 0) AS w
+       |  FROM documents),
+       | bg AS (
+       |  SELECT doc_id, w[i] AS prev, w[i] || ' ' || w[i + 1] AS bigram
+       |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w) >= 2),
+       | db AS (SELECT doc_id, prev, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+       | bvocab AS (SELECT bigram, CAST(SUM(n) AS BIGINT) AS bfreq FROM db GROUP BY 1),
+       | words AS (SELECT unnest(w) AS term FROM toks),
+       | uvocab AS (SELECT term, COUNT(*) AS ufreq FROM words GROUP BY 1),
+       | sc AS (SELECT COUNT(*) AS v_size FROM uvocab)
+       | SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_bigrams,
+       |  ${flSql("SUM(CAST(db.n AS DOUBLE) * -ln((CAST(bv.bfreq AS DOUBLE) + 1) / (CAST(uv.ufreq AS DOUBLE) + CAST(sc.v_size AS DOUBLE)))) / CAST(SUM(db.n) AS DOUBLE)", 4)} AS mean_nll
+       | FROM db JOIN bvocab bv ON db.bigram = bv.bigram
+       | JOIN uvocab uv ON db.prev = uv.term CROSS JOIN sc
+       | GROUP BY 1""".stripMargin.replace("\n", "")
+
   // ---- #71 corpus term statistics ------------------------------------------
   /** Top-k most frequent terms per language — the corpus-reporting query
     * every data build runs. Spark's WindowGroupLimit pushes the rank

@@ -220,6 +220,119 @@ object Vectors {
        | ORDER BY cosine DESC, c.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
   }
 
+  // ---- #89 product-quantization ANN ----------------------------------------
+  /** Deterministic Lloyd-iteration codebook: per subspace, k centroids
+    * trained on a driver-bounded sample (init = the sample's first k
+    * points; fixed iteration count; empty clusters keep their centroid;
+    * ties to the lowest index). Returned flattened (m × k × dim/m) for
+    * [[graft.functions.PqEncode]]. Pure, order-fixed arithmetic — two runs
+    * produce the identical codebook.
+    */
+  private[operators] def trainPqCodebook(sample: Array[Array[Double]], dim: Int,
+                                         m: Int, k: Int, iters: Int): Array[Double] = {
+    require(sample.nonEmpty, "PQ codebook needs a non-empty training sample")
+    val sub = dim / m
+    val cb = new Array[Double](m * k * sub)
+    var s = 0
+    while (s < m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cent = Array.tabulate(k)(c => pts(c % pts.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnt = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0d; var j = 0
+            while (j < sub) { val t = p(j) - cent(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var j = 0
+          while (j < sub) { sums(best)(j) += p(j); j += 1 }
+        }
+        cent = Array.tabulate(k)(c =>
+          if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cent(c))
+        it += 1
+      }
+      var c = 0
+      while (c < k) {
+        System.arraycopy(cent(c), 0, cb, (s * k + c) * sub, sub)
+        c += 1
+      }
+      s += 1
+    }
+    cb
+  }
+
+  /** #89 product-quantization ANN — the third scale path next to IVF (#44)
+    * and LSH (#83): vectors are stored as m-byte PQ code words; a query
+    * scores the WHOLE corpus from two m×k lookup tables (asymmetric
+    * distance), takes the top `rerank` candidates, and re-ranks only those
+    * with exact cosine.
+    *
+    * Approximate cosine from codes alone:
+    * `Σ_s lutDot[s][code_s] / (sqrt(Σ_s lutN2[s][code_s]) · |q|)` — the
+    * reconstructed vector's dot and norm, no raw-vector access until the
+    * re-rank. Training collects a deterministic md5-ordered sample of
+    * `sampleN` vectors to the driver (how production PQ builds train:
+    * bounded sample, single node, broadcast codebook) and the query row;
+    * encode is the codegen'd in-row [[graft.functions.PqEncode]] over the
+    * scan — zero shuffles before the TakeOrdered.
+    *
+    * At 100 TB: the codes relation is 8 bytes/vector (64-byte floats →
+    * 8-byte codes, 32× smaller than the raw scan IVF/LSH still read for
+    * verification); the ADC scan is pure in-row lookups; only `rerank`
+    * rows ever touch raw vectors. No SQL oracle — the Lloyd codebook is
+    * not SQL-expressible — so the driver records a rows-only check; the
+    * spec pins exact-path equality (rerank ≥ corpus reproduces brute-force
+    * top-k bit-for-bit) and determinism.
+    */
+  def annPq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+            m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
+            sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val sub = DIM / m
+    // deterministic bounded sample: md5-shuffled order, vec_id tiebreak
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cb = trainPqCodebook(sample, DIM, m, codebookK, iters)
+    val q = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // query LUTs: dot(q_s, centroid) and |centroid|^2 per (subspace, code)
+    val lutDot = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
+    }
+    val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
+    }
+    val codes = embeddings.filter(col("vec_id") =!= qId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb).as("codes"))
+    val adcDot = (0 until m).map(s =>
+      element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    val adcN2 = (0 until m).map(s =>
+      element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+      .limit(rerank)
+      .crossJoin(broadcast(queryVec(embeddings, qId)))
+      .select(col("vec_id"), col("label"),
+        fl(col("adc_cosine"), 6).as("adc_cosine"),
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** #67 symmetric int8 scalar quantization of the embedding column — the
     * storage/bandwidth step of a vector pipeline (4× smaller vectors; at
     * 100 TB the quantized table is what ANN scans). Per vector: scale =

@@ -180,6 +180,34 @@ class DedupVectorsSpec extends SparkSpec {
     assert(brute == ivfAll)
   }
 
+  test("ann: pq with rerank >= corpus reproduces brute force exactly") {
+    // exact re-rank over every row = brute-force top-k, independent of
+    // quantization quality — pins the ADC + re-rank plumbing
+    val brute = Vectors.annTopK(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val pqAll = Vectors.annPq(emb, k = 5, rerank = 1000000).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(brute == pqAll)
+  }
+
+  test("ann: pq is deterministic and bounded-rerank recall is useful") {
+    val a = Vectors.annPq(emb).collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    val b = Vectors.annPq(emb).collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(a == b, "pq must be deterministic run-to-run")
+    // default rerank=100 over the 500-vector table: the ADC ordering must
+    // put a usable fraction of the true top-10 into the re-rank pool
+    val brute = Vectors.annTopK(emb, k = 10).collect().map(_.getLong(0)).toSet
+    val pq = a.map(_._1).toSet
+    val recall = brute.intersect(pq).size / 10.0
+    assert(recall >= 0.5, s"pq recall@10 too low: $recall")
+    // exact cosines on the hits must match brute force bit-for-bit
+    val bruteCos = Vectors.annTopK(emb, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    a.foreach { case (id, _, cos) =>
+      bruteCos.get(id).foreach(bc => assert(bc == cos, s"vec $id cosine differs"))
+    }
+  }
+
   test("ann: cosine is within [-1, 1] and sorted descending") {
     val rows = Vectors.annTopK(emb, k = 10).collect().map(_.getDouble(2))
     assert(rows.forall(c => c >= -1.0 && c <= 1.0))

@@ -146,6 +146,22 @@ class PipelineSpec extends SparkSpec {
     assert(res.values.map(_._2).toSet.size > 1, "nll must not be constant")
   }
 
+  test("bigramNll: every multi-token doc scored, order sensitivity differentiates") {
+    val res = Pipeline.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc here has >= 2 tokens, so all are scored with n_bigrams = tokens - 1
+    assert(res.size == docs.count())
+    val tokCounts = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.expr(
+        "size(filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0))"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.foreach { case (id, (n, nll)) =>
+      assert(n == tokCounts(id) - 1, s"doc $id bigram count off")
+      assert(nll > 0d, s"doc $id: nll must be positive under add-one smoothing")
+    }
+    assert(res.values.map(_._2).toSet.size > 1, "nll must not be constant")
+  }
+
   test("topTerms: contiguous ranks per lang, frequencies non-increasing") {
     val res = Pipeline.topTerms(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
