@@ -590,10 +590,11 @@ object Dedup {
     * otherwise-distinct documents — headers, navigation, disclaimers.
     *
     * Scale: segments shuffle keyed by their md5 (fixed 32-byte key, never
-    * the text) for the corpus-wide count; the count relation joins back on
-    * the same key (exchange reuse on the build side), and the rebuild is
-    * one partial-agg shuffle keyed by doc_id. Three exchanges total, each
-    * keyed by content or document — no pair enumeration anywhere.
+    * the text) and the corpus-wide occurrence count is a WINDOW over that
+    * key — not a groupBy + join-back, which would re-run the segmentation
+    * scan for the join side (two full corpus passes at 100 TB). One scan,
+    * two exchanges (by segment hash, then by doc_id for the rebuild) — no
+    * pair enumeration anywhere.
     */
   def dedupLines(documents: DataFrame, width: Int = 10): DataFrame = {
     // tokenization hoisted into its own projection (round-1 lesson: a split
@@ -607,9 +608,9 @@ object Dedup {
              | i -> array_join(slice(w, i * $width + 1, $width), ' '))"""
             .stripMargin.replace("\n", ""))).as(Seq("pos", "segment")))
       .withColumn("h", md5(col("segment")))
-    val counts = segments.groupBy("h").agg(count(lit(1)).as("c"))
-    segments.join(counts, "h")
-      .withColumn("dup", col("c") > 1)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    segments
+      .withColumn("dup", count(lit(1)).over(byHash) > 1)
       .groupBy("doc_id")
       .agg(
         array_join(

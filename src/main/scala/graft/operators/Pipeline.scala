@@ -369,13 +369,20 @@ object Pipeline {
     val words = documents
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    // pre-count per (doc, term): the vocab join then moves one row per
-    // distinct (doc, term), not one per occurrence
+    // pre-count per (doc, term): the term-frequency window then moves one
+    // row per distinct (doc, term), not one per occurrence
     val dt = words.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
-    val vocab = dt.groupBy("term").agg(sum("n").as("freq"))
-    val scalars = vocab.agg(sum("freq").as("total"), count(lit(1)).as("v_size"))
+    // corpus term frequency as a WINDOW over the term key, not a
+    // groupBy + join-back: column pruning gives the vocab branch a
+    // different canonical exchange, so the join formulation re-runs the
+    // corpus explode per consumer — two full fact passes at 100 TB
+    val freq = sum("n").over(Window.partitionBy("term"))
+    // the model scalars are a genuine second (tiny-output) reduction; at
+    // deploy scale this is the separate vocab-build pass whose result
+    // broadcasts to the scoring scan
+    val scalars = dt.agg(sum("n").as("total"), countDistinct("term").as("v_size"))
     dt
-      .join(vocab, "term")
+      .withColumn("freq", freq)
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")
       .agg(
@@ -403,15 +410,18 @@ object Pipeline {
     * add-one-smoothed bigram model — the next rung of the CCNet-style
     * LM-quality ladder above [[unigramNll]]: word-ORDER anomalies (shuffled
     * or templated text) score high even when the unigram mix looks normal.
-    * p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), with
-    * c(prev) the corpus unigram frequency and V the unigram vocab size.
+    * p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + V), with
+    * c(h·) the corpus count of h AS A HISTORY (the standard bigram-MLE
+    * denominator: Σ_w c(h w)) and V the unigram vocab size.
     *
     * Scale shape mirrors unigram: bigrams are built IN-ROW (zip_with over
     * the token array — no position explode), pre-counted per (doc, bigram)
-    * so the vocab joins move one row per distinct pair; the bigram vocab
-    * join is keyed by the bigram, the history join by the prev token (hot
-    * stopword histories absorbed by partial aggregation), and the score is
-    * one partial-agg shuffle keyed by doc_id. V broadcasts as a scalar.
+    * so the model lookups move one row per distinct pair; both model
+    * counts are WINDOWS over the pre-counted relation (keyed by bigram and
+    * by history — hot stopword histories absorbed by the pre-count), not
+    * groupBy + join-backs that would re-run the corpus explode per
+    * consumer. One corpus pass for scoring, one tiny-output pass for V,
+    * one partial-agg shuffle keyed by doc_id for the final score.
     */
   def bigramNll(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
@@ -424,13 +434,13 @@ object Pipeline {
           .stripMargin.replace("\n", ""))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
     val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
-    val bvocab = db.groupBy("bigram").agg(sum("n").cast("long").as("bfreq"))
-    val uvocab = toks.select(explode(col("w")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("ufreq"))
-    val scalars = uvocab.agg(count(lit(1)).as("v_size"))
+    val bfreq = sum("n").over(Window.partitionBy("bigram"))
+    val pfreq = sum("n").over(Window.partitionBy("prev"))
+    val scalars = toks.select(explode(col("w")).as("term"))
+      .agg(countDistinct("term").as("v_size"))
     db
-      .join(bvocab, "bigram")
-      .join(uvocab.withColumnRenamed("term", "prev").withColumnRenamed("ufreq", "pfreq"), "prev")
+      .withColumn("bfreq", bfreq)
+      .withColumn("pfreq", pfreq)
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")
       .agg(
@@ -451,13 +461,13 @@ object Pipeline {
        |  WHERE len(w) >= 2),
        | db AS (SELECT doc_id, prev, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
        | bvocab AS (SELECT bigram, CAST(SUM(n) AS BIGINT) AS bfreq FROM db GROUP BY 1),
+       | hist AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS pfreq FROM db GROUP BY 1),
        | words AS (SELECT unnest(w) AS term FROM toks),
-       | uvocab AS (SELECT term, COUNT(*) AS ufreq FROM words GROUP BY 1),
-       | sc AS (SELECT COUNT(*) AS v_size FROM uvocab)
+       | sc AS (SELECT COUNT(DISTINCT term) AS v_size FROM words)
        | SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_bigrams,
-       |  ${flSql("SUM(CAST(db.n AS DOUBLE) * -ln((CAST(bv.bfreq AS DOUBLE) + 1) / (CAST(uv.ufreq AS DOUBLE) + CAST(sc.v_size AS DOUBLE)))) / CAST(SUM(db.n) AS DOUBLE)", 4)} AS mean_nll
+       |  ${flSql("SUM(CAST(db.n AS DOUBLE) * -ln((CAST(bv.bfreq AS DOUBLE) + 1) / (CAST(h.pfreq AS DOUBLE) + CAST(sc.v_size AS DOUBLE)))) / CAST(SUM(db.n) AS DOUBLE)", 4)} AS mean_nll
        | FROM db JOIN bvocab bv ON db.bigram = bv.bigram
-       | JOIN uvocab uv ON db.prev = uv.term CROSS JOIN sc
+       | JOIN hist h ON db.prev = h.prev CROSS JOIN sc
        | GROUP BY 1""".stripMargin.replace("\n", "")
 
   // ---- #71 corpus term statistics ------------------------------------------
