@@ -78,6 +78,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(mh.count() >= 0) // must evaluate; too-short docs simply have no shingles
   }
 
+  test("new round-2 ops survive empty and pathological corpora") {
+    assert(Dedup.dedupLines(emptyDocs).count() == 0)
+    assert(Pipeline.bigramNll(emptyDocs).count() == 0)
+    // single-token and empty docs have no bigrams; whitespace-only docs
+    // must not produce ghost tokens
+    val s = spark
+    import s.implicits._
+    val blank = Seq((1L, "", "en", "s"), (2L, "solo", "en", "s"), (3L, "a b", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val nll = Pipeline.bigramNll(blank).collect()
+    assert(nll.map(_.getLong(0)).toSet == Set(3L), "only the 2-token doc has a bigram")
+    // dedupLines on pathological docs: every input doc_id comes back,
+    // counts are consistent
+    val dl = Dedup.dedupLines(weirdDocs).collect()
+    assert(dl.length == Dedup.dedupInput(weirdDocs).count())
+    dl.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("unigramNll on whitespace-only corpus yields no rows rather than dividing by zero") {
     val s = spark
     import s.implicits._
