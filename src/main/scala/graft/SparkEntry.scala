@@ -118,6 +118,7 @@ object SparkEntry {
     "t_strip_html" -> ((s, d) => TextOps.stripHtmlDocs(docs(s, d))),
     "t_char_entropy" -> ((s, d) => TextOps.charEntropyDocs(docs(s, d))),
     "t_gopher_rules" -> ((s, d) => TextOps.gopherRulesDocs(docs(s, d))),
+    "t_parse_query" -> ((s, d) => TextOps.parseQueryDocs(docs(s, d))),
     // --- corpus-pipeline ops (#61-64) ---
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
@@ -216,6 +217,7 @@ object SparkEntry {
     "t_strip_html" -> TextOps.stripHtmlDocsSql,
     "t_char_entropy" -> TextOps.charEntropyDocsSql,
     "t_gopher_rules" -> TextOps.gopherRulesDocsSql,
+    "t_parse_query" -> TextOps.parseQueryDocsSql,
     "p_decontaminate" -> Pipeline.decontaminateSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),

@@ -350,4 +350,92 @@ object TextOps {
        | $scrubbed AS scrubbed
        | FROM documents""".stripMargin.replace("\n", "")
   }
+
+  // ---- #90 search-query operator parsing ------------------------------------
+  // parse_search_query (web/utils.py:288): extract `channel:"..."` /
+  // `channel:x` / `from:YYYY-MM-DD` / `to:YYYY-MM-DD` operators from a raw
+  // search string, validate the dates, and return the residual free-text
+  // query — the structured-filter front end of search_highlights (#36).
+  // The corpus has no operators, so they are injected deterministically
+  // (identical CASE in the oracle), including an INVALID date arm to
+  // exercise the validation path. One deliberate deviation from the
+  // reference: removal strips EVERY occurrence of an operator, not just
+  // the first (re.search splice) — identical on single-occurrence inputs,
+  // and the saner cleaning rule; RE2-compatible patterns as in the PII op.
+  private val chanPat = "channel:\"([^\"]+)\"|channel:(\\S+)"
+  private val fromPat = "from:(\\d{4}-\\d{2}-\\d{2})"
+  private val toPat = "to:(\\d{4}-\\d{2}-\\d{2})"
+
+  private def synthQuery: Column = {
+    val t = substring(col("text"), 1, 40); val m = col("doc_id") % 5
+    when(m === 0, concat(lit("channel:\"Pekora Ch.\" from:2024-01-15 "), t))
+      .when(m === 1, concat(t, lit(" channel:chan_"), (col("doc_id") % 7).cast("string")))
+      .when(m === 2, concat(t, lit(" from:2024-02-30")))
+      .when(m === 3, concat(t, lit(" to:2024-03-10 till then")))
+      .otherwise(t)
+  }
+  private val synthQuerySql =
+    """CASE doc_id % 5
+      | WHEN 0 THEN concat('channel:"Pekora Ch." from:2024-01-15 ', substr(text, 1, 40))
+      | WHEN 1 THEN concat(substr(text, 1, 40), ' channel:chan_', CAST(doc_id % 7 AS VARCHAR))
+      | WHEN 2 THEN concat(substr(text, 1, 40), ' from:2024-02-30')
+      | WHEN 3 THEN concat(substr(text, 1, 40), ' to:2024-03-10 till then')
+      | ELSE substr(text, 1, 40) END""".stripMargin.replace("\n", "")
+
+  def parseQueryDocs(documents: DataFrame): DataFrame = {
+    val q = synthQuery
+    documents
+      .select(
+        col("doc_id"),
+        coalesce(
+          nullif(regexp_extract(q, chanPat, 1), lit("")),
+          nullif(regexp_extract(q, chanPat, 2), lit(""))).as("channel_raw"),
+        nullif(regexp_extract(q, fromPat, 1), lit("")).as("from_s"),
+        nullif(regexp_extract(q, toPat, 1), lit("")).as("to_s"),
+        trim(regexp_replace(regexp_replace(regexp_replace(q,
+          chanPat, ""), fromPat, ""), toPat, "")).as("clean_raw"))
+      .withColumn("from_d", expr("try_to_date(from_s)"))
+      .withColumn("to_d", expr("try_to_date(to_s)"))
+      .withColumn("error",
+        when(col("from_s").isNotNull && col("from_d").isNull,
+          concat(lit("invalid from date: "), col("from_s")))
+          .when(col("to_s").isNotNull && col("to_d").isNull,
+            concat(lit("invalid to date: "), col("to_s"))))
+      // the reference returns (None, None, error) on a validation failure:
+      // every parsed field nulls out, only the error survives
+      .select(
+        col("doc_id"),
+        when(col("error").isNull, col("clean_raw")).as("clean_query"),
+        when(col("error").isNull, col("channel_raw")).as("channel_name"),
+        when(col("error").isNull, col("from_d")).as("from_date"),
+        when(col("error").isNull, col("to_d")).as("to_date"),
+        col("error"))
+  }
+
+  val parseQueryDocsSql: String =
+    s"""WITH src AS (SELECT doc_id, ($synthQuerySql) AS q FROM documents),
+       | ex AS (
+       |  SELECT doc_id,
+       |   coalesce(nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:(\\S+)', 1), ''),
+       |            nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:(\\S+)', 2), '')) AS channel_raw,
+       |   nullif(regexp_extract(q, 'from:(\\d{4}-\\d{2}-\\d{2})', 1), '') AS from_s,
+       |   nullif(regexp_extract(q, 'to:(\\d{4}-\\d{2}-\\d{2})', 1), '') AS to_s,
+       |   trim(regexp_replace(regexp_replace(regexp_replace(q,
+       |    'channel:"([^"]+)"|channel:(\\S+)', '', 'g'), 'from:\\d{4}-\\d{2}-\\d{2}', '', 'g'),
+       |    'to:\\d{4}-\\d{2}-\\d{2}', '', 'g')) AS clean_raw
+       |  FROM src),
+       | v AS (
+       |  SELECT *, TRY_CAST(from_s AS DATE) AS from_d, TRY_CAST(to_s AS DATE) AS to_d,
+       |   CASE WHEN from_s IS NOT NULL AND TRY_CAST(from_s AS DATE) IS NULL
+       |     THEN 'invalid from date: ' || from_s
+       |    WHEN to_s IS NOT NULL AND TRY_CAST(to_s AS DATE) IS NULL
+       |     THEN 'invalid to date: ' || to_s END AS error
+       |  FROM ex)
+       | SELECT doc_id,
+       |  CASE WHEN error IS NULL THEN clean_raw END AS clean_query,
+       |  CASE WHEN error IS NULL THEN channel_raw END AS channel_name,
+       |  CASE WHEN error IS NULL THEN from_d END AS from_date,
+       |  CASE WHEN error IS NULL THEN to_d END AS to_date,
+       |  error
+       | FROM v""".stripMargin.replace("\n", "")
 }

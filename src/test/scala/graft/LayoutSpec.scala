@@ -64,6 +64,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("resetMonth drops exactly one month's partition, dry-run touches nothing") {
+    val root = "/tmp/graft-test-reset-month"
+    val orders = Tables.orders(spark, sfDir)
+    Layout.writeMonthPartitioned(orders, root, "o_orderdate")
+    val total = spark.read.parquet(root).count()
+    val target = "1996-03-01"
+    val inMonth = orders
+      .filter(to_date(date_trunc("month", col("o_orderdate"))) === to_date(lit(target)))
+      .count()
+    assert(inMonth > 0, "test month must be populated")
+    // dry run: reports the count, deletes nothing
+    assert(Layout.resetMonth(spark, root, target, dryRun = true) == inMonth)
+    assert(spark.read.parquet(root).count() == total)
+    // real run: that month's rows are gone, every other row intact
+    assert(Layout.resetMonth(spark, root, target) == inMonth)
+    val after = spark.read.parquet(root)
+    assert(after.count() == total - inMonth)
+    assert(after.filter(col("month") === to_date(lit(target))).count() == 0)
+  }
+
   test("bucketed-by-key join is exchange-free; unbucketed join shuffles") {
     val act = EventSemantics.userWeeklyActivity(Tables.events(spark, sfDir))
     Layout.writeBucketed(act, "act_bucketed_a", "user_id", 4)

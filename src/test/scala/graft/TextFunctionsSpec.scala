@@ -124,6 +124,40 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("parseQueryDocs matches parse_search_query on its operator grammar") {
+    val s = spark
+    import s.implicits._
+    // one doc per injection arm: quoted channel + from, bare channel,
+    // invalid from date (error), to date, no operators
+    val docsDf = Seq(
+      (0L, "spring karaoke stream", "en", "s"),
+      (1L, "zatsudan archive", "en", "s"),
+      (2L, "collab highlights", "en", "s"),
+      (3L, "birthday live", "en", "s"),
+      (4L, "outfit reveal", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextOps.parseQueryDocs(docsDf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: channel:"Pekora Ch." from:2024-01-15 <text> — both extracted,
+    // clean text is the original prefix (reference splice + strip)
+    assert(out(0L).getString(2) == "Pekora Ch.")
+    assert(out(0L).getDate(3).toString == "2024-01-15")
+    assert(out(0L).getString(1) == "spring karaoke stream")
+    assert(out(0L).isNullAt(5))
+    // doc 1: bare channel form
+    assert(out(1L).getString(2) == "chan_1")
+    assert(out(1L).getString(1) == "zatsudan archive")
+    // doc 2: from:2024-02-30 is not a real date — error, every field null
+    assert(out(2L).getString(5) == "invalid from date: 2024-02-30")
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    // doc 3: to-date extracted, residual text keeps the trailing words
+    assert(out(3L).getDate(4).toString == "2024-03-10")
+    assert(out(3L).getString(1) == "birthday live  till then")
+    // doc 4: no operators — text passes through trimmed
+    assert(out(4L).getString(1) == "outfit reveal")
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(3) && out(4L).isNullAt(4))
+  }
+
   test("gopherRules: each rule trips on its designed violation, clean doc keeps") {
     val s = spark
     import s.implicits._
