@@ -130,6 +130,9 @@ object SparkEntry {
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "p_corpus_build" -> ((s, d) => Pipeline.corpusBuild(docs(s, d))),
     "p_token_percentiles" -> ((s, d) => Pipeline.tokenPercentiles(docs(s, d))),
+    // KLL-sketch twin — engine-specific interpolation, so rows-only check;
+    // the spec bounds its error against the exact percentiles
+    "p_token_percentiles_approx" -> ((s, d) => Pipeline.tokenPercentilesApprox(docs(s, d))),
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
     "p_bigram_nll" -> ((s, d) => Pipeline.bigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),

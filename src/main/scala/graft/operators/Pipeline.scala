@@ -532,6 +532,26 @@ object Pipeline {
        | FROM t GROUP BY 1""".stripMargin.replace("\n", "")
   }
 
+  /** Sketch twin of [[tokenPercentiles]] for the interactive path (#91):
+    * `approx_percentile` (KLL-style mergeable sketch) instead of the exact
+    * `percentile` — at 100 TB the exact form buffers every value per
+    * group through the aggregate, the sketch is a fixed-size buffer per
+    * (group, partition) merged map-side like any partial aggregate.
+    * Sketch output is engine-specific → rows-only check; the spec bounds
+    * its rank error against the exact twin.
+    */
+  def tokenPercentilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    import graft.functions.TextFunctions
+    documents
+      .select(col("lang"), TextFunctions.wsTokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n, 0.5, $accuracy)").cast("double").as("p50"),
+        expr(s"approx_percentile(n, 0.9, $accuracy)").cast("double").as("p90"),
+        expr(s"approx_percentile(n, 0.99, $accuracy)").cast("double").as("p99"))
+  }
+
   // ---- #76 end-to-end corpus build -----------------------------------------
   /** The capstone composition: clean → quality-filter → exact-dedup →
     * sequence-pack as ONE declarative plan — the whole corpus-prep

@@ -162,6 +162,23 @@ class PipelineSpec extends SparkSpec {
     assert(res.values.map(_._2).toSet.size > 1, "nll must not be constant")
   }
 
+  test("tokenPercentilesApprox: sketch stays within one grid step of exact") {
+    val exact = Pipeline.tokenPercentiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Pipeline.tokenPercentilesApprox(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    // token counts here span ~10..100: at accuracy=10000 the sketch is
+    // effectively exact up to interpolation (exact percentile interpolates
+    // between adjacent counts, the sketch returns an observed value)
+    approx.foreach { case (lang, (a50, a90, a99)) =>
+      val (e50, e90, e99) = exact(lang)
+      assert(math.abs(a50 - e50) <= 1.0, s"$lang p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 1.0, s"$lang p90: $a90 vs $e90")
+      assert(math.abs(a99 - e99) <= 1.0, s"$lang p99: $a99 vs $e99")
+    }
+  }
+
   test("topTerms: contiguous ranks per lang, frequencies non-increasing") {
     val res = Pipeline.topTerms(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
