@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's monthly ETL driver — `refresh_membership_data_for_month`
+  * and the materialized-view definitions (data_ingestion/db/queries.py:120-226)
+  * — run end-to-end off the raw cache layout: this is the last mile of the
+  * switchover story. A HoloChatStats user points [[ChatLogSources]] at the
+  * cache directory, calls [[refreshAll]], and gets the exact relations the
+  * reference's PostgreSQL procedures materialize.
+  *
+  * Scale shape: `userData` is the one fact rollup (partial-agg keyed by its
+  * own grouping); the video→channel attribution is a broadcast dim join
+  * (the video dim is orders below the chat logs); each MV is one further
+  * partial-agg shuffle over the rollup; the membership dedup window is
+  * partitioned by (user, channel) — bounded groups at any volume. The
+  * month predicate filters BEFORE the window, the same pruning the
+  * reference's procedure comments call out.
+  */
+object MonthlyRefresh {
+
+  /** The `user_data` table (chat_downloader.py:152-179 build + channel
+    * attribution): per (user, video) rollup joined to the video dim for
+    * channel_id, with `last_ts` standing in for last_message_at.
+    */
+  def userData(chatLogs: DataFrame, videoMeta: DataFrame): DataFrame =
+    ChatLogSources.userVideoRollup(chatLogs)
+      .join(broadcast(videoMeta.select("video_id", "channel_id")), Seq("video_id"))
+
+  private def observedMonth(c: String) =
+    date_trunc("month", col(c)).cast("date").as("observed_month")
+
+  /** mv_user_monthly_activity (queries.py:179): user × channel × month →
+    * Σ messages, gift-only rows excluded.
+    */
+  def userMonthlyActivity(userData: DataFrame): DataFrame =
+    userData.filter(col("total_message_count") > 0)
+      .groupBy(col("user_id"), col("channel_id"), observedMonth("last_ts"))
+      .agg(sum("total_message_count").as("monthly_message_count"))
+
+  /** chat_language_stats_mv (queries.py:210): channel × month →
+    * per-category sums + total.
+    */
+  def chatLanguageStats(userData: DataFrame): DataFrame =
+    userData.filter(col("total_message_count") > 0)
+      .groupBy(col("channel_id"), observedMonth("last_ts"))
+      .agg(
+        sum("jp_count").as("jp_count"), sum("kr_count").as("kr_count"),
+        sum("ru_count").as("ru_count"), sum("emoji_count").as("emoji_count"),
+        sum("es_en_id_count").as("es_en_id_count"),
+        sum("total_message_count").as("total_messages"))
+
+  /** mv_user_language_per_month (queries.py:226): user × channel × month →
+    * Σ jp, Σ (total − emoji).
+    */
+  def userLanguagePerMonth(userData: DataFrame): DataFrame =
+    userData.filter(col("total_message_count") > 0)
+      .groupBy(col("user_id"), col("channel_id"), observedMonth("last_ts"))
+      .agg(
+        sum("jp_count").as("total_jp_messages"),
+        sum(col("total_message_count") - col("emoji_count")).as("total_non_emoji_messages"))
+
+  /** refresh_membership_data_for_month (queries.py:120-177): inside the
+    * target month, keep each (user, channel)'s authoritative rank row
+    * (known rank ≥ 0 first, then unknown-member −2, then non-member;
+    * latest timestamp inside each class) and aggregate the rank
+    * distribution per channel with its share of the channel total.
+    * Gift-only rows participate (the reference's scan has no
+    * total > 0 filter — that is what the −2 class exists for). One
+    * deterministic addition: video_id breaks exact (class, timestamp)
+    * ties, which PostgreSQL's ROW_NUMBER leaves unspecified.
+    */
+  def membershipSummary(userData: DataFrame, channels: DataFrame,
+                        targetMonth: String): DataFrame = {
+    val start = to_date(lit(targetMonth))
+    val cls = when(col("membership_rank") >= 0, 0)
+      .when(col("membership_rank") === -2, 1)
+      .otherwise(2)
+    val w = Window.partitionBy("user_id", "channel_id")
+      .orderBy(cls.asc, col("last_ts").desc, col("video_id").asc)
+    val latest = userData
+      .filter(col("last_ts") >= start && col("last_ts") < add_months(start, 1))
+      // a gift-only row never saw a rank: the reference stores it as the
+      // unknown-member class (-2), so restore that BEFORE classifying
+      .withColumn("membership_rank", coalesce(col("membership_rank"), lit(-2)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("channel_id"), observedMonth("last_ts"),
+        col("membership_rank"))
+    val chanTotal = Window.partitionBy("channel_name", "observed_month")
+    latest
+      .join(broadcast(channels), Seq("channel_id"))
+      .groupBy(col("channel_group"), col("channel_name"),
+        col("observed_month"), col("membership_rank"))
+      .agg(count(lit(1)).as("membership_count"))
+      .withColumn("percentage_total",
+        round(col("membership_count") * lit(100d) / sum("membership_count").over(chanTotal), 2))
+  }
+
+  /** Every relation the reference's monthly refresh materializes, off the
+    * raw cache in one call.
+    */
+  def refreshAll(chatLogs: DataFrame, videoMeta: DataFrame, channels: DataFrame,
+                 targetMonth: String): Map[String, DataFrame] = {
+    val ud = userData(chatLogs, videoMeta)
+    Map(
+      "user_data" -> ud,
+      "mv_user_monthly_activity" -> userMonthlyActivity(ud),
+      "chat_language_stats_mv" -> chatLanguageStats(ud),
+      "mv_user_language_per_month" -> userLanguagePerMonth(ud),
+      "membership_data_summary" -> membershipSummary(ud, channels, targetMonth))
+  }
+}

@@ -75,6 +75,39 @@ class ChatLogSourcesSpec extends SparkSpec {
       ("GroupTwo", "Gamma", "chanZ")))
   }
 
+  test("monthlyRefresh materializes the reference's MV set off the raw cache") {
+    import graft.sources.MonthlyRefresh
+    val logs = ChatLogSources.readChatLogs(spark, dir)
+    val meta = ChatLogSources.readVideoMetadata(spark, dir)
+    val chans = ChatLogSources.readChannels(spark, s"$dir/channels.json")
+    val mvs = MonthlyRefresh.refreshAll(logs, meta, chans, "2023-11-01")
+    // mv_user_monthly_activity: u2's two chanX videos merge into one month
+    // row; gift-only u3 is excluded by the total > 0 filter
+    val act = mvs("mv_user_monthly_activity").collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("monthly_message_count")).toMap
+    assert(act == Map("u1" -> 2L, "u2" -> 2L))
+    // chat_language_stats_mv: one chanX/November row, categories reconcile
+    val ls = mvs("chat_language_stats_mv").collect()
+    assert(ls.length == 1)
+    val l = ls.head
+    assert(l.getAs[Long]("jp_count") == 2L && l.getAs[Long]("emoji_count") == 1L
+      && l.getAs[Long]("es_en_id_count") == 1L && l.getAs[Long]("total_messages") == 4L)
+    // mv_user_language_per_month: non-emoji excludes u2's emoji message
+    val ul = mvs("mv_user_language_per_month").collect()
+      .map(r => r.getAs[String]("user_id") ->
+        (r.getAs[Long]("total_jp_messages"), r.getAs[Long]("total_non_emoji_messages"))).toMap
+    assert(ul == Map("u1" -> (2L, 2L), "u2" -> (0L, 1L)))
+    // membership_data_summary: u2's member row (rank 0, class 0) outranks
+    // the non-member sighting; gift-only u3 lands in the unknown class (-2);
+    // three singleton ranks split the channel 33.33 / 33.33 / 33.33
+    val ms = mvs("membership_data_summary").collect()
+      .map(r => r.getAs[Int]("membership_rank") ->
+        (r.getAs[Long]("membership_count"), r.getAs[Double]("percentage_total"))).toMap
+    assert(ms == Map(2 -> (1L, 33.33), 0 -> (1L, 33.33), -2 -> (1L, 33.33)))
+    assert(mvs("membership_data_summary").select("channel_group").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("GroupOne"))
+  }
+
   test("userVideoRollup bridges raw logs to the user_data build") {
     val logs = ChatLogSources.readChatLogs(spark, dir)
     val r = ChatLogSources.userVideoRollup(logs).collect()
