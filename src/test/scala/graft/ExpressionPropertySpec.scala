@@ -134,6 +134,31 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("PqEncode matches the naive full-distance argmin on random vectors (codegen path)") {
+    val dim = 16; val m = 4; val k = 8; val sub = dim / m
+    val cbGen = Gen.listOfN(m * k * sub, finiteD)
+    val codebook = sample(cbGen, 1).head.toArray
+    val gen = Gen.listOfN(dim, finiteD).map(_.toArray)
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(v => Row(v.toSeq)), 4), schema)
+    val got = df.select(VectorFunctions.pqEncode(col("v"), dim, m, k, codebook).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    got.zip(data).foreach { case (codes, v) =>
+      (0 until m).foreach { s =>
+        // naive model: full squared distance, first minimum wins
+        val dists = (0 until k).map { c =>
+          (0 until sub).map { j =>
+            val d = v(s * sub + j) - codebook((s * k + c) * sub + j); d * d
+          }.sum
+        }
+        val want = dists.indexOf(dists.min)
+        assert(codes(s) == want, s"subspace $s: got ${codes(s)}, want $want (v=${v.toSeq})")
+      }
+    }
+  }
+
   test("vec_sum aggregates element-wise across partitions like the driver-side model") {
     val dim = 8
     val gen = for {
