@@ -136,6 +136,7 @@ object SparkEntry {
     "p_unigram_nll" -> ((s, d) => Pipeline.unigramNll(docs(s, d))),
     "p_bigram_nll" -> ((s, d) => Pipeline.bigramNll(docs(s, d))),
     "p_top_terms" -> ((s, d) => Pipeline.topTerms(docs(s, d))),
+    "p_bpe_pairs" -> ((s, d) => Pipeline.bpePairs(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
@@ -234,6 +235,7 @@ object SparkEntry {
     "p_unigram_nll" -> Pipeline.unigramNllSql,
     "p_bigram_nll" -> Pipeline.bigramNllSql,
     "p_top_terms" -> Pipeline.topTermsSql(),
+    "p_bpe_pairs" -> Pipeline.bpePairsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),

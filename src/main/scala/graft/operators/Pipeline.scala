@@ -552,6 +552,43 @@ object Pipeline {
         expr(s"approx_percentile(n, 0.99, $accuracy)").cast("double").as("p99"))
   }
 
+  // ---- #92 BPE merge-pair statistics -----------------------------------------
+  /** The first iteration of BPE tokenizer training: corpus-wide frequency
+    * of adjacent character pairs WITHIN words, top-k by count — the merge
+    * candidates a byte-pair-encoding vocabulary build scores each round.
+    * The stage a training-data pipeline runs between corpus prep and
+    * tokenization; iterating it (merge → re-pair) is the whole trainer,
+    * and each iteration is this same plan shape.
+    *
+    * Scale: pairs are generated IN-ROW (per-word transform over the token
+    * array — no join, no per-character rows crossing any exchange until
+    * the count), reduced by one partial-agg shuffle keyed by the pair
+    * (≤ alphabet² distinct keys — partial aggregation absorbs virtually
+    * the whole stream map-side), and top-k is a TakeOrdered, never a
+    * global sort. Deterministic tiebreak on the pair string.
+    */
+  def bpePairs(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(expr(
+        """flatten(transform(
+          | filter(split(lower(trim(text)), '\\s+'), w -> length(w) >= 2),
+          | w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"""
+          .stripMargin.replace("\n", ""))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(k)
+
+  def bpePairsSql(k: Int = 20): String =
+    s"""WITH words AS (
+       |  SELECT unnest(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+       |   w -> length(w) >= 2)) AS w
+       |  FROM documents),
+       | pairs AS (
+       |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+       |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS u(i))
+       | SELECT pair, COUNT(*) AS freq FROM pairs GROUP BY 1
+       | ORDER BY freq DESC, pair ASC LIMIT $k""".stripMargin.replace("\n", "")
+
   // ---- #76 end-to-end corpus build -----------------------------------------
   /** The capstone composition: clean → quality-filter → exact-dedup →
     * sequence-pack as ONE declarative plan — the whole corpus-prep

@@ -179,6 +179,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bpePairs: within-word adjacent pairs counted, ordered by freq then pair") {
+    val s = spark
+    import s.implicits._
+    // 'aaa' -> aa,aa; 'bb' -> bb; 'ab' x2 -> ab,ab; single chars ignored
+    val tiny = Seq((1L, "aaa bb", "en", "s"), (2L, "ab ab c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.bpePairs(tiny).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aa", 2L), ("ab", 2L), ("bb", 1L)))
+    // corpus run: top-k, non-increasing frequency, deterministic
+    val top = Pipeline.bpePairs(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.size == 20)
+    assert(top.sliding(2).forall { case Seq(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    assert(top.forall(_._1.length == 2))
+  }
+
   test("topTerms: contiguous ranks per lang, frequencies non-increasing") {
     val res = Pipeline.topTerms(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
