@@ -220,6 +220,49 @@ object Vectors {
        | ORDER BY cosine DESC, c.vec_id ASC LIMIT $k""".stripMargin.replace("\n", "")
   }
 
+  // ---- #94 blocked kNN join --------------------------------------------------
+  /** k-nearest-neighbor JOIN: for EVERY vector, its k most similar
+    * neighbors inside its blocking cell — the kNN-graph build that
+    * semantic-dedup (SemDeDup-style) and embedding-clustering pipelines
+    * run corpus-wide, as opposed to the single-query ANN paths (#43/44/83/89).
+    *
+    * Scale: the self-join is keyed by the blocking label (at 100 TB the
+    * IVF cell / LSH bucket — the same blocking [[graft.operators.Dedup.embedNearDup]]
+    * uses), so each task only scores within its block; the per-vector
+    * top-k is a window PARTITIONED BY the source vector (group size =
+    * block size, never the corpus), and WindowGroupLimit pushes the
+    * rank <= k filter below the exchange. No global sort anywhere.
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
+    withNorm.as("a")
+      .join(withNorm.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
+
+  def knnJoinSql(k: Int = 5): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH pairs AS (
+       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
+       | FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id <> b.vec_id)
+       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
+       |  FROM pairs)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+  }
+
   // ---- #89 product-quantization ANN ----------------------------------------
   /** Deterministic Lloyd-iteration codebook: per subspace, k centroids
     * trained on a driver-bounded sample (init = the sample's first k

@@ -180,6 +180,31 @@ class DedupVectorsSpec extends SparkSpec {
     assert(brute == ivfAll)
   }
 
+  test("knnJoin: contiguous ranks per vector, top neighbor agrees with brute force") {
+    val nn = Vectors.knnJoin(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byA = nn.groupBy(_._1)
+    // block sizes: label cardinality per cell
+    val blockOf = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val blockSize = blockOf.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    byA.foreach { case (a, rows) =>
+      val ranks = rows.map(_._4).sorted.toSeq
+      val expect = math.min(3, blockSize(blockOf(a)) - 1)
+      assert(ranks == (1L to expect), s"vec $a ranks $ranks")
+      // non-increasing cosine along the rank order
+      val byRank = rows.sortBy(_._4).map(_._3).toSeq
+      assert(byRank.sliding(2).forall { case Seq(x, y) => x >= y })
+    }
+    // rank-1 neighbor of the query vector matches the in-block brute-force argmax
+    val q0 = nn.filter(r => r._1 == 0L && r._4 == 1L).head
+    val brute = Dedup.embedNearDup(emb, minCos = -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter(_._1 == 0L)
+      .maxBy(r => (r._3, -r._2))
+    assert(q0._2 == brute._2 && q0._3 == brute._3)
+  }
+
   test("ann: pq with rerank >= corpus reproduces brute force exactly") {
     // exact re-rank over every row = brute-force top-k, independent of
     // quantization quality — pins the ADC + re-rank plumbing
