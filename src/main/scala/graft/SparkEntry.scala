@@ -97,6 +97,7 @@ object SparkEntry {
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(docs(s, d))),
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(docs(s, d))),
     "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(docs(s, d))),
+    "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -207,6 +208,7 @@ object SparkEntry {
     "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),
     "d_substring_overlap" -> Dedup.substringOverlapSql(),
     "d_dedup_lines" -> Dedup.dedupLinesSql(),
+    "d_semdedup" -> Dedup.semDedupSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),

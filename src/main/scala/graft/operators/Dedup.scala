@@ -235,6 +235,16 @@ object Dedup {
     // instead of each recomputing the whole minhash lineage
     val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()
     val nodes = dedupInput(documents).select("doc_id")
+    assignClusters(pairs, nodes, maxIterations, smallGraphEdges)
+  }
+
+  /** Cluster assignment over an arbitrary near-dup pair graph — shared by
+    * the minhash clusters (#57) and semantic dedup (#95). `pairs` must be
+    * (doc_a, doc_b) LONG columns (cached by the caller if its lineage is
+    * expensive); `nodes` the full (doc_id) node set.
+    */
+  private def assignClusters(pairs: DataFrame, nodes: DataFrame,
+                             maxIterations: Int, smallGraphEdges: Long): DataFrame = {
     // ONE action decides the path AND fetches the small graph: collect at
     // most threshold+1 edges — if we got <= threshold, that IS the complete
     // edge list (limit is only a cap); a full count()+collect() pair would
@@ -258,7 +268,7 @@ object Dedup {
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val spark = documents.sparkSession
+      val spark = pairs.sparkSession
       import spark.implicits._
       parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "edge_cluster")
     } else {
@@ -273,6 +283,39 @@ object Dedup {
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
       .withColumn("is_survivor", col("cluster_id") === col("doc_id"))
   }
+
+  // ---- #95 semantic dedup (SemDeDup) ----------------------------------------
+  /** Embedding-space semantic dedup end-to-end: the cosine near-dup pair
+    * graph (#42's same-label block join) → connected components → one
+    * survivor (min vec_id) per semantic cluster — the SemDeDup recipe
+    * (cluster the embedding space, drop all but one per near-duplicate
+    * group) composed from the library's own pieces. Output is one row per
+    * vector: (vec_id, cluster_id, is_survivor).
+    *
+    * Scale: pair generation is the blocked join (the label is the IVF
+    * cell/LSH bucket at 100 TB); components use the identical two-path
+    * machinery as #57 (capped driver union-find below the edge threshold,
+    * pointer-jumping min-label propagation above it).
+    */
+  def semDedup(embeddings: DataFrame, minCos: Double = 0.3,
+               maxIterations: Int = 50, smallGraphEdges: Long = 500000L): DataFrame = {
+    val pairs = embedNearDup(embeddings, minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
+    val nodes = embeddings.select(col("vec_id").as("doc_id"))
+    assignClusters(pairs, nodes, maxIterations, smallGraphEdges)
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  def semDedupSql(minCos: Double = 0.3): String =
+    s"""WITH RECURSIVE pairs AS (${embedNearDupSql(minCos)}),
+       | e2 AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+       | reach AS (
+       |  SELECT vec_id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT reach.vec_id, e2.b AS r FROM reach JOIN e2 ON e2.a = reach.r)
+       | SELECT vec_id, MIN(r) AS cluster_id, (MIN(r) = vec_id) AS is_survivor
+       | FROM reach GROUP BY 1""".stripMargin.replace("\n", "")
 
   /** Exact distributed connected components by accelerated min-label
     * propagation over a directed pair list (made undirected internally).

@@ -180,6 +180,29 @@ class DedupVectorsSpec extends SparkSpec {
     assert(brute == ivfAll)
   }
 
+  test("semDedup: clusters close the near-dup graph, exactly one survivor each") {
+    val pairs = Dedup.embedNearDup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val out = Dedup.semDedup(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every vector assigned; paired vectors share a cluster
+    assert(out.size == emb.count())
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 == out(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // each cluster: id = min member, exactly one survivor (that min)
+    out.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      val survivors = members.filter(_._2._2).keys.toSeq
+      assert(survivors == Seq(cid), s"cluster $cid survivors $survivors")
+    }
+    // both component paths agree
+    val dist = Dedup.semDedup(emb, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dist == out)
+  }
+
   test("knnJoin: contiguous ranks per vector, top neighbor agrees with brute force") {
     val nn = Vectors.knnJoin(emb, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
