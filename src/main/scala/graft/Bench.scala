@@ -55,19 +55,28 @@ object Bench {
     // passes would evict them between reps and re-measure compilation, which
     // at real scale is noise, not plan cost). Caches cleared between queries
     // so one query's pinned relations never skew the next one's memory budget.
+    val counter = new JobCounter(spark.sparkContext)
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      var countsBefore = (0L, 0L, 0L)
+      val times = (1 to 2).map { rep =>
         spark.catalog.clearCache()
+        if (rep == 2) countsBefore = counter.snapshot()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // job/stage counts from rep 2 only (steady state, codegen cache warm)
+      val after = counter.snapshot()
+      (name, times.min, after._1 - countsBefore._1, after._2 - countsBefore._2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val js = results.map { case (k, _, j, _) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val ss = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,15 +23,20 @@ object Profile {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val counter = new JobCounter(spark.sparkContext)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         spark.catalog.clearCache()
+        val before = counter.snapshot()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = counter.snapshot()
+        (sec, after._1 - before._1, after._2 - before._2)
       }
-      println(f"PROFILE $name%-28s ${times.map(t => f"$t%.3f").mkString("  ")}")
+      val cells = runs.map { case (t, j, s) => f"$t%.3f (${j}j/${s}s)" }
+      println(f"PROFILE $name%-28s ${cells.mkString("  ")}")
     }
     spark.stop()
   }

@@ -48,21 +48,44 @@ object ChatStats {
     * (>=0) beat unknown gift ranks (-2) beat non-member, latest timestamp
     * wins — then count per (channel, rank) with % of channel total.
     */
-  def membershipSummary(events: DataFrame): DataFrame = {
-    val ud = userData(events)
-      .withColumn("week", to_date(date_trunc("week", col("day"))))
+  def membershipSummary(events: DataFrame): DataFrame =
+    membershipSummaryFrom(weeklyUserData(events))
+
+  /** userData extended with the ISO week — the input shape of the
+    * membership seams (and the MV a warehouse would maintain for them).
+    */
+  def weeklyUserData(events: DataFrame): DataFrame =
+    userData(events).withColumn("week", to_date(date_trunc("week", col("day"))))
+
+  /** Authoritative weekly rank per (user, channel): the day-row winning
+    * (known > unknown-gift > non-member, then latest activity). A pick-best
+    * `min_by` over a lexicographic key — NOT a row_number window: the hash
+    * aggregate pre-combines map-side (each task emits one candidate row per
+    * group before the shuffle) and never sorts, where the window form
+    * shuffles every day-row and sorts each partition twice. Ties are
+    * impossible: within a (user, channel, week), distinct days have
+    * distinct last_ts (max ts of disjoint day ranges).
+    */
+  private def latestWeeklyRank(ud: DataFrame): DataFrame = {
     val prio = when(col("membership_rank") >= 0, 0)
       .when(col("membership_rank") === -2, 1)
       .otherwise(2)
-    val w = Window
-      .partitionBy("user_id", "channel", "week")
-      .orderBy(prio.asc, col("last_ts").desc, col("day").desc)
-    val latest = ud
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("channel", "week", "membership_rank", "user_id")
+    val ordKey = struct(
+      prio.as("p"),
+      (-unix_micros(col("last_ts"))).as("neg_ts"),
+      (-unix_date(col("day"))).as("neg_day"))
+    ud.groupBy("user_id", "channel", "week")
+      .agg(min_by(col("membership_rank"), ordKey).as("membership_rank"))
+  }
+
+  /** Summary from an already-materialized weekly userData rollup — the
+    * deploy seam for a warehouse that maintains the MV as a table (like
+    * [[attritionFrom]]): no fact pass, one pick-best aggregate, one
+    * count aggregate, one bounded (channel, week) window.
+    */
+  def membershipSummaryFrom(ud: DataFrame): DataFrame = {
     val chTotal = Window.partitionBy("channel", "week")
-    latest
+    latestWeeklyRank(ud)
       .groupBy("channel", "week", "membership_rank")
       .agg(count("user_id").as("membership_count"))
       .withColumn(
@@ -94,10 +117,13 @@ object ChatStats {
     * all members (rank != -1) per channel per week.
     */
   def membershipTotal(events: DataFrame): DataFrame =
-    membershipSummary(events)
+    // counts users straight off the latest-rank relation — summing the
+    // per-rank counts (and their percentage window) would build a whole
+    // relation this query immediately collapses
+    latestWeeklyRank(weeklyUserData(events))
       .filter(col("membership_rank") =!= -1)
       .groupBy("channel", "week")
-      .agg(sum("membership_count").as("total_members"))
+      .agg(count(lit(1)).as("total_members"))
 
   /** get_chat_leaderboard (api.py:2026): top-10 users by message count per
     * channel-week, as a SALTED two-phase top-k. A single window partitioned

@@ -136,8 +136,14 @@ object Highlights {
       .select(col("o_orderkey"), col("channel"), col("o_orderpriority").as("title"),
         floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long").as("end_epoch"),
         floor(col("o_totalprice")).cast("long").as("dur"))
+    // last_chat scoped to the requested channel group BEFORE aggregating
+    // (the reference's last_chat CTE filters to the channel, api.py:2680):
+    // the semi-join keeps the per-video MAX rollup sized by one group's
+    // chat, not the whole month's corpus. Keyed by video id like the final
+    // join — bucket both by order key and neither moves.
     val lastChat = lineitem
       .filter(col("l_shipdate") >= monthStart && col("l_shipdate") < add_months(monthStart, 1))
+      .join(vids.select(col("o_orderkey").as("vid_key")), col("l_orderkey") === col("vid_key"), "left_semi")
       .groupBy(col("l_orderkey"))
       .agg(floor(max(col("l_shipdate")).cast("timestamp").cast("double")).cast("long").as("last_chat_epoch"))
     vids

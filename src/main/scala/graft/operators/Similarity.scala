@@ -102,21 +102,30 @@ object Similarity {
       .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), "channel_b")
       .select(col("channel_a"), col("channel_b"),
         (col("dot").cast("double") / (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))).as("sim"))
+    // The requesting user's channel vector is bounded by |channels| (the
+    // reference fetches it as one row set per request, api.py:930) — ONE
+    // capped driver collect, then plain literal predicates. The broadcast
+    // formulation spends three jobs (two broadcast builds + a crossJoin
+    // materialization) shipping relations this small around the cluster.
     val mine = w.filter(col("user_id") === userId && col("weight") > 0)
-      .select(col("channel").as("uc"), col("weight"))
-    val nUc = mine.agg(count(lit(1)).as("n_uc"))
-    val excl = mine.filter(col("weight") > exclThreshold).select(col("uc").as("channel_a"))
-    val raw = sims
-      .join(broadcast(mine.select(col("uc"))), col("channel_b") === col("uc"))
-      .groupBy("channel_a").agg(sum("sim").as("raw_score"))
-      .join(broadcast(excl), Seq("channel_a"), "left_anti")
-    raw
-      .crossJoin(broadcast(nUc))
-      .orderBy(col("raw_score").desc, col("channel_a").asc)
-      .limit(k)
-      .select(col("channel_a").as("channel_name"),
-        fl(log(lit(1d) + col("raw_score") / col("n_uc").cast("double") * 100d) / log(lit(101d)) * 100d, 4)
-          .as("score"))
+      .select(col("channel"), col("weight"))
+      .collect()
+    val ucs = mine.map(_.getString(0)).toSeq
+    val nUc = ucs.size.toLong
+    val excl = mine.filter(_.getLong(1) > exclThreshold).map(_.getString(0)).toSeq
+    if (ucs.isEmpty)
+      sims.filter(lit(false))
+        .select(col("channel_a").as("channel_name"), lit(0d).as("score"))
+    else
+      sims
+        .filter(col("channel_b").isin(ucs: _*))
+        .groupBy("channel_a").agg(sum("sim").as("raw_score"))
+        .filter(if (excl.isEmpty) lit(true) else !col("channel_a").isin(excl: _*))
+        .orderBy(col("raw_score").desc, col("channel_a").asc)
+        .limit(k)
+        .select(col("channel_a").as("channel_name"),
+          fl(log(lit(1d) + col("raw_score") / lit(nUc).cast("double") * 100d) / log(lit(101d)) * 100d, 4)
+            .as("score"))
   }
 
   def recommendSql(userId: Long = 3L, exclThreshold: Long = 3L, k: Int = 10): String =
