@@ -45,8 +45,7 @@ object SparkEntry {
       ChatStats.commonUsersPair(ev(s, d), "click", "2024-01-01", "view", "2024-01-08")),
     "q_common_users_matrix" -> ((s, d) => ChatStats.commonUsersMatrix(ev(s, d))),
     "q_common_members" -> ((s, d) => ChatStats.commonMembersMatrix(ev(s, d))),
-    "q_membership_counts" -> ((s, d) => ChatStats.membershipSummary(ev(s, d))
-      .filter(org.apache.spark.sql.functions.col("week") === "2024-01-15")),
+    "q_membership_counts" -> ((s, d) => ChatStats.membershipCounts(ev(s, d), "2024-01-15")),
     "q_membership_total" -> ((s, d) => ChatStats.membershipTotal(ev(s, d))),
     "q_membership_changes" -> ((s, d) => ChatStats.membershipChanges(ev(s, d))),
     "q_chat_leaderboard" -> ((s, d) => ChatStats.leaderboard(ev(s, d))),
@@ -88,15 +87,15 @@ object SparkEntry {
     "q_clustering_communities" -> ((s, d) => Similarity.clusteringCommunities(ev(s, d))),
     "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
     // --- dedup suite (#38-42) ---
-    "d_dedup_exact" -> ((s, d) => Dedup.dedupExact(docs(s, d))),
-    "d_dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(docs(s, d))),
-    "d_dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(docs(s, d))),
-    "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d_dedup_exact" -> ((s, d) => Dedup.dedupExact(Fixtures.plantedDocs(docs(s, d)))),
+    "d_dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(Fixtures.plantedDocs(docs(s, d)))),
+    "d_dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Fixtures.plantedDocs(docs(s, d)))),
+    "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
-    "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
-    "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(docs(s, d))),
-    "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(docs(s, d))),
-    "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(docs(s, d))),
+    "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Fixtures.plantedDocs(docs(s, d)))),
+    "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Fixtures.plantedDocs(docs(s, d)))),
+    "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(Fixtures.plantedDocs(docs(s, d)))),
+    "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(Fixtures.plantedDocs(docs(s, d)))),
     "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
@@ -109,21 +108,21 @@ object SparkEntry {
     // equality with brute force and determinism
     "v_ann_pq" -> ((s, d) => Vectors.annPq(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
-    "t_categorize" -> ((s, d) => TextOps.categorizeDocs(docs(s, d))),
-    "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(docs(s, d))),
-    "t_humor" -> ((s, d) => TextOps.humorDocs(docs(s, d))),
-    "t_lang_id" -> ((s, d) => TextOps.langIdDocs(docs(s, d))),
+    "t_categorize" -> ((s, d) => TextOps.categorizeDocs(Fixtures.charsetDocs(docs(s, d)))),
+    "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(Fixtures.badgeDocs(docs(s, d)))),
+    "t_humor" -> ((s, d) => TextOps.humorDocs(Fixtures.humorDocs(docs(s, d)))),
+    "t_lang_id" -> ((s, d) => TextOps.langIdDocs(Fixtures.charsetDocs(docs(s, d)))),
     "t_quality_score" -> ((s, d) => TextOps.qualityDocs(docs(s, d))),
     "t_token_count" -> ((s, d) => TextOps.tokenCountDocs(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextOps.fingerprintDocs(docs(s, d))),
-    "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(docs(s, d))),
-    "t_strip_html" -> ((s, d) => TextOps.stripHtmlDocs(docs(s, d))),
+    "t_pii_scrub" -> ((s, d) => TextOps.piiScrubDocs(Fixtures.piiDocs(docs(s, d)))),
+    "t_strip_html" -> ((s, d) => TextOps.stripHtmlDocs(Fixtures.htmlDocs(docs(s, d)))),
     "t_char_entropy" -> ((s, d) => TextOps.charEntropyDocs(docs(s, d))),
     "t_gopher_rules" -> ((s, d) => TextOps.gopherRulesDocs(docs(s, d))),
-    "t_parse_query" -> ((s, d) => TextOps.parseQueryDocs(docs(s, d))),
+    "t_parse_query" -> ((s, d) => TextOps.parseQueryDocs(Fixtures.queryDocs(docs(s, d)))),
     // --- corpus-pipeline ops (#61-64) ---
-    "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
-    "t_repetition" -> ((s, d) => Pipeline.repetitionScore(docs(s, d))),
+    "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
+    "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
@@ -149,7 +148,7 @@ object SparkEntry {
     "m_audio_decode" -> ((s, d) => Multimodal.audioDecode(docs(s, d))),
     "s_stream_sessionize" -> ((s, d) => graft.streaming.EventStream.sessionizeExact(ev(s, d))),
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
-    "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(docs(s, d))),
+    "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(Fixtures.plantedDocs(docs(s, d)))),
     "s_stream_velocity" -> ((s, d) => graft.streaming.VelocityStream.bursts(ev(s, d))),
     "s_sessionize_gap" -> ((s, d) => graft.streaming.EventStream.gapSessions(ev(s, d)))
   )

@@ -113,6 +113,22 @@ object ChatStats {
        |  ${flSql("CAST(membership_count AS DOUBLE) * 100 / CAST(SUM(membership_count) OVER (PARTITION BY channel, week) AS DOUBLE)", 4)} AS percentage_total
        | FROM counts""".stripMargin.replace("\n", "")
 
+  /** get_group_membership_summary for ONE period (the reference endpoint is
+    * month-scoped, api.py:1792; here the period is the ISO week and
+    * `weekStart` must be a Monday). The period predicate lands on the RAW
+    * timestamp before any derivation — the scan filter is two long
+    * comparisons (row-group-prunable on a ts-sorted layout), not per-row
+    * date_trunc chains over the whole fact table, and every aggregate
+    * downstream sees one week's events instead of the full history.
+    */
+  def membershipCounts(events: DataFrame, weekStart: String): DataFrame = {
+    val ws = to_date(lit(weekStart))
+    val filtered = events.filter(
+      col("ts") >= ws.cast("timestamp") && col("ts") < date_add(ws, 7).cast("timestamp"))
+    membershipSummaryFrom(weeklyUserData(filtered))
+      .filter(col("week") === ws)
+  }
+
   /** get_group_membership_summary total mode (api.py:1792-1803):
     * all members (rank != -1) per channel per week.
     */

@@ -7,10 +7,11 @@ import EventSemantics.{fl, flSql}
 
 /** Training-data deduplication suite (SURVEY §2 #38-42).
   *
-  * All variants run on a shared deterministic input: the corpus plus
-  * synthesized near-duplicates (last 5 words dropped, doc_id + 1e7) and
-  * exact duplicates (doc_id + 2e7) — the synthetic corpus has no natural
-  * dups, and the planted ones give every pipeline verifiable positives.
+  * Every operator takes the caller's corpus (doc_id, text) VERBATIM and
+  * canonicalizes text internally (lower + trim, the CCNet convention) —
+  * fixture planting (synthesized near/exact duplicates for oracle
+  * verification) lives in [[graft.Fixtures]] and is composed in only at
+  * the SparkEntry query-registry boundary.
   *
   * Scale design: every stage keys its shuffle by content (hash / band /
   * shingle), never by pair enumeration. MinHash-LSH candidates come from a
@@ -21,42 +22,21 @@ import EventSemantics.{fl, flSql}
   */
 object Dedup {
 
-  private val NEAR_OFF = 10000000L
-  private val EXACT_OFF = 20000000L
+  /** Internal canonicalization applied by every text-keyed operator. */
+  private def canon(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), lower(trim(col("text"))).as("text"))
 
-  /** Corpus + planted near/exact duplicates, text canonicalized. */
-  def dedupInput(documents: DataFrame): DataFrame = {
-    val w = split(lower(trim(col("text"))), "\\s+")
-    val base = documents.select(col("doc_id"), lower(trim(col("text"))).as("text"))
-    val near = documents
-      .filter(col("doc_id") % 5 === 0 && size(w) > 10)
-      .select((col("doc_id") + NEAR_OFF).as("doc_id"),
-        concat_ws(" ", slice(w, lit(1), size(w) - 5)).as("text"))
-    val exact = documents
-      .filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + EXACT_OFF).as("doc_id"), lower(trim(col("text"))).as("text"))
-    base.unionByName(near).unionByName(exact)
-  }
-
-  val dedupInputSql: String =
-    s"""SELECT doc_id, lower(trim(text)) AS text FROM documents
-       | UNION ALL
-       | SELECT doc_id + $NEAR_OFF AS doc_id, array_to_string(w[1:len(w)-5], ' ') AS text
-       | FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM documents)
-       | WHERE doc_id % 5 = 0 AND len(w) > 10
-       | UNION ALL
-       | SELECT doc_id + $EXACT_OFF AS doc_id, lower(trim(text)) AS text FROM documents
-       | WHERE doc_id % 25 = 0""".stripMargin.replace("\n", "")
+  private val ddSql = graft.Fixtures.plantedDocsSql
 
   // ---- #38 exact dedup -----------------------------------------------------
   /** sha256 hash-groupBy; keep the min doc_id of each content group. */
   def dedupExact(documents: DataFrame): DataFrame =
-    dedupInput(documents)
+    canon(documents)
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
   val dedupExactSql: String =
-    s"""WITH dd AS ($dedupInputSql)
+    s"""WITH dd AS ($ddSql)
        | SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
        |  COUNT(*) AS n_dups
        | FROM dd GROUP BY 1""".stripMargin.replace("\n", "")
@@ -133,7 +113,7 @@ object Dedup {
     val p = 2147483647L
     // the per-doc shingle-set relation (cached inside shingleArrays) feeds
     // the signature build and both sides of the candidate verify
-    val arr = shingleArrays(dedupInput(documents), k)
+    val arr = shingleArrays(canon(documents), k)
     // All 32 minhashes in ONE codegen'd pass over the shingle set
     // (graft.functions.MinhashSignature): the signature build has ZERO
     // shuffles and no interpreted per-perm lambda passes.
@@ -169,7 +149,7 @@ object Dedup {
   }
 
   def dedupMinhashSql(k: Int = 3, minJaccard: Double = 0.7): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | sh AS (${shinglesSql(k)}),
        | perms AS (
        |  SELECT doc_id, xsh % 2147483647 AS x,
@@ -234,7 +214,7 @@ object Dedup {
     // cache BELOW the union: both union branches read the pinned pair list
     // instead of each recomputing the whole minhash lineage
     val pairs = dedupMinhash(documents, k, minJaccard).select("doc_a", "doc_b").cache()
-    val nodes = dedupInput(documents).select("doc_id")
+    val nodes = documents.select("doc_id")
     assignClusters(pairs, nodes, maxIterations, smallGraphEdges)
   }
 
@@ -395,7 +375,7 @@ object Dedup {
 
   def dedupClustersSql(k: Int = 3, minJaccard: Double = 0.7): String =
     s"""WITH RECURSIVE mh AS (${dedupMinhashSql(k, minJaccard)}),
-       | dd2 AS ($dedupInputSql),
+       | dd2 AS ($ddSql),
        | e2 AS (SELECT doc_a AS a, doc_b AS b FROM mh
        |   UNION SELECT doc_b, doc_a FROM mh),
        | reach AS (
@@ -420,7 +400,7 @@ object Dedup {
     * planted near-dups (prefix copies) guarantee verifiable positives.
     */
   def substringOverlap(documents: DataFrame, k: Int = 13): DataFrame = {
-    val arr = shingleArrays(dedupInput(documents), k)
+    val arr = shingleArrays(canon(documents), k)
     val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
     inv.as("a")
       .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
@@ -429,7 +409,7 @@ object Dedup {
   }
 
   def substringOverlapSql(k: Int = 13): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | sh AS (${shinglesSql(k)})
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_runs
        | FROM sh a JOIN sh b ON a.xsh = b.xsh AND a.doc_id < b.doc_id
@@ -449,10 +429,10 @@ object Dedup {
     * side of the anti-join moves through NO exchange.
     */
   def dedupIncremental(documents: DataFrame, cutoff: Long = 400L): DataFrame = {
-    // dedupInput plants exact copies at doc_id+2e7: copies of stored docs
-    // (< cutoff) must be dropped by the store anti-join, copies of delta
-    // docs must collapse within the delta — both paths get positives
-    val hashed = dedupInput(documents).select(col("doc_id"),
+    // under the planted fixture, exact copies at doc_id+2e7 exercise both
+    // paths: copies of stored docs (< cutoff) drop via the store anti-join,
+    // copies of delta docs collapse within the delta
+    val hashed = canon(documents).select(col("doc_id"),
       sha2(col("text"), 256).as("content_hash"))
     val storedHashes = hashed.filter(col("doc_id") < cutoff)
       .select("content_hash").distinct()
@@ -463,7 +443,7 @@ object Dedup {
   }
 
   def dedupIncrementalSql(cutoff: Long = 400L): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM dd),
        | stored AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id < $cutoff)
        | SELECT h.content_hash, MIN(h.doc_id) AS keep_id,
@@ -478,7 +458,7 @@ object Dedup {
     * 15-bit chunk bucketing, hamming <= maxHamming via bit_count(xor).
     */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val dd = dedupInput(documents)
+    val dd = canon(documents)
     // SimHash is a pure per-document function, so it is computed IN-ROW by
     // a single codegen'd expression (graft.functions.SimhashBits): zero
     // shuffles to build the fingerprint. The previous formulation exploded
@@ -504,7 +484,7 @@ object Dedup {
   }
 
   def dedupSimhashSql(maxHamming: Int = 3): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | words AS (
        |  SELECT doc_id, word, COUNT(*) AS c,
        |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS x
@@ -547,7 +527,7 @@ object Dedup {
     */
   def ngramJaccard(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3,
                    maxDf: Option[Long] = None): DataFrame = {
-    val arr = shingleArrays(dedupInput(documents), k)
+    val arr = shingleArrays(canon(documents), k)
     // inverted index from the in-row sets (map-side explode, already distinct)
     val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
     maxDf match {
@@ -592,7 +572,7 @@ object Dedup {
   }
 
   def ngramJaccardSql(k: Int = 3, minJaccard: Double = 0.3): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | sh AS (${shinglesSql(k)}),
        | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        | inter AS (
@@ -642,7 +622,7 @@ object Dedup {
   def dedupLines(documents: DataFrame, width: Int = 10): DataFrame = {
     // tokenization hoisted into its own projection (round-1 lesson: a split
     // inlined into the segmenting lambda re-evaluates once per SEGMENT)
-    val segments = dedupInput(documents)
+    val segments = canon(documents)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
@@ -666,7 +646,7 @@ object Dedup {
   }
 
   def dedupLinesSql(width: Int = 10): String =
-    s"""WITH dd AS ($dedupInputSql),
+    s"""WITH dd AS ($ddSql),
        | toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
        | segs AS (
        |  SELECT doc_id, i AS pos,

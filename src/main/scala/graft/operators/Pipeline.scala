@@ -30,15 +30,10 @@ object Pipeline {
 
   // ---- #61 benchmark decontamination ---------------------------------------
   /** Flag training documents that share any `k`-gram with the benchmark
-    * (eval) set — the standard pre-training decontamination pass.
-    *
-    * The synthetic corpus has no real benchmark, so the eval set is carved
-    * deterministically: for every doc with doc_id % 17 = 0, words 3..22
-    * become a "benchmark prompt" (the identical slice exists in the oracle
-    * SQL). Those source docs are genuinely contaminated — they contain the
-    * benchmark text verbatim — so the operator has verifiable positives,
-    * and any natural cross-doc k-gram collision is scored identically by
-    * both engines.
+    * (eval) set — the standard pre-training decontamination pass. Takes the
+    * eval set as a RELATION (doc_id, text), the real API shape; the oracle
+    * query feeds it [[graft.Fixtures.evalPrompts]] (a deterministic carve
+    * with guaranteed positives) at the registry boundary.
     *
     * Scale shape: the benchmark shingle relation is tiny (eval suites are
     * MBs, the corpus is TBs) → broadcast inner join against the exploded
@@ -46,7 +41,7 @@ object Pipeline {
     * doc_id; the zero-hit majority joins back via a broadcast left join,
     * so the 100 TB scan never shuffles its text.
     */
-  def decontaminate(documents: DataFrame, k: Int = 5): DataFrame = {
+  def decontaminate(documents: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
     val w = split(lower(trim(col("text"))), "\\s+")
     // per-doc distinct k-gram ids, in-row (same construction as Dedup)
     def shingleSet(df: DataFrame): DataFrame = df
@@ -61,9 +56,7 @@ object Pipeline {
            |  s -> length(s) > 0),
            | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
           .stripMargin.replace("\n", "")).as("shs"))
-    val evalGrams = shingleSet(
-      documents.filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id"), concat_ws(" ", slice(w, 3, 20)).as("text")))
+    val evalGrams = shingleSet(evalDocs)
       .select(explode(col("shs")).as("xsh")).distinct()
     val hits = shingleSet(documents)
       .select(col("doc_id"), explode(col("shs")).as("xsh"))
@@ -102,20 +95,16 @@ object Pipeline {
 
   // ---- #62 repetition scoring ----------------------------------------------
   /** Gopher-style within-document repetition: the fraction of n-gram
-    * occurrences that are duplicates (1 − distinct/total). The natural
-    * corpus is repetition-free, so docs with doc_id % 9 = 0 get their first
-    * six words appended twice (the identical CASE exists in the oracle),
-    * giving the scorer verifiable positives.
+    * occurrences that are duplicates (1 − distinct/total). Scores the
+    * caller's text verbatim (canonicalized); the oracle query feeds it
+    * [[graft.Fixtures.repeatedDocs]] for verifiable positives.
     *
     * Pure in-row projection — zero shuffles; pipelines inside one
     * WholeStageCodegen span over the parquet scan at any scale.
     */
-  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame = {
-    val base = lower(trim(col("text")))
-    val rep = array_join(slice(split(base, "\\s+"), 1, 6), " ")
-    val msg = when(col("doc_id") % 9 === 0, concat_ws(" ", base, rep, rep)).otherwise(base)
+  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame =
     documents
-      .select(col("doc_id"), split(msg, "\\s+").as("w"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(w) >= $n
            | THEN transform(sequence(1, size(w) - $n + 1), i -> array_join(slice(w, i, $n), ' '))
@@ -127,7 +116,6 @@ object Pipeline {
         when(col("n_ngrams") > 0,
           fl(lit(1d) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 4))
           .otherwise(lit(0d)))
-  }
 
   def repetitionScoreSql(n: Int = 3): String =
     s"""WITH aug AS (

@@ -7,108 +7,43 @@ import graft.functions.TextFunctions._
 
 /** Text-suite queries over `documents` (SURVEY §2 #1-3, #45-48).
   *
-  * The synthetic corpus is ASCII-only, so the charset-sensitive operators
-  * (categorize / humor / langId) are exercised on a deterministically
-  * *augmented* message column: a `CASE` on doc_id injects hiragana /
-  * katakana / han / hangul / cyrillic / emoji / numeric / badge markers —
-  * the identical CASE exists in the oracle SQL, so every branch of the real
-  * classifier is end-to-end verified.
+  * Every operator classifies the caller's column verbatim; the charset
+  * augmentation that exercises the non-ASCII branches lives in
+  * [[graft.Fixtures]] (charsetDocs / badgeDocs / humorDocs) and is composed
+  * in only at the SparkEntry registry boundary — the identical CASE exists
+  * in each oracle SQL, so every branch of the real classifier is still
+  * end-to-end verified.
   *
   * Scale: all of these are narrow per-row projections — no shuffle at all;
   * they pipeline inside one WholeStageCodegen over the parquet scan.
   */
 object TextOps {
 
-  // ---- deterministic charset augmentation ---------------------------------
-  private def synthMsg: Column = {
-    val t = col("text"); val m = col("doc_id") % 11
-    when(m === 0, concat(lit("こんにちは "), substring(t, 1, 40)))
-      .when(m === 1, concat(lit("カタカナ "), substring(t, 1, 40)))
-      .when(m === 2, concat(lit("漢字 "), substring(t, 1, 40)))
-      .when(m === 3, concat(substring(t, 1, 40), lit(" すごい！")))
-      .when(m === 4, lit("wwww"))
-      .when(m === 5, concat(lit("한국어 "), substring(t, 1, 40)))
-      .when(m === 6, concat(lit("русский "), substring(t, 1, 40)))
-      .when(m === 7, lit("12345"))
-      .when(m === 8, lit(":_konkonmori: :_wave:"))
-      .when(m === 9, lit("🎉 🎉"))
-      .otherwise(t)
-  }
-  private val synthMsgSql =
-    """CASE doc_id % 11
-      | WHEN 0 THEN concat('こんにちは ', substr(text, 1, 40))
-      | WHEN 1 THEN concat('カタカナ ', substr(text, 1, 40))
-      | WHEN 2 THEN concat('漢字 ', substr(text, 1, 40))
-      | WHEN 3 THEN concat(substr(text, 1, 40), ' すごい！')
-      | WHEN 4 THEN 'wwww'
-      | WHEN 5 THEN concat('한국어 ', substr(text, 1, 40))
-      | WHEN 6 THEN concat('русский ', substr(text, 1, 40))
-      | WHEN 7 THEN '12345'
-      | WHEN 8 THEN ':_konkonmori: :_wave:'
-      | WHEN 9 THEN '🎉 🎉'
-      | ELSE text END""".stripMargin.replace("\n", "")
-
-  private def synthBadge: Column = {
-    val m = col("doc_id") % 6
-    when(m === 0, lit(null).cast("string"))
-      .when(m === 1, lit("New member"))
-      .when(m === 2, concat((col("doc_id") % 23).cast("string"), lit(" months")))
-      .when(m === 3, concat((col("doc_id") % 5).cast("string"), lit(" years")))
-      .when(m === 4, lit("Member (1 year)"))
-      .otherwise(lit("hello"))
-  }
-  private val synthBadgeSql =
-    """CASE doc_id % 6
-      | WHEN 0 THEN NULL
-      | WHEN 1 THEN 'New member'
-      | WHEN 2 THEN concat(CAST(doc_id % 23 AS VARCHAR), ' months')
-      | WHEN 3 THEN concat(CAST(doc_id % 5 AS VARCHAR), ' years')
-      | WHEN 4 THEN 'Member (1 year)'
-      | ELSE 'hello' END""".stripMargin.replace("\n", "")
-
-  private def synthHumor: Column = {
-    val t = col("text"); val m = col("doc_id") % 7
-    when(m === 0, concat(substring(t, 1, 30), lit(" lol")))
-      .when(m === 1, concat(lit("草 "), substring(t, 1, 30)))
-      .when(m === 2, lit("hahaha that was great"))
-      .when(m === 3, concat(lit("笑いすぎた"), lit("ｗｗ")))
-      .when(m === 4, lit("looool"))
-      .otherwise(t)
-  }
-  private val synthHumorSql =
-    """CASE doc_id % 7
-      | WHEN 0 THEN concat(substr(text, 1, 30), ' lol')
-      | WHEN 1 THEN concat('草 ', substr(text, 1, 30))
-      | WHEN 2 THEN 'hahaha that was great'
-      | WHEN 3 THEN concat('笑いすぎた', 'ｗｗ')
-      | WHEN 4 THEN 'looool'
-      | ELSE text END""".stripMargin.replace("\n", "")
-
   // ---- queries -------------------------------------------------------------
 
   /** #1 charset classifier (chat_parser.categorize_message). */
   def categorizeDocs(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), categorize(synthMsg).as("category"))
+    documents.select(col("doc_id"), categorize(col("text")).as("category"))
   val categorizeDocsSql: String =
-    s"SELECT doc_id, ${categorizeSql(s"($synthMsgSql)")} AS category FROM documents"
+    s"SELECT doc_id, ${categorizeSql(s"(${graft.Fixtures.charsetTextSql})")} AS category FROM documents"
 
   /** #2 membership badge parser (chat_parser.parse_membership_rank). */
   def membershipRankDocs(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), membershipRank(synthBadge).as("rank_months"))
+    documents.select(col("doc_id"), membershipRank(col("badge")).as("rank_months"))
   val membershipRankDocsSql: String =
-    s"SELECT doc_id, ${membershipRankSql(s"($synthBadgeSql)")} AS rank_months FROM documents"
+    s"SELECT doc_id, ${membershipRankSql(s"(${graft.Fixtures.badgeTextSql})")} AS rank_months FROM documents"
 
   /** #3 humor detector (feature_analysis.has_humor). */
   def humorDocs(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), hasHumor(synthHumor).as("is_humor"))
+    documents.select(col("doc_id"), hasHumor(col("text")).as("is_humor"))
   val humorDocsSql: String =
-    s"SELECT doc_id, ${hasHumorSql(s"($synthHumorSql)")} AS is_humor FROM documents"
+    s"SELECT doc_id, ${hasHumorSql(s"(${graft.Fixtures.humorTextSql})")} AS is_humor FROM documents"
 
   /** #45 language ID over augmented messages. */
   def langIdDocs(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), langId(synthMsg).as("lang_id"))
+    documents.select(col("doc_id"), langId(col("text")).as("lang_id"))
   val langIdDocsSql: String =
-    s"SELECT doc_id, ${langIdSql(s"($synthMsgSql)")} AS lang_id FROM documents"
+    s"SELECT doc_id, ${langIdSql(s"(${graft.Fixtures.charsetTextSql})")} AS lang_id FROM documents"
 
   /** #46 quality scoring over the raw corpus. */
   def qualityDocs(documents: DataFrame): DataFrame =
@@ -244,55 +179,25 @@ object TextOps {
        | FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin.replace("\n", "")
 
   // ---- #58 PII scrubbing ---------------------------------------------------
-  // The corpus is synthetic, so PII is injected deterministically (the
-  // identical CASE exists in the oracle) and then redacted — exercising the
-  // real scrub pipeline end-to-end. Patterns use RE2-compatible syntax so
-  // Spark (Java regex) and DuckDB (RE2) agree.
+  // Scrubs the caller's text verbatim; the PII injection that gives the
+  // oracle verifiable positives lives in graft.Fixtures.piiDocs. Patterns
+  // use RE2-compatible syntax so Spark (Java regex) and DuckDB (RE2) agree.
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
   private val ssnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
-  private def synthPii: Column = {
-    val t = substring(col("text"), 1, 60); val m = col("doc_id") % 5
-    when(m === 0, concat(t, lit(" contact me at user"), col("doc_id"), lit("@example.com")))
-      .when(m === 1, concat(lit("call 555-"), format_string("%03d", col("doc_id") % 1000),
-        lit("-4567 "), t))
-      .when(m === 2, concat(t, lit(" ssn 123-45-6789")))
-      .otherwise(t)
-  }
-  private val synthPiiSql =
-    """CASE doc_id % 5
-      | WHEN 0 THEN concat(substr(text, 1, 60), ' contact me at user', CAST(doc_id AS VARCHAR), '@example.com')
-      | WHEN 1 THEN concat('call 555-', format('{:03d}', doc_id % 1000), '-4567 ', substr(text, 1, 60))
-      | WHEN 2 THEN concat(substr(text, 1, 60), ' ssn 123-45-6789')
-      | ELSE substr(text, 1, 60) END""".stripMargin.replace("\n", "")
-
   // ---- #69 HTML/boilerplate stripping --------------------------------------
-  // Web-corpus cleaning: the synthetic corpus is plain text, so markup is
-  // injected deterministically (identical CASE in the oracle) and then
-  // stripped — tags removed, the four standard entities unescaped,
-  // whitespace collapsed. Pure in-row regex chain: zero shuffle, no UDF.
-  private def synthHtml: Column = {
-    val t = substring(col("text"), 1, 60); val m = col("doc_id") % 4
-    when(m === 0, concat(lit("<html><body><p>"), t, lit("</p><br/><div class=\"x\">footer</div></body></html>")))
-      .when(m === 1, concat(lit("<a href=\"http://example.com?a=1&amp;b=2\">"), t, lit("</a> &lt;3")))
-      .when(m === 2, concat(lit("x &gt; y &amp;&amp; y &lt; z: "), t))
-      .otherwise(t)
-  }
-  private val synthHtmlSql =
-    """CASE doc_id % 4
-      | WHEN 0 THEN concat('<html><body><p>', substr(text, 1, 60), '</p><br/><div class="x">footer</div></body></html>')
-      | WHEN 1 THEN concat('<a href="http://example.com?a=1&amp;b=2">', substr(text, 1, 60), '</a> &lt;3')
-      | WHEN 2 THEN concat('x &gt; y &amp;&amp; y &lt; z: ', substr(text, 1, 60))
-      | ELSE substr(text, 1, 60) END""".stripMargin.replace("\n", "")
-
+  // Web-corpus cleaning over the caller's text verbatim (markup fixture:
+  // graft.Fixtures.htmlDocs) — tags removed, the four standard entities
+  // unescaped, whitespace collapsed. Pure in-row regex chain: zero
+  // shuffle, no UDF.
   private val tagPat = "<[^>]+>"
 
   /** #69 strip markup: tag count + cleaned text (tags → space, entities
     * unescaped, whitespace collapsed, trimmed).
     */
   def stripHtmlDocs(documents: DataFrame): DataFrame = {
-    val raw = synthHtml
+    val raw = col("text")
     val cleaned = trim(regexp_replace(
       regexp_replace(
         regexp_replace(
@@ -308,7 +213,7 @@ object TextOps {
       cleaned.as("cleaned"))
   }
   val stripHtmlDocsSql: String = {
-    val raw = s"($synthHtmlSql)"
+    val raw = s"(${graft.Fixtures.htmlTextSql})"
     val cleaned =
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          |regexp_replace(regexp_replace($raw, '$tagPat', ' ', 'g'),
@@ -324,7 +229,7 @@ object TextOps {
     * phone pattern would otherwise half-match an SSN).
     */
   def piiScrubDocs(documents: DataFrame): DataFrame = {
-    val msg = synthPii
+    val msg = col("text")
     val scrubbed = regexp_replace(
       regexp_replace(
         regexp_replace(msg, ssnPat, "<SSN>"),
@@ -338,7 +243,7 @@ object TextOps {
       scrubbed.as("scrubbed"))
   }
   val piiScrubDocsSql: String = {
-    val msg = s"($synthPiiSql)"
+    val msg = s"(${graft.Fixtures.piiTextSql})"
     val scrubbed =
       s"""regexp_replace(regexp_replace(regexp_replace($msg,
          | '$ssnPat', '<SSN>', 'g'), '$phonePat', '<PHONE>', 'g'),
@@ -356,9 +261,8 @@ object TextOps {
   // `channel:x` / `from:YYYY-MM-DD` / `to:YYYY-MM-DD` operators from a raw
   // search string, validate the dates, and return the residual free-text
   // query — the structured-filter front end of search_highlights (#36).
-  // The corpus has no operators, so they are injected deterministically
-  // (identical CASE in the oracle), including an INVALID date arm to
-  // exercise the validation path. One deliberate deviation from the
+  // Parses the caller's text verbatim (operator-string fixture with an
+  // INVALID date arm: graft.Fixtures.queryDocs). One deliberate deviation from the
   // reference: removal strips EVERY occurrence of an operator, not just
   // the first (re.search splice) — identical on single-occurrence inputs,
   // and the saner cleaning rule; RE2-compatible patterns as in the PII op.
@@ -366,24 +270,8 @@ object TextOps {
   private val fromPat = "from:(\\d{4}-\\d{2}-\\d{2})"
   private val toPat = "to:(\\d{4}-\\d{2}-\\d{2})"
 
-  private def synthQuery: Column = {
-    val t = substring(col("text"), 1, 40); val m = col("doc_id") % 5
-    when(m === 0, concat(lit("channel:\"Pekora Ch.\" from:2024-01-15 "), t))
-      .when(m === 1, concat(t, lit(" channel:chan_"), (col("doc_id") % 7).cast("string")))
-      .when(m === 2, concat(t, lit(" from:2024-02-30")))
-      .when(m === 3, concat(t, lit(" to:2024-03-10 till then")))
-      .otherwise(t)
-  }
-  private val synthQuerySql =
-    """CASE doc_id % 5
-      | WHEN 0 THEN concat('channel:"Pekora Ch." from:2024-01-15 ', substr(text, 1, 40))
-      | WHEN 1 THEN concat(substr(text, 1, 40), ' channel:chan_', CAST(doc_id % 7 AS VARCHAR))
-      | WHEN 2 THEN concat(substr(text, 1, 40), ' from:2024-02-30')
-      | WHEN 3 THEN concat(substr(text, 1, 40), ' to:2024-03-10 till then')
-      | ELSE substr(text, 1, 40) END""".stripMargin.replace("\n", "")
-
   def parseQueryDocs(documents: DataFrame): DataFrame = {
-    val q = synthQuery
+    val q = col("text")
     documents
       .select(
         col("doc_id"),
@@ -413,7 +301,7 @@ object TextOps {
   }
 
   val parseQueryDocsSql: String =
-    s"""WITH src AS (SELECT doc_id, ($synthQuerySql) AS q FROM documents),
+    s"""WITH src AS (SELECT doc_id, (${graft.Fixtures.queryTextSql}) AS q FROM documents),
        | ex AS (
        |  SELECT doc_id,
        |   coalesce(nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:(\\S+)', 1), ''),

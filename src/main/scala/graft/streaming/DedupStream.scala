@@ -26,7 +26,7 @@ import graft.operators.Dedup
   */
 object DedupStream {
 
-  /** Canonicalized content hash (same canonicalization as Dedup.dedupInput). */
+  /** Canonicalized content hash (same canonicalization as the Dedup suite). */
   private def contentHash = sha2(lower(trim(col("text"))), 256)
 
   /** Streaming mode: input must have an event-time `ts` column. State is
@@ -39,17 +39,18 @@ object DedupStream {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Batch twin for the oracle: first-arrival (min doc_id) survivor per
-    * content group over the shared dedup corpus (planted dups included).
+    * content group. Takes the caller's corpus verbatim (the oracle query
+    * feeds it the planted fixture at the registry boundary).
     */
   def survivors(documents: DataFrame): DataFrame =
-    Dedup.dedupInput(documents)
+    documents
       .select(col("doc_id"), contentHash.as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id", "content_hash")
 
   val survivorsSql: String =
-    s"""WITH dd AS (${Dedup.dedupInputSql})
+    s"""WITH dd AS (${graft.Fixtures.plantedDocsSql})
        | SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash
        | FROM dd GROUP BY 2""".stripMargin.replace("\n", "")
 }

@@ -51,11 +51,11 @@ class DedupStreamSpec extends SparkSpec {
 
   test("batch twin picks the min doc_id per content group on testdata") {
     val docs = Tables.documents(spark, sfDir)
-    val sv = DedupStream.survivors(docs)
+    val sv = DedupStream.survivors(graft.Fixtures.plantedDocs(docs))
     // every planted exact duplicate (doc_id + 2e7) must lose to its source
     assert(sv.filter(col("doc_id") >= 20000000L).count() == 0)
     // survivor count == distinct content count
-    val dd = graft.operators.Dedup.dedupInput(docs)
+    val dd = graft.Fixtures.plantedDocs(docs)
       .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct().count()
     assert(sv.count() == dd)
   }

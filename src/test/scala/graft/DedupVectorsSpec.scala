@@ -10,14 +10,17 @@ import graft.operators.{Dedup, Multimodal, Vectors}
   */
 class DedupVectorsSpec extends SparkSpec {
 
-  private lazy val docs = Tables.documents(spark, sfDir)
+  // the planted fixture corpus — operators take it verbatim now that
+  // planting lives at the registry/spec boundary (graft.Fixtures)
+  private lazy val docs = graft.Fixtures.plantedDocs(Tables.documents(spark, sfDir))
+  private lazy val rawDocs = Tables.documents(spark, sfDir)
   private lazy val emb = Tables.embeddings(spark, sfDir)
 
   test("exact dedup: planted exact duplicates collapse into their source group") {
     val groups = Dedup.dedupExact(docs)
     // every planted copy (doc_id % 25 == 0) must land in a group of >= 2
     val dupGroups = groups.filter(col("n_dups") >= 2).count()
-    val planted = docs.filter(col("doc_id") % 25 === 0).count()
+    val planted = rawDocs.filter(col("doc_id") % 25 === 0).count()
     assert(dupGroups == planted)
     // keeper is always the minimum id — the original, never the +2e7 copy
     assert(groups.filter(col("keep_id") >= 20000000L).count() == 0)
@@ -139,7 +142,7 @@ class DedupVectorsSpec extends SparkSpec {
       (r.getString(1), r.getLong(2), r.getLong(3))).toMap
     // a planted exact copy (doc_id % 25 == 0, +2e7) shares EVERY segment
     // with its source, so both lose all segments
-    val plantedSrc = docs.filter(col("doc_id") % 25 === 0)
+    val plantedSrc = rawDocs.filter(col("doc_id") % 25 === 0)
       .select("doc_id").collect().map(_.getLong(0))
     assert(plantedSrc.nonEmpty)
     plantedSrc.foreach { id =>
@@ -149,7 +152,7 @@ class DedupVectorsSpec extends SparkSpec {
       assert(srcTxt == "" && srcDropped == srcN, s"source $id kept shared segments")
     }
     // a fully-unique doc is reconstructed verbatim (segment order preserved)
-    val input = Dedup.dedupInput(docs).collect()
+    val input = docs.collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val untouched = byId.filter { case (_, (_, _, dropped)) => dropped == 0 }
     assert(untouched.nonEmpty)
@@ -170,7 +173,7 @@ class DedupVectorsSpec extends SparkSpec {
     val pairs = Dedup.dedupSimhash(docs)
     val zeroPairs = pairs.filter(col("hamming") === 0)
       .filter(col("doc_b") - col("doc_a") === 20000000L).count()
-    val planted = docs.filter(col("doc_id") % 25 === 0).count()
+    val planted = rawDocs.filter(col("doc_id") % 25 === 0).count()
     assert(zeroPairs == planted)
   }
 

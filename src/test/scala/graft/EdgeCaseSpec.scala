@@ -44,7 +44,7 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("pipeline ops survive an empty corpus") {
-    assert(Pipeline.decontaminate(emptyDocs).count() == 0)
+    assert(Pipeline.decontaminate(emptyDocs, graft.Fixtures.evalPrompts(emptyDocs)).count() == 0)
     assert(Pipeline.repetitionScore(emptyDocs).count() == 0)
     assert(Pipeline.sampleStratified(emptyDocs).count() == 0)
     assert(Pipeline.packSequences(emptyDocs).count() == 0)
@@ -66,7 +66,7 @@ class EdgeCaseSpec extends SparkSpec {
     val pack = Pipeline.packSequences(weirdDocs).collect()
     assert(pack.length == 5)
 
-    val decon = Pipeline.decontaminate(weirdDocs).collect()
+    val decon = Pipeline.decontaminate(weirdDocs, graft.Fixtures.evalPrompts(weirdDocs)).collect()
     assert(decon.length == 5)
     decon.foreach(r => assert(!r.getBoolean(2) || r.getLong(1) > 0))
 
@@ -92,7 +92,7 @@ class EdgeCaseSpec extends SparkSpec {
     // dedupLines on pathological docs: every input doc_id comes back,
     // counts are consistent
     val dl = Dedup.dedupLines(weirdDocs).collect()
-    assert(dl.length == Dedup.dedupInput(weirdDocs).count())
+    assert(dl.length == weirdDocs.count())
     dl.foreach { r =>
       assert(r.getLong(2) >= 1 && r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
     }

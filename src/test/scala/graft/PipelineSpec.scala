@@ -13,7 +13,7 @@ class PipelineSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sfDir)
 
   test("decontaminate flags exactly the docs carrying benchmark text (plus real collisions)") {
-    val res = Pipeline.decontaminate(docs).collect()
+    val res = Pipeline.decontaminate(docs, graft.Fixtures.evalPrompts(docs)).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(res.keySet == all, "every training doc must be scored")
@@ -34,7 +34,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("repetitionScore: appended-block docs score > 0, n_distinct <= n_ngrams") {
-    val res = Pipeline.repetitionScore(docs).collect()
+    val res = Pipeline.repetitionScore(graft.Fixtures.repeatedDocs(docs)).collect()
     assert(res.length == docs.count())
     res.foreach { r =>
       val (id, n, d, frac) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))

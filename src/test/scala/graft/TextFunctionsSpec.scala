@@ -104,7 +104,7 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("stripHtml removes every tag, unescapes entities, collapses whitespace") {
-    val res = graft.operators.TextOps.stripHtmlDocs(Tables.documents(spark, sfDir))
+    val res = graft.operators.TextOps.stripHtmlDocs(graft.Fixtures.htmlDocs(Tables.documents(spark, sfDir)))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(res.nonEmpty)
     res.foreach { case (id, (nTags, cleaned)) =>
@@ -136,7 +136,7 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, "birthday live", "en", "s"),
       (4L, "outfit reveal", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
-    val out = graft.operators.TextOps.parseQueryDocs(docsDf).collect()
+    val out = graft.operators.TextOps.parseQueryDocs(graft.Fixtures.queryDocs(docsDf)).collect()
       .map(r => r.getLong(0) -> r).toMap
     // doc 0: channel:"Pekora Ch." from:2024-01-15 <text> — both extracted,
     // clean text is the original prefix (reference splice + strip)
