@@ -396,16 +396,46 @@ object Dedup {
     * how many distinct k-runs they share.
     *
     * Scale: a 13-gram's document frequency is ~1 except for genuinely
-    * copied passages, so the index join is linear in the corpus; the
-    * planted near-dups (prefix copies) guarantee verifiable positives.
+    * copied passages, so the index join is linear in the corpus — UNLESS
+    * the corpus carries shared boilerplate (license headers, templated
+    * pages), where one hot 13-gram appears in d documents and makes the
+    * index join d²-quadratic. `maxDf` is that lever, with ngramJaccard's
+    * exact contract: shingles with document frequency > maxDf are dropped
+    * from CANDIDATE GENERATION only, and each surviving pair's
+    * shared_runs is recomputed exactly from the full in-row sets — so a
+    * reported count is never an undercount; a pair is missed only when
+    * ALL its shared runs are boilerplate above the cap (which is the
+    * pruning's purpose). The default (None) keeps generation exhaustive
+    * and is what the DuckDB oracle checks.
     */
-  def substringOverlap(documents: DataFrame, k: Int = 13): DataFrame = {
+  def substringOverlap(documents: DataFrame, k: Int = 13,
+                       maxDf: Option[Long] = None): DataFrame = {
     val arr = shingleArrays(canon(documents), k)
     val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
-    inv.as("a")
-      .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_runs"))
+    maxDf match {
+      case None =>
+        inv.as("a")
+          .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared_runs"))
+      case Some(cap) =>
+        // prune the index to sub-cap shingles for pair GENERATION, then
+        // verify each candidate against the full sets — identical rows to
+        // the exhaustive path for every pair that shares >= 1 rare run
+        val rare = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("xsh")
+        val pruned = inv.join(rare, "xsh")
+        val cand = pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+          .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("shared_runs"))
+    }
   }
 
   def substringOverlapSql(k: Int = 13): String =
@@ -613,11 +643,14 @@ object Dedup {
     * otherwise-distinct documents — headers, navigation, disclaimers.
     *
     * Scale: segments shuffle keyed by their md5 (fixed 32-byte key, never
-    * the text) and the corpus-wide occurrence count is a WINDOW over that
-    * key — not a groupBy + join-back, which would re-run the segmentation
-    * scan for the join side (two full corpus passes at 100 TB). One scan,
-    * two exchanges (by segment hash, then by doc_id for the rebuild) — no
-    * pair enumeration anywhere.
+    * the text); the corpus-wide occurrence count is a partial-agg groupBy
+    * joined back onto the PERSISTED segment relation — one segmentation
+    * scan (the materialization is the sharing barrier), map-side combine
+    * absorbing hot boilerplate segments before the shuffle, and the
+    * hash-keyed join-back sitting in AQE's skew-join case. The previous
+    * count-WINDOW form had one fewer exchange but pinned every occurrence
+    * of a hot segment (a header shared by half the corpus) to ONE task —
+    * AQE cannot split window exchanges. No pair enumeration anywhere.
     */
   def dedupLines(documents: DataFrame, width: Int = 10): DataFrame = {
     // tokenization hoisted into its own projection (round-1 lesson: a split
@@ -631,9 +664,11 @@ object Dedup {
              | i -> array_join(slice(w, i * $width + 1, $width), ' '))"""
             .stripMargin.replace("\n", ""))).as(Seq("pos", "segment")))
       .withColumn("h", md5(col("segment")))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segCounts = segments.groupBy("h").agg(count(lit(1)).as("seg_df"))
     segments
-      .withColumn("dup", count(lit(1)).over(byHash) > 1)
+      .join(segCounts, "h")
+      .withColumn("dup", col("seg_df") > 1)
       .groupBy("doc_id")
       .agg(
         array_join(

@@ -357,20 +357,26 @@ object Pipeline {
     val words = documents
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    // pre-count per (doc, term): the term-frequency window then moves one
-    // row per distinct (doc, term), not one per occurrence
+    // pre-count per (doc, term), PERSISTED: the model build and the
+    // scoring join share one materialization, so the corpus is scanned
+    // once even though the relation has two consumers with different
+    // column pruning (which would otherwise canonicalize to different
+    // exchanges and re-run the explode per consumer)
     val dt = words.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
-    // corpus term frequency as a WINDOW over the term key, not a
-    // groupBy + join-back: column pruning gives the vocab branch a
-    // different canonical exchange, so the join formulation re-runs the
-    // corpus explode per consumer — two full fact passes at 100 TB
-    val freq = sum("n").over(Window.partitionBy("term"))
-    // the model scalars are a genuine second (tiny-output) reduction; at
-    // deploy scale this is the separate vocab-build pass whose result
-    // broadcasts to the scoring scan
-    val scalars = dt.agg(sum("n").as("total"), countDistinct("term").as("v_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus term frequency as a partial-agg groupBy + join-back on the
+    // persisted pre-count — NOT a window over the term key: map-side
+    // combine absorbs hot stopword terms before the shuffle, and the
+    // term-keyed join-back is AQE's skew-join case; a window would pin
+    // every (doc, term) row of a hot term to ONE task (AQE cannot split
+    // window exchanges)
+    val vocab = dt.groupBy("term").agg(sum("n").as("freq"))
+    // the model scalars are a tiny reduction OVER THE VOCAB (not the
+    // pre-count): total token mass and vocab size, broadcast to the scan
+    val scalars = vocab.agg(
+      sum("freq").cast("long").as("total"), count(lit(1)).as("v_size"))
     dt
-      .withColumn("freq", freq)
+      .join(vocab, "term")
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")
       .agg(
@@ -405,11 +411,12 @@ object Pipeline {
     * Scale shape mirrors unigram: bigrams are built IN-ROW (zip_with over
     * the token array — no position explode), pre-counted per (doc, bigram)
     * so the model lookups move one row per distinct pair; both model
-    * counts are WINDOWS over the pre-counted relation (keyed by bigram and
-    * by history — hot stopword histories absorbed by the pre-count), not
-    * groupBy + join-backs that would re-run the corpus explode per
-    * consumer. One corpus pass for scoring, one tiny-output pass for V,
-    * one partial-agg shuffle keyed by doc_id for the final score.
+    * counts are partial-agg groupBys joined back onto the PERSISTED
+    * pre-count (map-side combine absorbs hot stopword histories; the
+    * keyed join-backs are AQE's skew-join case, where a window over the
+    * bigram/history key would pin a hot key's every row to one task).
+    * One corpus pass for scoring, one tiny-output pass for V, one
+    * partial-agg shuffle keyed by doc_id for the final score.
     */
   def bigramNll(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
@@ -422,13 +429,14 @@ object Pipeline {
           .stripMargin.replace("\n", ""))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
     val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
-    val bfreq = sum("n").over(Window.partitionBy("bigram"))
-    val pfreq = sum("n").over(Window.partitionBy("prev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bvocab = db.groupBy("bigram").agg(sum("n").as("bfreq"))
+    val hist = db.groupBy("prev").agg(sum("n").as("pfreq"))
     val scalars = toks.select(explode(col("w")).as("term"))
       .agg(countDistinct("term").as("v_size"))
     db
-      .withColumn("bfreq", bfreq)
-      .withColumn("pfreq", pfreq)
+      .join(bvocab, "bigram")
+      .join(hist, "prev")
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")
       .agg(

@@ -101,6 +101,32 @@ class DedupVectorsSpec extends SparkSpec {
     assert(exactFound.nonEmpty && exactFound.forall(_ >= 1))
   }
 
+  test("substringOverlap maxDf: hot boilerplate run is pruned from generation, copies still found exactly") {
+    val s = spark
+    import s.implicits._
+    // a boilerplate header shared by 40 docs (one hot 13-gram, df = 40)
+    // + one genuine copied pair whose shared runs are all RARE
+    val header = (1 to 13).map(i => s"license$i").mkString(" ")
+    val boiler = (0L until 40L).map(i =>
+      (i, s"$header unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e " +
+        s"unique${i}f unique${i}g unique${i}h unique${i}i unique${i}j unique${i}k unique${i}l"))
+    val copied = (1000L, (1 to 30).map(i => s"copy$i").mkString(" ")) ::
+      (1001L, (1 to 30).map(i => s"copy$i").mkString(" ")) :: Nil
+    val corpus = (boiler ++ copied).toDF("doc_id", "text")
+    // exhaustive: the hot header alone creates 40*39/2 = 780 boilerplate
+    // pairs; capped at df<=10 the header never generates candidates
+    val exhaustive = Dedup.substringOverlap(corpus).collect()
+    assert(exhaustive.length >= 780 + 1)
+    val capped = Dedup.substringOverlap(corpus, maxDf = Some(10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.keys.exists { case (a, b) => a < 40L && b < 40L },
+      "boilerplate-only pairs must be pruned from candidate generation")
+    // the genuine copy pair survives with its EXACT full count (30 tokens
+    // -> 18 shared 13-runs), not a pruned undercount
+    assert(capped.get((1000L, 1001L)).contains(18L),
+      s"copied pair must keep exact shared_runs: ${capped.get((1000L, 1001L))}")
+  }
+
   test("dedupIncremental: copies of stored docs are dropped, in-delta copies collapse") {
     val cutoff = 400L
     val res = Dedup.dedupIncremental(docs, cutoff).collect()
