@@ -85,6 +85,10 @@ object SparkEntry {
     "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d))),
     "q_content_similarity" -> ((s, d) => Similarity.contentSimilarity(docs(s, d))),
     "q_clustering_communities" -> ((s, d) => Similarity.clusteringCommunities(ev(s, d))),
+    // Leiden partition semantics (api.py:478) — modularity optimization is
+    // not SQL-expressible, so no DuckDB oracle (rows-only check); the spec
+    // pins the clique-bridge split where CC and Leiden disagree
+    "q_leiden_communities" -> ((s, d) => Similarity.leidenCommunities(ev(s, d))),
     "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
     // --- dedup suite (#38-42) ---
     "d_dedup_exact" -> ((s, d) => Dedup.dedupExact(Fixtures.plantedDocs(docs(s, d)))),

@@ -265,6 +265,43 @@ object Similarity {
       .select(col("week"), col("nc._1").as("channel"), col("nc._2").as("community"))
   }
 
+  /** #34 community detection, Leiden partition semantics (api.py:478 runs
+    * `leidenalg.find_partition`): same per-week thresholded similarity
+    * graph as [[clusteringCommunities]], but partitioned by
+    * modularity-optimizing Leiden ([[Leiden.cluster]]) instead of
+    * connected components — two dense clusters joined by one bridge edge
+    * SPLIT here where CC merges them, matching the live site's partitions.
+    *
+    * [[clusteringCommunities]] stays as the oracle-checkable variant (CC
+    * is expressible as a recursive CTE; modularity optimization is not,
+    * so this query is spec-gated + rows-checked). Edge weights are the
+    * similarities; the per-week graph solve runs in-row over the bounded
+    * channel set, like the reference's own igraph call.
+    */
+  private val leidenUdf = udf { (nodes: Seq[String], edges: Seq[Row]) =>
+    val es = Option(edges).getOrElse(Seq.empty)
+      .map(e => (e.getString(0), e.getString(1), e.getDouble(2)))
+    Leiden.cluster(nodes, es).toSeq
+  }
+
+  def leidenCommunities(events: DataFrame): DataFrame = {
+    val w = EventSemantics.userWeeklyActivity(events)
+      .select(col("user_id"), col("channel"), col("week"), col("messages"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = channelSimilarityFrom(w)
+      .withColumn("thr", expr("percentile(similarity, 0.5)").over(Window.partitionBy("week")))
+      .filter(col("similarity") > col("thr"))
+      .select(col("week"), col("channel_a"), col("channel_b"), col("similarity"))
+    val nodesW = w
+      .select("week", "channel").distinct()
+      .groupBy("week").agg(sort_array(collect_list("channel")).as("ns"))
+    val edgesW = edges.groupBy("week")
+      .agg(collect_list(struct(col("channel_a"), col("channel_b"), col("similarity"))).as("es"))
+    nodesW.join(broadcast(edgesW), Seq("week"), "left")
+      .select(col("week"), explode(leidenUdf(col("ns"), col("es"))).as("nc"))
+      .select(col("week"), col("nc._1").as("channel"), col("nc._2").as("community"))
+  }
+
   val clusteringCommunitiesSql: String =
     s"""WITH RECURSIVE sims AS ($channelSimilaritySql),
        | thr AS (SELECT week, quantile_cont(similarity, 0.5) AS thr FROM sims GROUP BY 1),

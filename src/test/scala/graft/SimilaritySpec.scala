@@ -81,6 +81,52 @@ class SimilaritySpec extends SparkSpec {
     pruned.foreach(r => assert(r.getDouble(2) >= 0d && r.getDouble(2) <= 1.0000001))
   }
 
+  test("Leiden splits two dense cliques joined by a bridge edge where CC merges them") {
+    // hand-computed graph: cliques {a0,a1,a2,a3} and {b0,b1,b2,b3} fully
+    // connected at weight 1, ONE bridge a0-b0 at weight 0.1. Connected
+    // components merge everything; modularity optimization must keep the
+    // cliques apart (ΔQ of merging across the bridge is negative).
+    val nodes = Seq("a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3")
+    def clique(pre: String) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (s"$pre$i", s"$pre$j", 1d)
+    val edges = clique("a") ++ clique("b") :+ (("a0", "b0", 0.1))
+    val part = operators.Leiden.cluster(nodes, edges)
+    assert(part("a0") == "a0" && part("a3") == "a0", s"clique A broken: $part")
+    assert(part("b0") == "b0" && part("b3") == "b0", s"clique B broken: $part")
+    assert(part.values.toSet == Set("a0", "b0"), s"expected exactly two communities: $part")
+    // determinism: identical input (any node/edge order) -> identical output
+    val shuffled = operators.Leiden.cluster(nodes.reverse, edges.reverse.map {
+      case (a, b, w) => (b, a, w)
+    })
+    assert(shuffled == part)
+    // isolated nodes are singleton communities
+    val iso = operators.Leiden.cluster(Seq("x", "y"), Seq.empty)
+    assert(iso == Map("x" -> "x", "y" -> "y"))
+  }
+
+  test("leidenCommunities: every (week, channel) labeled, labels are community minima, partitions refine CC") {
+    val leiden = Similarity.leidenCommunities(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getString(2)).toMap
+    val cc = Similarity.clusteringCommunities(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getString(2)).toMap
+    assert(leiden.keySet == cc.keySet, "same (week, channel) coverage as the CC analog")
+    // a community's label is one of its members (and its minimum)
+    leiden.groupBy { case ((wk, _), comm) => (wk, comm) }.foreach {
+      case ((_, comm), members) =>
+        val chans = members.keys.map(_._2).toSeq
+        assert(chans.contains(comm) && chans.min == comm)
+    }
+    // Leiden refines CC: channels in different CC components (no path at
+    // all) can never share a Leiden community
+    leiden.groupBy { case ((wk, _), comm) => (wk, comm) }.foreach {
+      case (((wk, comm)), members) =>
+        val ccLabels = members.keys.map { case (w, ch) => cc((w, ch)) }.toSet
+        assert(ccLabels.size == 1,
+          s"week $wk community $comm spans CC components $ccLabels")
+    }
+  }
+
   test("recommendations never include channels the user is already heavy in") {
     val userId = 3L
     val heavy = EventSemantics.userWeeklyActivity(events)
