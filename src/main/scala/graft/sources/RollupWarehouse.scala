@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChatStats, EventSemantics, Layout, Similarity}
+
+/** The maintained-MV warehouse flow end-to-end (SURVEY §4 / SCALING.md
+  * "Cache lifecycle"): the reference keeps `mv_user_monthly_activity` as a
+  * Postgres materialized view refreshed by a monthly procedure
+  * (db/queries.py:179, refresh procedures at :120-177); at 100 TB the same
+  * discipline is a BUCKETED CATALOG TABLE maintained by a scheduled job —
+  * bootstrap once, then per ingest batch aggregate ONLY the new partition
+  * and additively merge ([[EventSemantics.incrementRollup]]).
+  *
+  * Every downstream consumer (attrition, common-users matrix, channel
+  * similarity, recommendations) then runs off the catalog table through
+  * its `*From` seam: no fact scan at query time at all, and because the
+  * table is bucketed by `user_id` (the self-join key of every overlap
+  * operator), the pair joins read co-partitioned buckets with NO input
+  * exchange — `WarehouseFlowSpec` pins both properties across separate
+  * sessions of the same warehouse.
+  *
+  * Refresh writes to a staging table and swaps via RENAME: Spark cannot
+  * overwrite a table that feeds the plan being written, and the rename
+  * keeps the bucket spec; readers see the old table until the swap, the
+  * new one after — the same contract as the reference's transactional
+  * REFRESH.
+  */
+object RollupWarehouse {
+
+  val Table = "graft_weekly_activity"
+
+  /** Bootstrap job: full-history build of the weekly rollup, bucketed and
+    * in-bucket sorted by user_id.
+    */
+  def bootstrap(events: DataFrame, table: String = Table, buckets: Int = 32): Unit =
+    Layout.writeBucketed(
+      EventSemantics.userWeeklyActivity(events), table, "user_id", buckets)
+
+  /** Incremental refresh job: aggregate ONLY `newEvents` (days of data,
+    * not the 100 TB history) and additively merge into the stored rollup;
+    * the bucketed stored side moves through no exchange in the merge.
+    *
+    * Two-step swap through a staging table: Spark cannot overwrite a
+    * table that feeds the plan being written, so the merge lands in
+    * staging and the main table is rewritten FROM staging (a rename-swap
+    * would be one write cheaper but moves files under a cached listing —
+    * readers race FILE_NOT_EXIST; the MV is |user × channel × week|,
+    * orders below the corpus, so the second write is noise next to the
+    * delta aggregation). `refreshTable` then drops stale metadata for
+    * in-flight sessions.
+    */
+  def refresh(spark: SparkSession, newEvents: DataFrame,
+              table: String = Table, buckets: Int = 32): Unit = {
+    val staging = table + "_staging"
+    Layout.writeBucketed(
+      EventSemantics.incrementRollup(spark.table(table), newEvents),
+      staging, "user_id", buckets)
+    spark.catalog.refreshTable(staging)
+    Layout.writeBucketed(spark.table(staging), table, "user_id", buckets)
+    spark.sql(s"DROP TABLE $staging")
+    // refreshTable drops this session's cached relation; refreshByPath
+    // additionally evicts the SHARED file-status cache, which other
+    // sessions of the warehouse would otherwise read a pre-overwrite file
+    // listing from (FAILED_READ_FILE on the replaced files)
+    spark.catalog.refreshTable(table)
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    spark.catalog.refreshByPath(loc)
+  }
+
+  /** The maintained rollup as read by any session of the warehouse. */
+  def activity(spark: SparkSession, table: String = Table): DataFrame =
+    spark.table(table)
+
+  // ---- consumers routed through the catalog table (no fact scan) ----------
+
+  def attrition(spark: SparkSession, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame =
+    ChatStats.attritionFrom(activity(spark), topK, baselineWeeks)
+
+  def commonUsersMatrix(spark: SparkSession): DataFrame =
+    ChatStats.commonUsersMatrixFrom(
+      activity(spark).select("user_id", "channel", "week"))
+
+  def channelSimilarity(spark: SparkSession): DataFrame =
+    Similarity.channelSimilarityFrom(activity(spark))
+
+  /** Full-period weights are one aggregation away from the weekly MV
+    * (so `refresh` keeps this consumer fresh too).
+    */
+  def recommend(spark: SparkSession, userId: Long = 3L,
+                exclThreshold: Long = 3L, k: Int = 10): DataFrame =
+    Similarity.recommendFrom(
+      activity(spark).groupBy("user_id", "channel")
+        .agg(sum("messages").as("weight")),
+      userId, exclThreshold, k)
+
+  def retentionCohort(spark: SparkSession): DataFrame =
+    ChatStats.retentionCohortFrom(activity(spark))
+}

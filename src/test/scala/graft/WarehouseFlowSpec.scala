@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChatStats, EventSemantics, Similarity}
+import graft.sources.RollupWarehouse
+
+/** The maintained-MV warehouse flow end-to-end: bootstrap job → incremental
+  * refresh job → a SEPARATE session of the same warehouse answers the
+  * overlap/attrition/similarity queries off the catalog table with no fact
+  * scan, and the bucketed layout keeps the matrix self-join exchange-free.
+  */
+class WarehouseFlowSpec extends SparkSpec {
+
+  test("bootstrap + incremental refresh + cross-session consumers off the bucketed catalog table") {
+    val events = Tables.events(spark, sfDir)
+    val cutoff = to_date(lit("2024-01-20"))
+    try {
+      // fact-scan expectations computed FIRST (before any warehouse write)
+      // so no plan resolved against a pre-refresh file listing survives
+      // into the post-refresh reads
+      val attExpected = ChatStats.attrition(events).collect().map(_.toString).sorted
+      val simExpected = Similarity.channelSimilarity(events).collect().map(_.toString).sorted
+      val recExpected = Similarity.recommend(events).collect().map(_.toString).sorted
+      val full = EventSemantics.userWeeklyActivity(events)
+
+      // --- scheduled-job shape: bootstrap on history, refresh with the delta
+      RollupWarehouse.bootstrap(events.filter(col("ts") < cutoff), buckets = 4)
+      RollupWarehouse.refresh(spark, events.filter(col("ts") >= cutoff), buckets = 4)
+
+      // --- "next session" of the same warehouse: fresh session state,
+      // shared catalog — exactly the multi-session MV contract
+      val s2 = spark.newSession()
+      val mv = RollupWarehouse.activity(s2)
+
+      // the maintained table equals the full-scan rollup (additive merge)
+      assert(mv.exceptAll(full).count() == 0 && full.exceptAll(mv).count() == 0)
+
+      // attrition through the catalog: NO events scan anywhere in the plan
+      val att = RollupWarehouse.attrition(s2)
+      val attPlan = att.queryExecution.executedPlan.toString
+      assert(!attPlan.contains("events.parquet"),
+        s"catalog-routed attrition still scans the fact table:\n$attPlan")
+      assert(att.collect().map(_.toString).sorted.sameElements(attExpected))
+
+      // matrix through the catalog: the self-join reads co-partitioned
+      // buckets — zero non-broadcast exchanges on its user_id inputs
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val matrix = RollupWarehouse.commonUsersMatrix(s2)
+      val mPlan = matrix.queryExecution.executedPlan.toString
+      val joinInputShuffles = mPlan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+      assert(joinInputShuffles == 0,
+        s"matrix self-join off the maintained table still shuffles:\n$mPlan")
+      assert(!mPlan.contains("events.parquet"))
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (50 * 1024 * 1024).toString)
+
+      // similarity + recommendations also answer off the MV, matching the
+      // fact-scan operators row-for-row
+      assert(RollupWarehouse.channelSimilarity(s2).collect().map(_.toString).sorted
+        .sameElements(simExpected))
+      assert(RollupWarehouse.recommend(s2).collect().map(_.toString).sorted
+        .sameElements(recExpected))
+    } finally {
+      // materializing executed plans above can leave detached async jobs
+      // (broadcast-exchange futures) still scanning the table — let them
+      // quiesce before the files vanish, or they die FAILED_READ_FILE
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.currentTimeMillis + 30000
+      while (tracker.getActiveJobIds.nonEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.Table}")
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.Table}_staging")
+      spark.catalog.clearCache()
+    }
+  }
+}
