@@ -107,6 +107,7 @@ object SparkEntry {
     "v_ann_ivf" -> ((s, d) => Vectors.annIvf(emb(s, d))),
     "v_ann_lsh" -> ((s, d) => Vectors.annLsh(emb(s, d))),
     "v_knn_join" -> ((s, d) => Vectors.knnJoin(emb(s, d))),
+    "v_knn_join_mp" -> ((s, d) => Vectors.knnJoinMultiProbe(emb(s, d))),
     // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
@@ -217,6 +218,7 @@ object SparkEntry {
     "v_ann_ivf" -> Vectors.annIvfSql(),
     "v_ann_lsh" -> Vectors.annLshSql(),
     "v_knn_join" -> Vectors.knnJoinSql(),
+    "v_knn_join_mp" -> Vectors.knnJoinMultiProbeSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

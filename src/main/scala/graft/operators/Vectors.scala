@@ -248,6 +248,81 @@ object Vectors {
       .filter(col("nn_rank") <= k)
   }
 
+  /** #97 multi-probe kNN join: each vector scores against its `nProbe`
+    * nearest blocks by centroid cosine (its own block always included),
+    * bounding the recall loss of the single-block kNN graph — a vector
+    * sitting near a block boundary finds its true neighbors across it.
+    *
+    * Scale: the centroid table is bounded by the label/cell cardinality —
+    * ONE tiny collect (annIvf's coarse quantizer, reused here as
+    * LITERALS), so probe assignment is a zero-shuffle in-row projection
+    * over the scan: score the centroids, sort, slice, explode. The join
+    * then replicates each vector into at most `nProbe` blocks (the b-side
+    * moves keyed by its home label exactly as the single-block join), so
+    * cost scales by nProbe × block size, never the corpus.
+    */
+  def knnJoinMultiProbe(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
+    val cents = embeddings.groupBy("label")
+      .agg(vecSum(col("embedding"), DIM).as("sv"), count(lit(1)).as("nv"))
+      .select(col("label"), transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    // (-centroid cosine, label) structs sort lexicographically =
+    // score desc, label asc — deterministic probe ranking in-row
+    val scoredCents = cents.map { case (l, cv) =>
+      struct((-cosTo(typedLit(cv), col("embedding"))).as("neg"), lit(l).as("lbl"))
+    }
+    val topLabels = transform(
+      slice(array_sort(array(scoredCents.toIndexedSeq: _*)), 1, nProbe),
+      x => x.getField("lbl"))
+    val probeLabels = array_distinct(concat(array(col("label")), topLabels))
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
+    val aSide = embeddings.select(col("vec_id"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
+      explode(probeLabels).as("probe_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
+    aSide.as("a")
+      .join(withNorm.as("b"),
+        col("a.probe_label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
+
+  def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH cent AS (
+       |  SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
+       |  FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+       |  GROUP BY 1, 2),
+       | cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+       | ranked AS (
+       |  SELECT e.vec_id, c.label AS probe_label,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cosToSql("c.cvec", "e.embedding")} DESC, c.label ASC) AS pr
+       |  FROM embeddings e CROSS JOIN cvecs c),
+       | probes AS (
+       |  SELECT vec_id, probe_label FROM ranked WHERE pr <= $nProbe
+       |  UNION SELECT vec_id, label AS probe_label FROM embeddings),
+       | pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
+       |  FROM probes p
+       |  JOIN embeddings a ON a.vec_id = p.vec_id
+       |  JOIN embeddings b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
+       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
+       |  FROM pairs)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+  }
+
   def knnJoinSql(k: Int = 5): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"

@@ -257,6 +257,49 @@ class DedupVectorsSpec extends SparkSpec {
     assert(q0._2 == brute._2 && q0._3 == brute._3)
   }
 
+  test("knnJoinMultiProbe: recovers cross-label near-neighbors the single-block join misses") {
+    val s = spark
+    import s.implicits._
+    // clusters straddling the blocking boundary: labels 0 and 1 both hold
+    // vectors near direction (1,0) at interleaved angles — every label-0
+    // vector's TRUE nearest neighbor lives in label 1 (and vice versa);
+    // label 2 is a far cluster near (0,1)
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val rows =
+      (0 until 4).map(i => (i.toLong, 0, vec(i * 2.0))) ++        // 0,2,4,6 deg
+      (0 until 4).map(i => (100L + i, 1, vec(i * 2.0 + 1.0))) ++  // 1,3,5,7 deg
+      (0 until 4).map(i => (200L + i, 2, vec(90.0 + i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    // ground truth: brute-force top-1 over ALL vectors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    // mirror the operator's determinism contract exactly: cosine floored
+    // at 1e-6 (EventSemantics.fl), ties broken by the LOWER neighbor id
+    val truth = rows.map { case (id, _, v) =>
+      id -> rows.filter(_._1 != id).maxBy { case (oid, _, ov) =>
+        (math.floor(cos(v, ov) * 1e6), -oid)
+      }._1
+    }.toMap
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("nn_rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = top1(Vectors.knnJoin(df, k = 1))
+    val multi = top1(Vectors.knnJoinMultiProbe(df, k = 1, nProbe = 2))
+    def recall(got: Map[Long, Long]) = rows.count { case (id, _, _) => got.get(id).contains(truth(id)) }
+    // the single-block graph misses every boundary neighbor; multi-probe
+    // with nProbe=2 probes both near blocks and recovers them all
+    assert(recall(single) < rows.size / 2, s"single-block recall unexpectedly high: $single")
+    assert(recall(multi) == rows.size, s"multi-probe missed true neighbors: $multi vs $truth")
+    // the far cluster stays internally matched (own block always probed)
+    (200L to 203L).foreach(id => assert(multi(id) >= 200L && multi(id) <= 203L))
+  }
+
   test("ann: pq with rerank >= corpus reproduces brute force exactly") {
     // exact re-rank over every row = brute-force top-k, independent of
     // quantization quality — pins the ADC + re-rank plumbing
