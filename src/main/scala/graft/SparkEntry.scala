@@ -112,6 +112,8 @@ object SparkEntry {
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
     "v_ann_pq" -> ((s, d) => Vectors.annPq(emb(s, d))),
+    // residual (two-stage) PQ refinement — same rows-only rationale
+    "v_ann_pq_residual" -> ((s, d) => Vectors.annPqResidual(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(Fixtures.charsetDocs(docs(s, d)))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(Fixtures.badgeDocs(docs(s, d)))),

@@ -346,7 +346,7 @@ object Vectors {
     * [[graft.functions.PqEncode]]. Pure, order-fixed arithmetic — two runs
     * produce the identical codebook.
     */
-  private[operators] def trainPqCodebook(sample: Array[Array[Double]], dim: Int,
+  private[graft] def trainPqCodebook(sample: Array[Array[Double]], dim: Int,
                                          m: Int, k: Int, iters: Int): Array[Double] = {
     require(sample.nonEmpty, "PQ codebook needs a non-empty training sample")
     val sub = dim / m
@@ -438,6 +438,121 @@ object Vectors {
       element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
     val adcN2 = (0 until m).map(s =>
       element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+      .limit(rerank)
+      .crossJoin(broadcast(queryVec(embeddings, qId)))
+      .select(col("vec_id"), col("label"),
+        fl(col("adc_cosine"), 6).as("adc_cosine"),
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side PQ encode (same nearest-centroid rule as the codegen'd
+    * [[graft.functions.PqEncode]]): used to build residual training sets.
+    */
+  private[graft] def pqEncodeLocal(v: Array[Double], cb: Array[Double],
+                                       dim: Int, m: Int, k: Int): Array[Int] = {
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0d; var j = 0
+        while (j < sub) { val t = v(s * sub + j) - cb((s * k + c) * sub + j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  private[graft] def pqReconstructLocal(codes: Array[Int], cb: Array[Double],
+                                            dim: Int, m: Int, k: Int): Array[Double] = {
+    val sub = dim / m
+    Array.tabulate(dim) { i =>
+      val s = i / sub; val j = i % sub
+      cb((s * k + codes(s)) * sub + j)
+    }
+  }
+
+  /** #98 residual (two-stage) PQ ANN — the refinement seat the plain PQ
+    * operator (#89) reserves: stage 1 quantizes the vector, stage 2
+    * quantizes the RESIDUAL `v − reconstruct₁(v)` with its own codebook
+    * over the same subspace split. At equal code size (half the subspaces
+    * per stage, two stages), the two-stage reconstruction carries
+    * strictly more information than one-stage PQ — the spec pins both the
+    * reconstruction-error drop and recall@k at rerank = k.
+    *
+    * ADC scoring from codes alone: dot adds per-stage LUTs; the norm
+    * needs the within-subspace CROSS term `2·⟨c¹, c²⟩`, a
+    * driver-precomputed m×k×k literal table (subspace splits align, so
+    * cross-subspace terms cancel into the per-stage norms). Everything
+    * else — bounded driver training sample, in-row codegen'd encodes,
+    * TakeOrdered, exact re-rank of `rerank` survivors — is the #89 shape;
+    * at 100 TB the stored index is 2m sub-byte codes per vector and the
+    * raw vectors are touched only by the re-rank.
+    */
+  def annPqResidual(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+                    m: Int = 4, codebookK: Int = 16, rerank: Int = 100,
+                    sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val sub = DIM / m
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cb1 = trainPqCodebook(sample, DIM, m, codebookK, iters)
+    val residuals = sample.map { v =>
+      val rec = pqReconstructLocal(pqEncodeLocal(v, cb1, DIM, m, codebookK), cb1, DIM, m, codebookK)
+      Array.tabulate(DIM)(i => v(i) - rec(i))
+    }
+    val cb2 = trainPqCodebook(residuals, DIM, m, codebookK, iters)
+    val q = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    def lutDot(cb: Array[Double]) = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
+    }
+    def lutN2(cb: Array[Double]) = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
+    }
+    val (d1, d2) = (lutDot(cb1), lutDot(cb2))
+    val (n1, n2lut) = (lutN2(cb1), lutN2(cb2))
+    // cross[s][c1*k + c2] = 2 * <cent1_s_c1, cent2_s_c2>
+    val cross = Array.tabulate(m) { s =>
+      Array.tabulate(codebookK * codebookK) { cc =>
+        val c1 = cc / codebookK; val c2 = cc % codebookK
+        2d * (0 until sub).map(j =>
+          cb1((s * codebookK + c1) * sub + j) * cb2((s * codebookK + c2) * sub + j)).sum
+      }
+    }
+    // stage-1 reconstruction as an in-row array expression (codebook
+    // literal indexed by the runtime code), feeding the stage-2 encode
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val recon1 = array((0 until DIM).map { i =>
+      val s = i / sub; val j = i % sub
+      element_at(lit(cb1),
+        (lit(s * codebookK) + col("c1").getItem(s)) * sub + j + 1)
+    }: _*)
+    val residualExpr = zip_with(vd, recon1, (x, r) => x - r)
+    val codes = embeddings.filter(col("vec_id") =!= qId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb1).as("c1"))
+      .withColumn("c2",
+        graft.functions.VectorFunctions.pqEncode(residualExpr, DIM, m, codebookK, cb2))
+    val adcDot = (0 until m).map(s =>
+      element_at(lit(d1(s)), col("c1").getItem(s) + 1) +
+        element_at(lit(d2(s)), col("c2").getItem(s) + 1)).reduce(_ + _)
+    val adcN2 = (0 until m).map(s =>
+      element_at(lit(n1(s)), col("c1").getItem(s) + 1) +
+        element_at(lit(n2lut(s)), col("c2").getItem(s) + 1) +
+        element_at(lit(cross(s)),
+          col("c1").getItem(s) * codebookK + col("c2").getItem(s) + 1)).reduce(_ + _)
     codes
       .select(col("vec_id"), col("label"), col("embedding"),
         (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))

@@ -300,6 +300,70 @@ class DedupVectorsSpec extends SparkSpec {
     (200L to 203L).foreach(id => assert(multi(id) >= 200L && multi(id) <= 203L))
   }
 
+  test("residual PQ: lower reconstruction error than plain PQ at equal code size, recall no worse") {
+    // equal code budget: plain PQ m=8 × log2(16) = 32 bits; residual PQ
+    // two stages of m=4 × log2(16) = 32 bits
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = 64
+    val ordered = vecs.sortBy { case (id, _) =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq-sample-$id".getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+    }
+    // md5-hex ordering here only approximates the operator's sample order;
+    // any fixed 256-vector sample trains a valid codebook for this check
+    val sample = ordered.take(256).map(_._2)
+    def mse(m: Int, stages: Int): Double = {
+      val cb1 = Vectors.trainPqCodebook(sample, dim, m, 16, 5)
+      def recon1(v: Array[Double]) =
+        Vectors.pqReconstructLocal(Vectors.pqEncodeLocal(v, cb1, dim, m, 16), cb1, dim, m, 16)
+      val stage2 = if (stages == 2) {
+        val res = sample.map(v => { val r = recon1(v); Array.tabulate(dim)(i => v(i) - r(i)) })
+        Some(Vectors.trainPqCodebook(res, dim, m, 16, 5))
+      } else None
+      vecs.map { case (_, v) =>
+        val r1 = recon1(v)
+        val rec = stage2 match {
+          case Some(cb2) =>
+            val res = Array.tabulate(dim)(i => v(i) - r1(i))
+            val r2 = Vectors.pqReconstructLocal(
+              Vectors.pqEncodeLocal(res, cb2, dim, m, 16), cb2, dim, m, 16)
+            Array.tabulate(dim)(i => r1(i) + r2(i))
+          case None => r1
+        }
+        (0 until dim).map(i => { val d = v(i) - rec(i); d * d }).sum / dim
+      }.sum / vecs.length
+    }
+    val msePlain = mse(m = 8, stages = 1)
+    val mseResidual = mse(m = 4, stages = 2)
+    assert(mseResidual < msePlain,
+      f"residual PQ should reconstruct better at equal bits: $mseResidual%.6f vs $msePlain%.6f")
+
+    // recall@10 with NO re-rank slack (rerank = k), averaged over 20
+    // query vectors (single-query recall on 10 items is quantized to
+    // 0.1 steps — the mean is the stable, still fully deterministic
+    // comparison): the two-stage codes must rank the true neighborhood
+    // at least as well as plain PQ at the same bit budget
+    val qids = (0L until 20L)
+    def meanRecall(fn: Long => org.apache.spark.sql.DataFrame): Double = qids.map { q =>
+      val truth = Vectors.annTopK(emb, qId = q, k = 10).collect().map(_.getLong(0)).toSet
+      fn(q).collect().map(_.getLong(0)).count(truth) / 10d
+    }.sum / qids.size
+    val rPlain = meanRecall(q => Vectors.annPq(emb, qId = q, k = 10, m = 8, codebookK = 16, rerank = 10))
+    val rResidual = meanRecall(q => Vectors.annPqResidual(emb, qId = q, k = 10, m = 4, codebookK = 16, rerank = 10))
+    assert(rResidual >= rPlain,
+      s"residual PQ mean recall $rResidual worse than plain PQ $rPlain at equal code size")
+    // the re-rank margin is the recall knob: 10× slack must recover most
+    // of the neighborhood, and rerank >= corpus is exact by construction
+    val truth0 = Vectors.annTopK(emb, k = 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val withMargin = Vectors.annPqResidual(emb, k = 10, m = 4, codebookK = 16, rerank = 100)
+      .collect().map(_.getLong(0)).count(truth0.map(_._1).toSet) / 10d
+    assert(withMargin >= 0.9, s"residual PQ with rerank margin missed neighbors: $withMargin")
+    val exact = Vectors.annPqResidual(emb, k = 10, m = 4, codebookK = 16, rerank = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(exact.sameElements(truth0), "rerank >= corpus must reproduce brute force exactly")
+  }
+
   test("ann: pq with rerank >= corpus reproduces brute force exactly") {
     // exact re-rank over every row = brute-force top-k, independent of
     // quantization quality — pins the ADC + re-rank plumbing
