@@ -80,6 +80,7 @@ object SparkEntry {
       Highlights.funniestOffsets(Tables.lineitem(s, d), ord(s, d), cust(s, d))),
     // --- channel dim listing (#52) ---
     "q_channel_names" -> ((s, d) => StreamingHours.channelNames(cust(s, d))),
+    "q_date_ranges" -> ((s, d) => StreamingHours.dateRanges(ord(s, d))),
     // --- similarity + forecast (#31-34, 37) ---
     "q_channel_similarity" -> ((s, d) => Similarity.channelSimilarity(ev(s, d))),
     "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d))),
@@ -200,6 +201,7 @@ object SparkEntry {
     "q_log_coverage" -> Highlights.logCoverageSql(),
     "q_funniest_offsets" -> Highlights.funniestOffsetsSql(),
     "q_channel_names" -> StreamingHours.channelNamesSql,
+    "q_date_ranges" -> StreamingHours.dateRangesSql,
     "q_channel_similarity" -> Similarity.channelSimilaritySql,
     "q_recommend" -> Similarity.recommendSql(),
     "q_content_similarity" -> Similarity.contentSimilaritySql,

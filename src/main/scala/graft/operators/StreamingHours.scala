@@ -127,6 +127,18 @@ object StreamingHours {
   val channelNamesSql: String =
     "SELECT c_name AS channel_name FROM customer ORDER BY 1"
 
+  /** get_date_ranges (api.py:2596): earliest/latest video end time — one
+    * all-null-group aggregate, a single partial-agg reduction at any scale.
+    */
+  def dateRanges(orders: DataFrame): DataFrame =
+    // qualified: this object's own max(orders, customer) shadows functions.max
+    orders.agg(
+      org.apache.spark.sql.functions.min(col("o_orderdate")).as("min_date"),
+      org.apache.spark.sql.functions.max(col("o_orderdate")).as("max_date"))
+
+  val dateRangesSql: String =
+    "SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date FROM orders"
+
   val hoursDiffSql: String =
     s"""WITH v AS ($videosSql),
        | m AS (SELECT channel, month, SUM(duration_s) AS dur FROM v GROUP BY 1, 2)
