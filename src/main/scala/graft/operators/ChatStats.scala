@@ -521,18 +521,22 @@ object ChatStats {
     * |user × channel × week| relation.
     */
   def attritionFrom(act: DataFrame, topK: Int = 1000, baselineWeeks: Int = 3): DataFrame = {
-    val weeksOrdered = Window.orderBy(col("week").asc)
-    val weekIdx = act.select("week").distinct()
-      .withColumn("week_idx", row_number().over(weeksOrdered))
-    val actIdx = act.join(broadcast(weekIdx), "week")
-    val top = actIdx
-      .filter(col("week_idx") <= baselineWeeks)
+    // the baseline boundary is the baselineWeeks-th distinct week — weeks
+    // are calendar-bounded (one row per week ever observed), so ONE tiny
+    // collect replaces the row_number window + broadcast join the index
+    // formulation needs, and the baseline/later splits become plain
+    // pushable date predicates on the rollup scan
+    val weeks = act.select("week").distinct().collect()
+      .map(_.getDate(0)).sortBy(_.getTime)
+    val cutoff = weeks(math.min(baselineWeeks, weeks.length) - 1)
+    val top = act
+      .filter(col("week") <= lit(cutoff))
       .groupBy("user_id")
       .agg(sum("messages").as("total"))
       .orderBy(col("total").desc, col("user_id").asc)
       .limit(topK)
       .select("user_id")
-    val later = actIdx.filter(col("week_idx") > baselineWeeks)
+    val later = act.filter(col("week") > lit(cutoff))
       .select("user_id", "week").distinct()
     later
       .join(broadcast(top), "user_id")
