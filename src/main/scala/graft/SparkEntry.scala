@@ -44,6 +44,9 @@ object SparkEntry {
     "q_common_users" -> ((s, d) =>
       ChatStats.commonUsersPair(ev(s, d), "click", "2024-01-01", "view", "2024-01-08")),
     "q_common_users_matrix" -> ((s, d) => ChatStats.commonUsersMatrix(ev(s, d))),
+    // HLL-sketch matrix twin — sketch estimates are engine-specific, so no
+    // DuckDB oracle (rows-only check); the spec bounds error vs the exact matrix
+    "q_common_users_matrix_approx" -> ((s, d) => ChatStats.commonUsersMatrixApprox(ev(s, d))),
     "q_common_members" -> ((s, d) => ChatStats.commonMembersMatrix(ev(s, d))),
     "q_membership_counts" -> ((s, d) => ChatStats.membershipCounts(ev(s, d), "2024-01-15")),
     "q_membership_total" -> ((s, d) => ChatStats.membershipTotal(ev(s, d))),

@@ -267,6 +267,44 @@ object ChatStats {
       .select("week", "channel_a", "channel_b", "common_users", "pct_a_to_b")
   }
 
+  /** Sketch twin of [[commonUsersMatrixFrom]] for the 100 TB interactive
+    * path: per (channel, week) a DataSketches HLL sketch of the user set —
+    * built in ONE partial-aggregated pass over the rollup — then every
+    * directional pair intersection estimated by inclusion–exclusion
+    * (|A∩B| = |A| + |B| − |A∪B|, the union via sketch merge). The pair
+    * stage moves |channels|² fixed-size sketch buffers instead of
+    * re-shuffling the |users × channels × week| rollup through a
+    * user-keyed self-join — the sketch relation is broadcastable, so the
+    * pair join is exchange-free at any corpus size. The exact matrix
+    * stays the oracle-checked default; the spec bounds this one's
+    * relative error against it (lgConfigK 14 ⇒ ~1% standard error).
+    */
+  def commonUsersMatrixApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame =
+    commonUsersMatrixApproxFrom(
+      userWeeklyActivity(events).select("user_id", "channel", "week"), lgConfigK)
+
+  def commonUsersMatrixApproxFrom(ucw: DataFrame, lgConfigK: Int = 14): DataFrame = {
+    val sk = ucw
+      .groupBy("week", "channel")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"),
+        count(lit(1)).as("exact_size"))
+    val a = sk.select(col("week"), col("channel").as("channel_a"),
+      col("sk").as("sk_a"), col("exact_size").as("size_a"))
+    val b = sk.select(col("week"), col("channel").as("channel_b"),
+      col("sk").as("sk_b"))
+    // diagonal kept (|A ∩ A| estimates to |A|) — the exact matrix emits it
+    a.join(broadcast(b), Seq("week"))
+      .select(col("week"), col("channel_a"), col("channel_b"),
+        greatest(lit(0L),
+          hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+            - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("approx_common_users"),
+        col("size_a"))
+      .withColumn("approx_pct_a_to_b",
+        fl(col("approx_common_users").cast("double") * 100d / col("size_a").cast("double"), 4))
+      .drop("size_a")
+  }
+
   val commonUsersMatrixSql: String =
     s"""WITH act AS ($userWeeklyActivitySql),
        | ucw AS (SELECT DISTINCT user_id, channel, week FROM act),

@@ -81,6 +81,30 @@ class ChatStatsSpec extends SparkSpec {
     assert(at.filter(col("percent_active") < 0 || col("percent_active") > 100).count() === 0)
   }
 
+  test("commonUsersMatrixApprox: sketch intersections within 5% of the exact matrix") {
+    val exact = ChatStats.commonUsersMatrix(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val approx = ChatStats.commonUsersMatrixApprox(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(approx.nonEmpty)
+    // every exact pair has an approx row (the approx emits ALL directional
+    // pairs, the exact only those sharing >= 1 user — so approx covers it)
+    assert(exact.keySet.subsetOf(approx.keySet))
+    // relative error bound on meaningfully-sized intersections; tiny ones
+    // get an absolute allowance (HLL error is relative to the SET sizes,
+    // not the intersection, so inclusion-exclusion noise is absolute)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      val tol = math.max(5d, ex * 0.05)
+      assert(math.abs(ap - ex) <= tol,
+        s"pair $k: approx $ap vs exact $ex exceeds tolerance $tol")
+    }
+    // pairs absent from the exact matrix truly share ~no users
+    (approx.keySet -- exact.keySet).foreach { k =>
+      assert(approx(k) <= 5, s"phantom intersection at $k: ${approx(k)}")
+    }
+  }
+
   test("retentionCohort: offset 0 is the full cohort, later offsets never exceed it") {
     val rc = ChatStats.retentionCohort(events).cache()
     assert(rc.count() > 0)
