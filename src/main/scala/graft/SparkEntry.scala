@@ -47,6 +47,19 @@ object SparkEntry {
     // HLL-sketch matrix twin — sketch estimates are engine-specific, so no
     // DuckDB oracle (rows-only check); the spec bounds error vs the exact matrix
     "q_common_users_matrix_approx" -> ((s, d) => ChatStats.commonUsersMatrixApprox(ev(s, d))),
+    // incremental sketch-MV maintenance: sketch(old) merged with sketch(delta),
+    // emitted as estimates — engine-specific, so rows-only; the spec pins
+    // merged == full-history estimates exactly
+    "q_sketch_rollup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date, hll_sketch_estimate}
+      val e = ev(s, d)
+      val cutoff = to_date(lit("2024-01-20"))
+      ChatStats.mergeSketchRollups(
+        ChatStats.sketchRollup(e.filter(col("ts") < cutoff)),
+        ChatStats.sketchRollup(e.filter(col("ts") >= cutoff)))
+        .select(col("channel"), col("week"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+    }),
     "q_common_members" -> ((s, d) => ChatStats.commonMembersMatrix(ev(s, d))),
     "q_membership_counts" -> ((s, d) => ChatStats.membershipCounts(ev(s, d), "2024-01-15")),
     "q_membership_total" -> ((s, d) => ChatStats.membershipTotal(ev(s, d))),

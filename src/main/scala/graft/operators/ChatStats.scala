@@ -305,6 +305,29 @@ object ChatStats {
       .drop("size_a")
   }
 
+  /** Sketch-MV build: one HLL user sketch per (channel, week) — the stored
+    * relation [[commonUsersMatrixApproxFrom]] reads, and the ingest-time
+    * maintenance unit: sketches are MERGEABLE, so a new event partition is
+    * sketched alone and unioned into the stored row
+    * ([[mergeSketchRollups]]) without touching history — the sketch twin
+    * of [[EventSemantics.incrementRollup]]'s additive-count merge. At
+    * 100 TB the stored MV is |channels × weeks| × ~10 KB.
+    */
+  def sketchRollup(events: DataFrame, lgConfigK: Int = 14): DataFrame =
+    events
+      .filter(!isGift)
+      .groupBy(channel, week.as("week"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+
+  /** Merge two sketch rollups (stored MV + delta partition): sketch union
+    * per key. Estimates after merge equal the full-history build's —
+    * `ChatStatsSpec` pins that equivalence.
+    */
+  def mergeSketchRollups(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
+      .groupBy("channel", "week")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
   val commonUsersMatrixSql: String =
     s"""WITH act AS ($userWeeklyActivitySql),
        | ucw AS (SELECT DISTINCT user_id, channel, week FROM act),

@@ -105,6 +105,31 @@ class ChatStatsSpec extends SparkSpec {
     }
   }
 
+  test("sketchRollup: incremental sketch merge estimates equal the full-history build") {
+    val cutoff = to_date(lit("2024-01-20"))
+    val stored = ChatStats.sketchRollup(events.filter(col("ts") < cutoff))
+    val delta = ChatStats.sketchRollup(events.filter(col("ts") >= cutoff))
+    val merged = ChatStats.mergeSketchRollups(stored, delta)
+      .select(col("channel"), col("week"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val full = ChatStats.sketchRollup(events)
+      .select(col("channel"), col("week"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (k, fe) =>
+      val me = merged(k)
+      // HLL union is lossless at matched lgConfigK — estimates agree
+      assert(me == fe, s"$k: merged estimate $me != full estimate $fe")
+    }
+    // and the estimates track the exact distinct counts within HLL error
+    val exact = EventSemantics.userWeeklyActivity(events)
+      .groupBy("channel", "week").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(full(k) - ex) <= math.max(3d, ex * 0.05), s"$k: ${full(k)} vs exact $ex")
+    }
+  }
+
   test("retentionCohort: offset 0 is the full cohort, later offsets never exceed it") {
     val rc = ChatStats.retentionCohort(events).cache()
     assert(rc.count() > 0)
