@@ -589,6 +589,9 @@ object ChatStats {
     // pushable date predicates on the rollup scan
     val weeks = act.select("week").distinct().collect()
       .map(_.getDate(0)).sortBy(_.getTime)
+    if (weeks.isEmpty)
+      return act.select(col("week"), lit(0L).as("active_users"),
+        lit(0d).as("percent_active")).limit(0)
     val cutoff = weeks(math.min(baselineWeeks, weeks.length) - 1)
     val top = act
       .filter(col("week") <= lit(cutoff))
