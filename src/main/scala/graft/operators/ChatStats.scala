@@ -280,18 +280,16 @@ object ChatStats {
     * relative error against it (lgConfigK 14 ⇒ ~1% standard error).
     */
   def commonUsersMatrixApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame =
-    commonUsersMatrixApproxFrom(
-      userWeeklyActivity(events).select("user_id", "channel", "week"), lgConfigK)
+    commonUsersMatrixApproxFrom(sketchRollup(events, lgConfigK))
 
-  def commonUsersMatrixApproxFrom(ucw: DataFrame, lgConfigK: Int = 14): DataFrame = {
-    val sk = ucw
-      .groupBy("week", "channel")
-      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"),
-        count(lit(1)).as("exact_size"))
-    val a = sk.select(col("week"), col("channel").as("channel_a"),
-      col("sk").as("sk_a"), col("exact_size").as("size_a"))
-    val b = sk.select(col("week"), col("channel").as("channel_b"),
-      col("sk").as("sk_b"))
+  /** Matrix from an already-built (channel, week, sk) sketch rollup — ONE
+    * raw-event pass builds it (the sketch dedups users itself, so no
+    * user-keyed rollup shuffle exists anywhere in this path), or zero
+    * passes when the warehouse maintains it via [[mergeSketchRollups]].
+    */
+  def commonUsersMatrixApproxFrom(sk: DataFrame): DataFrame = {
+    val a = sk.select(col("week"), col("channel").as("channel_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("week"), col("channel").as("channel_b"), col("sk").as("sk_b"))
     // diagonal kept (|A ∩ A| estimates to |A|) — the exact matrix emits it
     a.join(broadcast(b), Seq("week"))
       .select(col("week"), col("channel_a"), col("channel_b"),
@@ -299,10 +297,11 @@ object ChatStats {
           hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
             - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
           .as("approx_common_users"),
-        col("size_a"))
+        hll_sketch_estimate(col("sk_a")).as("approx_size_a"))
       .withColumn("approx_pct_a_to_b",
-        fl(col("approx_common_users").cast("double") * 100d / col("size_a").cast("double"), 4))
-      .drop("size_a")
+        fl(col("approx_common_users").cast("double") * 100d /
+          col("approx_size_a").cast("double"), 4))
+      .drop("approx_size_a")
   }
 
   /** Sketch-MV build: one HLL user sketch per (channel, week) — the stored
