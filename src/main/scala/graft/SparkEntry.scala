@@ -86,6 +86,16 @@ object SparkEntry {
         e.filter(col("ts") >= cutoff))
     }),
     "q_site_stats" -> ((s, d) => ChatStats.siteStats(ev(s, d))),
+    // userData-MV incremental maintenance: increment(userData(old), new)
+    // must equal the full-scan build (all aggregates mergeable)
+    "q_userdata_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val e = ev(s, d)
+      val cutoff = to_date(lit("2024-01-20"))
+      EventSemantics.incrementUserData(
+        EventSemantics.userData(e.filter(col("ts") < cutoff)),
+        e.filter(col("ts") >= cutoff))
+    }),
     // --- highlights (#5-6) + video-highlight listing (#51) + log QA (#53) ---
     "q_funniest_moment" -> ((s, d) => Highlights.funniestMoment(ev(s, d))),
     "q_highlight_velocity" -> ((s, d) => Highlights.highlightVelocity(ev(s, d))),
@@ -210,6 +220,8 @@ object SparkEntry {
     // the full-scan rollup IS the oracle: increment(rollup(old), new) must
     // reproduce it exactly (additive-merge equivalence)
     "q_rollup_incremental" -> EventSemantics.userWeeklyActivitySql,
+    // the full-scan userData IS the oracle (mergeable-aggregate equivalence)
+    "q_userdata_incremental" -> EventSemantics.userDataSql,
     "q_site_stats" -> ChatStats.siteStatsSql,
     "q_funniest_moment" -> Highlights.funniestMomentSql(),
     "q_highlight_velocity" -> Highlights.highlightVelocitySql(),

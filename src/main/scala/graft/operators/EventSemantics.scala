@@ -133,6 +133,30 @@ object EventSemantics {
       .groupBy("user_id", "channel", "week")
       .agg(sum("messages").as("messages"))
 
+  /** Incremental maintenance of the [[userData]] MV itself (the relation
+    * the whole membership family derives from): every userData aggregate
+    * is MERGEABLE — category/total counts are additive, membership_rank
+    * and last_ts are maxes, is_gift re-derives from the merged total — so
+    * increment(userData(old), new) ≡ userData(old ∪ new) at any split;
+    * `q_userdata_incremental` proves it against the full-scan oracle.
+    * Same scale shape as [[incrementRollup]]: the fact pass touches only
+    * the new partition.
+    */
+  def incrementUserData(storedUd: DataFrame, newEvents: DataFrame): DataFrame = {
+    val cats = Seq("jp", "kr", "ru", "emoji", "es_en_id")
+    storedUd
+      .unionByName(userData(newEvents))
+      .groupBy("user_id", "channel", "day")
+      .agg(
+        sum(s"${cats.head}_count").as(s"${cats.head}_count"),
+        (cats.tail.map(c => sum(s"${c}_count").as(s"${c}_count")) :+
+          sum("total_message_count").as("total_message_count") :+
+          max("membership_rank").as("membership_rank") :+
+          max("last_ts").as("last_ts") :+
+          (sum("total_message_count") === 0).as("is_gift")): _*
+      )
+  }
+
   /** Deterministic rounding used everywhere a ratio leaves the engine:
     * floor(x * 10^s) / 10^s — no round-half ambiguity between engines.
     */

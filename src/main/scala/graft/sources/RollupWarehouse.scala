@@ -30,6 +30,7 @@ import graft.operators.{ChatStats, EventSemantics, Layout, Similarity}
 object RollupWarehouse {
 
   val Table = "graft_weekly_activity"
+  val UserDataTable = "graft_user_data"
 
   /** Bootstrap job: full-history build of the weekly rollup, bucketed and
     * in-bucket sorted by user_id.
@@ -37,6 +38,23 @@ object RollupWarehouse {
   def bootstrap(events: DataFrame, table: String = Table, buckets: Int = 32): Unit =
     Layout.writeBucketed(
       EventSemantics.userWeeklyActivity(events), table, "user_id", buckets)
+
+  /** Bootstrap the userData MV itself — the relation the whole membership
+    * family derives from (the reference's `user_data` table).
+    */
+  def bootstrapUserData(events: DataFrame, table: String = UserDataTable,
+                        buckets: Int = 32): Unit =
+    Layout.writeBucketed(EventSemantics.userData(events), table, "user_id", buckets)
+
+  /** Incremental refresh of the userData MV: aggregate only `newEvents`,
+    * merge via [[EventSemantics.incrementUserData]] (every aggregate is
+    * mergeable), swap through staging like [[refresh]].
+    */
+  def refreshUserData(spark: SparkSession, newEvents: DataFrame,
+                      table: String = UserDataTable, buckets: Int = 32): Unit =
+    swapWrite(spark,
+      EventSemantics.incrementUserData(spark.table(table), newEvents),
+      table, buckets)
 
   /** Incremental refresh job: aggregate ONLY `newEvents` (days of data,
     * not the 100 TB history) and additively merge into the stored rollup;
@@ -52,11 +70,15 @@ object RollupWarehouse {
     * in-flight sessions.
     */
   def refresh(spark: SparkSession, newEvents: DataFrame,
-              table: String = Table, buckets: Int = 32): Unit = {
-    val staging = table + "_staging"
-    Layout.writeBucketed(
+              table: String = Table, buckets: Int = 32): Unit =
+    swapWrite(spark,
       EventSemantics.incrementRollup(spark.table(table), newEvents),
-      staging, "user_id", buckets)
+      table, buckets)
+
+  private def swapWrite(spark: SparkSession, merged: DataFrame,
+                        table: String, buckets: Int): Unit = {
+    val staging = table + "_staging"
+    Layout.writeBucketed(merged, staging, "user_id", buckets)
     spark.catalog.refreshTable(staging)
     Layout.writeBucketed(spark.table(staging), table, "user_id", buckets)
     spark.sql(s"DROP TABLE $staging")
@@ -99,4 +121,17 @@ object RollupWarehouse {
 
   def retentionCohort(spark: SparkSession): DataFrame =
     ChatStats.retentionCohortFrom(activity(spark))
+
+  /** The maintained userData MV with the ISO week attached — the input
+    * shape of the membership seams.
+    */
+  def weeklyUserData(spark: SparkSession, table: String = UserDataTable): DataFrame =
+    spark.table(table)
+      .withColumn("week", to_date(date_trunc("week", col("day"))))
+
+  def membershipSummary(spark: SparkSession): DataFrame =
+    ChatStats.membershipSummaryFrom(weeklyUserData(spark))
+
+  def membershipCounts(spark: SparkSession, weekStart: String): DataFrame =
+    membershipSummary(spark).filter(col("week") === to_date(lit(weekStart)))
 }

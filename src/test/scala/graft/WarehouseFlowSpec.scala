@@ -75,4 +75,38 @@ class WarehouseFlowSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("userData MV: bootstrap + incremental refresh, membership answered off the catalog") {
+    val events = Tables.events(spark, sfDir)
+    val cutoff = to_date(lit("2024-01-20"))
+    try {
+      val expected = ChatStats.membershipSummary(events).collect().map(_.toString).sorted
+      val countsExpected = ChatStats.membershipCounts(events, "2024-01-15")
+        .collect().map(_.toString).sorted
+
+      RollupWarehouse.bootstrapUserData(events.filter(col("ts") < cutoff), buckets = 4)
+      RollupWarehouse.refreshUserData(spark, events.filter(col("ts") >= cutoff), buckets = 4)
+
+      val s2 = spark.newSession()
+      // maintained MV equals the full-scan userData build
+      val mv = s2.table(RollupWarehouse.UserDataTable)
+      val full = EventSemantics.userData(events)
+      assert(mv.exceptAll(full).count() == 0 && full.exceptAll(mv).count() == 0)
+
+      // membership family answers off the catalog with no fact scan
+      val summary = RollupWarehouse.membershipSummary(s2)
+      assert(!summary.queryExecution.executedPlan.toString.contains("events.parquet"))
+      assert(summary.collect().map(_.toString).sorted.sameElements(expected))
+      assert(RollupWarehouse.membershipCounts(s2, "2024-01-15")
+        .collect().map(_.toString).sorted.sameElements(countsExpected))
+    } finally {
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.currentTimeMillis + 30000
+      while (tracker.getActiveJobIds.nonEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.UserDataTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.UserDataTable}_staging")
+      spark.catalog.clearCache()
+    }
+  }
 }
