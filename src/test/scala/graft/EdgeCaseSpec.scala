@@ -34,6 +34,12 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ChatStats.attrition(emptyEvents).count() == 0)
     assert(Similarity.channelSimilarity(emptyEvents).count() == 0)
     assert(Similarity.clusteringCommunities(emptyEvents).count() == 0)
+    assert(Similarity.leidenCommunities(emptyEvents).count() == 0)
+    assert(ChatStats.membershipCounts(emptyEvents, "2024-01-15").count() == 0)
+    assert(ChatStats.sketchRollup(emptyEvents).count() == 0)
+    assert(ChatStats.commonUsersMatrixApprox(emptyEvents).count() == 0)
+    assert(EventSemantics.incrementUserData(
+      EventSemantics.userData(emptyEvents), emptyEvents).count() == 0)
   }
 
   test("dedup suite survives an empty corpus") {
