@@ -21,11 +21,13 @@ import graft.operators.{ChatStats, EventSemantics, Layout, Similarity}
   * exchange — `WarehouseFlowSpec` pins both properties across separate
   * sessions of the same warehouse.
   *
-  * Refresh writes to a staging table and swaps via RENAME: Spark cannot
-  * overwrite a table that feeds the plan being written, and the rename
-  * keeps the bucket spec; readers see the old table until the swap, the
-  * new one after — the same contract as the reference's transactional
-  * REFRESH.
+  * Refresh lands the merge in a staging table and rewrites the main
+  * table from it (Spark cannot overwrite a table that feeds the plan
+  * being written; see [[refresh]] for why not a rename) — the same
+  * contract as the reference's transactional REFRESH. Three MVs are
+  * maintained this way: the weekly activity rollup, the userData base
+  * relation (membership family), and the HLL sketch rollup (the
+  * interactive overlap layer).
   */
 object RollupWarehouse {
 
@@ -76,11 +78,11 @@ object RollupWarehouse {
       table, buckets)
 
   private def swapWrite(spark: SparkSession, merged: DataFrame,
-                        table: String, buckets: Int): Unit = {
+                        table: String, buckets: Int, key: String = "user_id"): Unit = {
     val staging = table + "_staging"
-    Layout.writeBucketed(merged, staging, "user_id", buckets)
+    Layout.writeBucketed(merged, staging, key, buckets)
     spark.catalog.refreshTable(staging)
-    Layout.writeBucketed(spark.table(staging), table, "user_id", buckets)
+    Layout.writeBucketed(spark.table(staging), table, key, buckets)
     spark.sql(s"DROP TABLE $staging")
     // refreshTable drops this session's cached relation; refreshByPath
     // additionally evicts the SHARED file-status cache, which other
@@ -134,4 +136,31 @@ object RollupWarehouse {
 
   def membershipCounts(spark: SparkSession, weekStart: String): DataFrame =
     membershipSummary(spark).filter(col("week") === to_date(lit(weekStart)))
+
+  // ---- sketch MV (the interactive overlap layer) ---------------------------
+
+  val SketchTable = "graft_user_sketches"
+
+  /** Bootstrap the HLL sketch MV: one partial-agg pass over raw events,
+    * |channels × weeks| rows of ~10 KB sketches.
+    */
+  def bootstrapSketches(events: DataFrame, table: String = SketchTable,
+                        buckets: Int = 8): Unit =
+    Layout.writeBucketed(ChatStats.sketchRollup(events), table, "channel", buckets)
+
+  /** Incremental sketch refresh: sketch ONLY the new partition and union
+    * into the stored rows ([[ChatStats.mergeSketchRollups]] — estimates
+    * provably equal the full-history build).
+    */
+  def refreshSketches(spark: SparkSession, newEvents: DataFrame,
+                      table: String = SketchTable, buckets: Int = 8): Unit =
+    swapWrite(spark,
+      ChatStats.mergeSketchRollups(spark.table(table), ChatStats.sketchRollup(newEvents)),
+      table, buckets, key = "channel")
+
+  /** The approximate common-users matrix with ZERO fact access — pair
+    * math over the maintained sketch rows only.
+    */
+  def commonUsersMatrixApprox(spark: SparkSession, table: String = SketchTable): DataFrame =
+    ChatStats.commonUsersMatrixApproxFrom(spark.table(table))
 }

@@ -109,4 +109,32 @@ class WarehouseFlowSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("sketch MV: incremental refresh through the catalog, matrix answered with zero fact access") {
+    val events = Tables.events(spark, sfDir)
+    val cutoff = to_date(lit("2024-01-20"))
+    try {
+      val expected = ChatStats.commonUsersMatrixApprox(events).collect()
+        .map(_.toString).sorted
+
+      RollupWarehouse.bootstrapSketches(events.filter(col("ts") < cutoff), buckets = 2)
+      RollupWarehouse.refreshSketches(spark, events.filter(col("ts") >= cutoff), buckets = 2)
+
+      val s2 = spark.newSession()
+      val matrix = RollupWarehouse.commonUsersMatrixApprox(s2)
+      // zero fact access: only the sketch table is scanned
+      assert(!matrix.queryExecution.executedPlan.toString.contains("events.parquet"))
+      // sketches survive the parquet round-trip and the incremental union:
+      // estimates equal the one-shot build over the full history
+      assert(matrix.collect().map(_.toString).sorted.sameElements(expected))
+    } finally {
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.currentTimeMillis + 30000
+      while (tracker.getActiveJobIds.nonEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.SketchTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${RollupWarehouse.SketchTable}_staging")
+      spark.catalog.clearCache()
+    }
+  }
 }
