@@ -42,6 +42,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sketch matrix: broadcast pair join over sketch aggregates, no rollup self-join") {
+    val p = plans("q_common_users_matrix_approx")
+    assert(p.contains("BroadcastHashJoin"), "pair join must be broadcast")
+    assert(p.contains("hll_sketch_agg"), "must aggregate sketches, not rows")
+    // the only data exchanges are the (channel, week) sketch aggregations —
+    // a user-keyed rollup self-join would add user_id exchanges
+    val userKeyed = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userKeyed == 0, s"sketch matrix gained a user-keyed exchange:\n$p")
+  }
+
   test("dim joins are broadcast in the hours suite") {
     Seq("q_hours_total", "q_hours_avg", "q_hours_max", "q_video_highlights").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dim join")
