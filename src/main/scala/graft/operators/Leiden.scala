@@ -46,10 +46,14 @@ object Leiden {
     val n = labels.length
     // symmetric weight map, parallel edges summed, self-loops kept
     val w = new scala.collection.mutable.HashMap[(Int, Int), Double]
+    // edges referencing nodes outside `nodes` are dropped, not crashed on —
+    // a caller's edge list may lag its node list (e.g. filtered rollups)
     edges.foreach { case (a, b, wt) =>
-      for ((i, j) <- Seq((idx(a), idx(b)))) {
-        val k = if (i <= j) (i, j) else (j, i)
-        w(k) = w.getOrElse(k, 0d) + wt
+      (idx.get(a), idx.get(b)) match {
+        case (Some(i), Some(j)) =>
+          val k = if (i <= j) (i, j) else (j, i)
+          w(k) = w.getOrElse(k, 0d) + wt
+        case _ => ()
       }
     }
     var g = Graph.build(n, w.toSeq.map { case ((i, j), wt) => (i, j, wt) })
@@ -156,12 +160,11 @@ object Leiden {
         val base = toComm.getOrElse(cur, 0d) - g.degree(v) * commTot(cur) / g.m2
         var bestC = cur
         var bestGain = 0d
+        // ascending community order + strictly-greater test = ties resolve
+        // to the lowest community id, deterministically
         for ((c, wvc) <- toComm.toSeq.sortBy(_._1) if c != cur) {
           val gain = wvc - g.degree(v) * commTot(c) / g.m2 - base
-          if (gain > bestGain + 1e-12 ||
-            (math.abs(gain - bestGain) <= 1e-12 && bestGain > 0 && c < bestC)) {
-            bestGain = gain; bestC = c
-          }
+          if (gain > bestGain + 1e-12) { bestGain = gain; bestC = c }
         }
         commTot(cur) += g.degree(v)
         if (bestC != cur) {
