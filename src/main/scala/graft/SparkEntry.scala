@@ -184,7 +184,10 @@ object SparkEntry {
     "s_stream_membership" -> ((s, d) => graft.streaming.MembershipStream.transitions(ev(s, d)).toDF()),
     "s_stream_dedup" -> ((s, d) => graft.streaming.DedupStream.survivors(Fixtures.plantedDocs(docs(s, d)))),
     "s_stream_velocity" -> ((s, d) => graft.streaming.VelocityStream.bursts(ev(s, d))),
-    "s_sessionize_gap" -> ((s, d) => graft.streaming.EventStream.gapSessions(ev(s, d)))
+    "s_sessionize_gap" -> ((s, d) => graft.streaming.EventStream.gapSessions(ev(s, d))),
+    // streaming sketch-MV maintenance twin — estimates are engine-specific
+    // (rows-only); SketchStreamSpec proves streamed state == batch rollup
+    "s_sketch_maintain" -> ((s, d) => graft.streaming.SketchStream.maintained(ev(s, d)))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
