@@ -169,14 +169,16 @@ object Similarity {
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = documents.select(countDistinct("source").as("n_src"))
+    // the corpus-size idf scalar: sources are bounded (the reference's
+    // channel set), so ONE tiny collect folds it into the plan as a
+    // literal instead of a crossJoin + broadcast materialization
+    val nSrc = documents.select(countDistinct("source")).first().getLong(0).toDouble
     // reused by both join sides and the norms — pin the weighted vectors
     val weighted = tf.join(df_, "term")
       .filter(maxDf.map(c => col("df") <= c).getOrElse(lit(true)))
-      .crossJoin(broadcast(n))
       .select(col("source"), col("term"),
         (col("tf").cast("double") *
-          (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
+          (log((lit(1d) + nSrc) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
           .as("wt"))
       .cache()
     val dots = weighted.as("a")
