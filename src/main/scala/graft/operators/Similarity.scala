@@ -167,12 +167,22 @@ object Similarity {
   def contentSimilarity(documents: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val terms = documents
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    // ONE corpus scan: tf's partial agg absorbs the exploded token stream
+    // map-side, then the pinned term-partitioned aggregate feeds every
+    // term-keyed consumer — df_, the idf join, the pairwise self-join —
+    // with zero further exchanges (HashPartitioning(term) satisfies each
+    // of their distributions). Without the cache, Catalyst duplicates the
+    // scan+aggregate subtree under each consumer.
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .cache()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // the corpus-size idf scalar: sources are bounded (the reference's
-    // channel set), so ONE tiny collect folds it into the plan as a
-    // literal instead of a crossJoin + broadcast materialization
-    val nSrc = documents.select(countDistinct("source")).first().getLong(0).toDouble
+    // channel set), so ONE tiny collect off the pinned aggregate (not a
+    // second corpus scan) folds it into the plan as a literal. Equal to
+    // countDistinct over raw documents: every non-null text yields ≥1
+    // term (split of "" is [""]).
+    val nSrc = tf.select(countDistinct("source")).first().getLong(0).toDouble
     // reused by both join sides and the norms — pin the weighted vectors
     val weighted = tf.join(df_, "term")
       .filter(maxDf.map(c => col("df") <= c).getOrElse(lit(true)))
@@ -180,7 +190,6 @@ object Similarity {
         (col("tf").cast("double") *
           (log((lit(1d) + nSrc) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
           .as("wt"))
-      .cache()
     val dots = weighted.as("a")
       .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
