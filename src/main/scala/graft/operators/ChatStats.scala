@@ -356,8 +356,13 @@ object ChatStats {
       .crossJoin(sb.agg(count(lit(1)).as("size_b")))
       .select(
         col("num_common_users"),
-        fl(col("num_common_users").cast("double") * 100d / col("size_a").cast("double"), 4).as("pct_a_to_b"),
-        fl(col("num_common_users").cast("double") * 100d / col("size_b").cast("double"), 4).as("pct_b_to_a")
+        // NULLIF guards the empty-side case (no users in that channel-week):
+        // ANSI division by zero would fail the whole query; NULL percentage
+        // is the SQL answer for "share of nobody"
+        fl(col("num_common_users").cast("double") * 100d /
+          nullif(col("size_a").cast("double"), lit(0d)), 4).as("pct_a_to_b"),
+        fl(col("num_common_users").cast("double") * 100d /
+          nullif(col("size_b").cast("double"), lit(0d)), 4).as("pct_b_to_a")
       )
   }
 
@@ -367,8 +372,8 @@ object ChatStats {
        | sb AS (SELECT DISTINCT user_id FROM act WHERE channel = '$chB' AND week = DATE '$wb'),
        | c AS (SELECT COUNT(*) AS num_common_users FROM sa JOIN sb USING (user_id))
        | SELECT c.num_common_users,
-       |  ${flSql("CAST(c.num_common_users AS DOUBLE) * 100 / CAST((SELECT COUNT(*) FROM sa) AS DOUBLE)", 4)} AS pct_a_to_b,
-       |  ${flSql("CAST(c.num_common_users AS DOUBLE) * 100 / CAST((SELECT COUNT(*) FROM sb) AS DOUBLE)", 4)} AS pct_b_to_a
+       |  ${flSql("CAST(c.num_common_users AS DOUBLE) * 100 / NULLIF(CAST((SELECT COUNT(*) FROM sa) AS DOUBLE), 0)", 4)} AS pct_a_to_b,
+       |  ${flSql("CAST(c.num_common_users AS DOUBLE) * 100 / NULLIF(CAST((SELECT COUNT(*) FROM sb) AS DOUBLE), 0)", 4)} AS pct_b_to_a
        | FROM c""".stripMargin.replace("\n", "")
 
   /** get_common_members (api.py:1618): matrix restricted to members

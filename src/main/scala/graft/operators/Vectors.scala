@@ -269,6 +269,10 @@ object Vectors {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
+    // no blocks at all (empty corpus): the probe array would be a
+    // zero-width VOID literal that analysis rejects — and with no rows
+    // the multi-probe graph IS the single-block graph (empty)
+    if (cents.isEmpty) return knnJoin(embeddings, k)
     // (-centroid cosine, label) structs sort lexicographically =
     // score desc, label asc — deterministic probe ranking in-row
     val scoredCents = cents.map { case (l, cv) =>
@@ -420,9 +424,16 @@ object Vectors {
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val qRow = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").limit(1).collect().headOption
+    // degenerate corpus (nothing to train on / query vector absent):
+    // the top-k of nothing is the empty result, not a crash
+    if (sample.isEmpty || qRow.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), col("label"),
+          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
     val cb = trainPqCodebook(sample, DIM, m, codebookK, iters)
-    val q = embeddings.filter(col("vec_id") === qId)
-      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+    val q = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     // query LUTs: dot(q_s, centroid) and |centroid|^2 per (subspace, code)
     val lutDot = Array.tabulate(m, codebookK) { (s, c) =>
@@ -506,14 +517,20 @@ object Vectors {
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val qRow = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").limit(1).collect().headOption
+    // degenerate corpus: same empty-result contract as [[annPq]]
+    if (sample.isEmpty || qRow.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), col("label"),
+          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
     val cb1 = trainPqCodebook(sample, DIM, m, codebookK, iters)
     val residuals = sample.map { v =>
       val rec = pqReconstructLocal(pqEncodeLocal(v, cb1, DIM, m, codebookK), cb1, DIM, m, codebookK)
       Array.tabulate(DIM)(i => v(i) - rec(i))
     }
     val cb2 = trainPqCodebook(residuals, DIM, m, codebookK, iters)
-    val q = embeddings.filter(col("vec_id") === qId)
-      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+    val q = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     def lutDot(cb: Array[Double]) = Array.tabulate(m, codebookK) { (s, c) =>
       (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
