@@ -117,6 +117,19 @@ object SparkEntry {
     // pins the clique-bridge split where CC and Leiden disagree
     "q_leiden_communities" -> ((s, d) => Similarity.leidenCommunities(ev(s, d))),
     "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
+    // adaptive NN forecaster (#103): trains a per-channel LSTM/MLP inside
+    // each Spark task — rows-only (training has no SQL oracle; spec-gated
+    // by NeuralForecastSpec incl. finite-difference gradient checks). The
+    // entry demos a fixed 64-channel slice so the registry cost is
+    // SF-independent; the operator itself takes the full relation.
+    // entry demos a fixed 64-channel slice at a lighter training config
+    // (h=32, 40 epochs) so the registry cost is bounded; the operator's
+    // own defaults stay reference-faithful (h=64, 100 epochs)
+    "q_forecast_hours_adaptive" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Forecast.forecastHoursAdaptive(ord(s, d), cust(s, d).filter(col("c_custkey") <= 64),
+        hidden = 32, epochs = 40)
+    }),
     // --- dedup suite (#38-42) ---
     "d_dedup_exact" -> ((s, d) => Dedup.dedupExact(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(Fixtures.plantedDocs(docs(s, d)))),

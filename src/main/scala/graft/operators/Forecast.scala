@@ -61,6 +61,55 @@ object Forecast {
         fl(col("f") + col("widen") * 1.645d, 4).as("upper"))
   }
 
+  /** #103 adaptive NN forecaster — the reference's FULL pipeline
+    * (forecaster.py:84 StreamingHoursForecaster), not just the
+    * statistical fallback: per channel, gap-fill + MinMax-scale the
+    * monthly series, then ≥12 months → 2-layer LSTM (h=64, dropout 0.2,
+    * Adam, early stopping), ≥4 → small MLP, else the statistical path;
+    * 3-month recursive forecast with 100-sim MC-dropout bands
+    * (p5/p25/p75/p95). Implemented torch-free in [[graft.ml]] so each
+    * channel trains INSIDE its Spark task: the reference loops channels
+    * on one process (forecaster.py:492), here `flatMapGroups` distributes
+    * the same bounded per-channel work across the cluster — 10k channels
+    * train 10k models in parallel, with one shuffle of the tiny
+    * (channel, month) rollup and zero driver involvement.
+    *
+    * Seeded per channel (MurmurHash3 of the name) — bit-identical
+    * forecasts on every run; spec-gated (training is not
+    * SQL-expressible, so no DuckDB oracle; the statistical path's twin
+    * [[forecastHours]] stays the oracle-checked query).
+    */
+  def forecastHoursAdaptive(orders: DataFrame, customer: DataFrame,
+                            horizons: Int = 3, sims: Int = 100,
+                            hidden: Int = 64, epochs: Int = 100): DataFrame = {
+    val monthly = orders.join(
+        broadcast(customer.select(col("c_custkey"), col("c_name").as("channel"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("channel"), to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("dur"))
+      .select(col("channel"),
+        (year(col("month")) * 12 + month(col("month")) - 1).as("m"),
+        (col("dur").cast("double") / 3600d).as("x"))
+    val spark = orders.sparkSession
+    import spark.implicits._
+    // Training is CPU-bound per KEY, not per byte: the rollup is a few KB
+    // per channel, so AQE's byte-based coalescing would collapse the
+    // shuffle to one partition and serialize every model fit. An explicit
+    // numPartitions repartition (REPARTITION_BY_NUM — exempt from AQE
+    // coalescing) spreads channels across all cores; channel count >>
+    // cores keeps the hash distribution even.
+    val parts = spark.sparkContext.defaultParallelism
+    monthly.as[(String, Int, Double)]
+      .repartition(parts, col("channel"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (ch, rows) =>
+          graft.ml.NeuralForecaster
+            .forecastChannel(ch, rows.map(r => (r._2, r._3)), horizons, sims, hidden, epochs)
+        }
+      }
+      .toDF()
+  }
+
   def forecastHoursSql(horizons: Int = 3): String =
     s"""WITH monthly AS (
        |  SELECT c.c_name AS channel,
