@@ -154,6 +154,9 @@ object SparkEntry {
     "v_ann_pq" -> ((s, d) => Vectors.annPq(emb(s, d))),
     // residual (two-stage) PQ refinement — same rows-only rationale
     "v_ann_pq_residual" -> ((s, d) => Vectors.annPqResidual(emb(s, d))),
+    // OPQ ANN (#105): learned orthogonal rotation + PQ — rows-only
+    // (Lloyd + Procrustes not SQL-expressible), spec-gated by OpqSpec
+    "v_ann_pq_opq" -> ((s, d) => Vectors.annPqOpq(emb(s, d))),
     // --- text suite (#1-3, 45-48) ---
     "t_categorize" -> ((s, d) => TextOps.categorizeDocs(Fixtures.charsetDocs(docs(s, d)))),
     "t_membership_rank" -> ((s, d) => TextOps.membershipRankDocs(Fixtures.badgeDocs(docs(s, d)))),

@@ -303,6 +303,67 @@ object PqEncode {
   }
 }
 
+/** `R · v` against a driver-trained d×d rotation baked as a literal —
+  * the in-row transform step of OPQ ANN (rotate, then [[PqEncode]]
+  * against the rotated-space codebook). Same codegen shape as PqEncode:
+  * the matrix rides along as a reference object, the kernel is one
+  * static method shared by interpreted eval and codegen.
+  */
+case class RotateVec(child: Expression, dim: Int, matrix: Array[Double])
+    extends UnaryExpression {
+
+  require(matrix.length == dim * dim, s"matrix must be $dim x $dim")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rotate_vec requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rotate_vec"
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    RotateVec.compute(v.asInstanceOf[ArrayData], isFloat, dim, matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("rotateMatrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RotateVec.compute($c, $isFloat, $dim, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RotateVec {
+  def compute(arr: ArrayData, isFloat: Boolean, dim: Int, mat: Array[Double]): ArrayData = {
+    val v = new Array[Double](dim)
+    val n = math.min(arr.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](dim)
+    var r = 0
+    while (r < dim) {
+      var acc = 0d
+      var c = 0
+      while (c < dim) { acc += mat(r * dim + c) * v(c); c += 1 }
+      out(r) = acc
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object VectorFunctions {
   /** `vec_dot(a, b)` as a Column — strict fold dot product, codegen'd. */
   def vecDot(a: Column, b: Column): Column =
@@ -321,4 +382,8 @@ object VectorFunctions {
     */
   def pqEncode(v: Column, dim: Int, m: Int, k: Int, codebook: Array[Double]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), dim, m, k, codebook))
+
+  /** `R · v` for a baked d×d rotation matrix (row-major doubles). */
+  def rotateVec(v: Column, dim: Int, matrix: Array[Double]): Column =
+    ColumnBridge.column(RotateVec(ColumnBridge.expression(v), dim, matrix))
 }

@@ -583,6 +583,130 @@ object Vectors {
       .limit(k)
   }
 
+  /** Mean rotated-space reconstruction error of (rot, codebook) over the
+    * training sample — the OPQ objective (orthogonal rot preserves norms,
+    * so errors are comparable across candidate rotations).
+    */
+  private[graft] def opqMse(sample: Array[Array[Double]], rot: Array[Double],
+                            cb: Array[Double], dim: Int, m: Int, k: Int): Double = {
+    var acc = 0d
+    sample.foreach { v =>
+      val rv = graft.ml.LinAlg.matvec(rot, dim, v)
+      val rec = pqReconstructLocal(pqEncodeLocal(rv, cb, dim, m, k), cb, dim, m, k)
+      var i = 0
+      while (i < dim) { val e = rv(i) - rec(i); acc += e * e; i += 1 }
+    }
+    acc / math.max(1, sample.length)
+  }
+
+  /** OPQ (Ge et al., CVPR'13, non-parametric alternation): learn an
+    * orthogonal rotation R jointly with the PQ codebook so the subspace
+    * split cuts the ROTATED space — min_{R,C} Σ ||R·v − recon_C(R·v)||².
+    * Alternate (1) Lloyd codebook on the rotated sample with (2) the
+    * orthogonal Procrustes update R = polar(Σ recon·vᵀ) (LinAlg.polar =
+    * U·Vᵀ of the SVD). Runs from BOTH the identity and a seeded random
+    * orthogonal init and keeps the (R, C) with the lowest sample MSE —
+    * identity-init iteration 0 IS plain PQ, so OPQ is never worse on the
+    * training objective by construction.
+    */
+  private[graft] def trainOpq(sample: Array[Array[Double]], dim: Int, m: Int, k: Int,
+                              iters: Int, opqIters: Int): (Array[Double], Array[Double]) = {
+    import graft.ml.{LinAlg, Rng}
+    var bestR: Array[Double] = null
+    var bestCb: Array[Double] = null
+    var bestMse = Double.MaxValue
+    val inits = Seq(LinAlg.identity(dim), LinAlg.randomOrthogonal(dim, new Rng(0x09f2L)))
+    inits.foreach { r0 =>
+      var r = r0
+      var it = 0
+      while (it < opqIters) {
+        val rotated = sample.map(LinAlg.matvec(r, dim, _))
+        val cb = trainPqCodebook(rotated, dim, m, k, iters)
+        val mse = opqMse(sample, r, cb, dim, m, k)
+        if (mse < bestMse) { bestMse = mse; bestR = r; bestCb = cb }
+        // Procrustes step: align the raw sample onto its reconstructions
+        val mMat = new Array[Double](dim * dim)
+        sample.foreach { v =>
+          val rec = pqReconstructLocal(
+            pqEncodeLocal(LinAlg.matvec(r, dim, v), cb, dim, m, k), cb, dim, m, k)
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { mMat(i * dim + j) += rec(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        r = LinAlg.polar(mMat, dim)
+        it += 1
+      }
+      // the final rotation's codebook is a candidate too
+      val cb = trainPqCodebook(sample.map(LinAlg.matvec(r, dim, _)), dim, m, k, iters)
+      val mse = opqMse(sample, r, cb, dim, m, k)
+      if (mse < bestMse) { bestMse = mse; bestR = r; bestCb = cb }
+    }
+    (bestR, bestCb)
+  }
+
+  /** #105 OPQ ANN — the rotation refinement seat next to the residual one
+    * (#98): codes are PQ codes of `R·v` (in-row codegen'd
+    * [[graft.functions.RotateVec]] feeding [[graft.functions.PqEncode]]),
+    * ADC LUTs come from the rotated query, and the exact re-rank scores
+    * RAW vectors (rotation preserves cosine, so the rerank needs no
+    * rotation at all). Everything else is the #89 shape — bounded driver
+    * training, scan + TakeOrdered, 8-byte codes at rest. Rows-only
+    * (Lloyd + Procrustes not SQL-expressible); the spec pins the
+    * training-objective dominance over plain PQ, rotation orthogonality,
+    * Procrustes recovery of a planted rotation, and rerank ≥ corpus ≡
+    * brute force.
+    */
+  def annPqOpq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+               m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
+               sampleN: Int = 256, iters: Int = 5, opqIters: Int = 8): DataFrame = {
+    val sub = DIM / m
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val qRow = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").limit(1).collect().headOption
+    if (sample.isEmpty || qRow.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), col("label"),
+          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
+    val (rot, cb) = trainOpq(sample, DIM, m, codebookK, iters, opqIters)
+    val qRaw = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val q = graft.ml.LinAlg.matvec(rot, DIM, qRaw)
+    val qNorm = math.sqrt(qRaw.map(x => x * x).sum) // = |R·q|, R orthogonal
+    val lutDot = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
+    }
+    val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
+    }
+    val codes = embeddings.filter(col("vec_id") =!= qId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VectorFunctions.pqEncode(
+          graft.functions.VectorFunctions.rotateVec(col("embedding"), DIM, rot),
+          DIM, m, codebookK, cb).as("codes"))
+    val adcDot = (0 until m).map(s =>
+      element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    val adcN2 = (0 until m).map(s =>
+      element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+      .limit(rerank)
+      .crossJoin(broadcast(queryVec(embeddings, qId)))
+      .select(col("vec_id"), col("label"),
+        fl(col("adc_cosine"), 6).as("adc_cosine"),
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** #67 symmetric int8 scalar quantization of the embedding column — the
     * storage/bandwidth step of a vector pipeline (4× smaller vectors; at
     * 100 TB the quantized table is what ANN scans). Per vector: scale =
