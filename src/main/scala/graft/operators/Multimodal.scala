@@ -39,9 +39,13 @@ object Multimodal {
         if (m.blob.length == 0) 0d else sum.toDouble / m.blob.length, crc)
     }
 
-  /** The synthesized media table (binary + typed metadata) from documents. */
+  /** The synthesized media table (binary + typed metadata) from documents.
+    * Null text = no media asset: dropped HERE, at synthesis, so the typed
+    * codec boundary never sees a null payload (a real decoder would NPE
+    * exactly like the stub did before this filter).
+    */
   def mediaTable(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.filter(col("text").isNotNull).select(
       col("doc_id"),
       unhex(md5(col("text"))).as("blob"),
       (col("doc_id") % 640 + 64).cast("int").as("width"),

@@ -263,7 +263,10 @@ object Vectors {
     */
   def knnJoinMultiProbe(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
-    val cents = embeddings.groupBy("label")
+    // null-label vectors can't join any block (SQL null-equality already
+    // drops them from the b-side); they must not become a null centroid
+    // group either
+    val cents = embeddings.filter(col("label").isNotNull).groupBy("label")
       .agg(vecSum(col("embedding"), DIM).as("sv"), count(lit(1)).as("nv"))
       .select(col("label"), transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
       .collect()
