@@ -117,14 +117,13 @@ object SparkEntry {
     // pins the clique-bridge split where CC and Leiden disagree
     "q_leiden_communities" -> ((s, d) => Similarity.leidenCommunities(ev(s, d))),
     "q_forecast_hours" -> ((s, d) => Forecast.forecastHours(ord(s, d), cust(s, d))),
-    // adaptive NN forecaster (#103): trains a per-channel LSTM/MLP inside
+    // adaptive NN forecaster (#104): trains a per-channel LSTM/MLP inside
     // each Spark task — rows-only (training has no SQL oracle; spec-gated
     // by NeuralForecastSpec incl. finite-difference gradient checks). The
-    // entry demos a fixed 64-channel slice so the registry cost is
-    // SF-independent; the operator itself takes the full relation.
     // entry demos a fixed 64-channel slice at a lighter training config
-    // (h=32, 40 epochs) so the registry cost is bounded; the operator's
-    // own defaults stay reference-faithful (h=64, 100 epochs)
+    // (h=32, 40 epochs) so the registry cost stays bounded at every SF;
+    // the operator takes the full relation and its own defaults stay
+    // reference-faithful (h=64, 100 epochs)
     "q_forecast_hours_adaptive" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Forecast.forecastHoursAdaptive(ord(s, d), cust(s, d).filter(col("c_custkey") <= 64),

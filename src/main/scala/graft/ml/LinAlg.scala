@@ -88,25 +88,30 @@ object LinAlg {
     */
   def polar(m0: Array[Double], d: Int): Array[Double] = {
     var x = m0.clone()
-    if (inverse(x, d).isEmpty) {
-      val scale = math.max(1e-8, m0.map(math.abs).max * 1e-8)
-      var i = 0
-      while (i < d) { x(i * d + i) += scale; i += 1 }
-    }
     var it = 0
     var done = false
     while (it < 100 && !done) {
-      val invT = transpose(inverse(x, d).getOrElse(return x), d)
-      val next = new Array[Double](d * d)
-      var delta = 0d
-      var i = 0
-      while (i < d * d) {
-        next(i) = 0.5 * (x(i) + invT(i))
-        delta = math.max(delta, math.abs(next(i) - x(i)))
-        i += 1
+      inverse(x, d) match {
+        case None =>
+          // singular iterate (including a singular m0): ridge the
+          // diagonal and keep iterating — never return a half-converged
+          // non-orthogonal matrix, the callers rely on |R·v| = |v|
+          val scale = math.max(1e-8, x.map(math.abs).max * 1e-8)
+          var i = 0
+          while (i < d) { x(i * d + i) += scale; i += 1 }
+        case Some(inv) =>
+          val invT = transpose(inv, d)
+          val next = new Array[Double](d * d)
+          var delta = 0d
+          var i = 0
+          while (i < d * d) {
+            next(i) = 0.5 * (x(i) + invT(i))
+            delta = math.max(delta, math.abs(next(i) - x(i)))
+            i += 1
+          }
+          x = next
+          if (delta < 1e-13) done = true
       }
-      x = next
-      if (delta < 1e-13) done = true
       it += 1
     }
     x

@@ -90,11 +90,11 @@ object Forecast {
       .select(col("channel"),
         (year(col("month")) * 12 + month(col("month")) - 1).as("m"),
         (col("dur").cast("double") / 3600d).as("x"))
-      // a null channel has no series; a null monthly sum (all durations
-      // null) is a MISSING month — gap-fill interpolates it like any
-      // other hole, and the typed (String, Int, Double) boundary below
-      // cannot carry nulls
-      .filter(col("channel").isNotNull && col("x").isNotNull)
+      // a null channel has no series; a null month (null end_time) has no
+      // slot on the axis; a null monthly sum (all durations null) is a
+      // MISSING month — gap-fill interpolates it like any other hole. The
+      // typed (String, Int, Double) boundary below cannot carry nulls.
+      .filter(col("channel").isNotNull && col("m").isNotNull && col("x").isNotNull)
     val spark = orders.sparkSession
     import spark.implicits._
     // Training is CPU-bound per KEY, not per byte: the rollup is a few KB

@@ -178,12 +178,16 @@ object Similarity {
       .cache()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // the corpus-size idf scalar: sources are bounded (the reference's
-    // channel set), so ONE tiny collect off the pinned aggregate (not a
-    // second corpus scan) folds it into the plan as a literal. Equal to
-    // countDistinct over raw documents: every non-null text yields ≥1
-    // term (split of "" is [""]).
-    val nSrc = tf.select(countDistinct("source")).first().getLong(0).toDouble
-    // reused by both join sides and the norms — pin the weighted vectors
+    // channel set), so ONE tiny collect folds it into the plan as a
+    // literal. Counted over raw documents, not the tokenized aggregate —
+    // sklearn (the reference's vectorizer) counts every fitted sample in
+    // n, including sources whose whole text is null/empty, and the
+    // oracle's COUNT(DISTINCT source) must see the same denominator. The
+    // scan is column-pruned to `source` alone.
+    val nSrc = documents.select(countDistinct("source")).first().getLong(0).toDouble
+    // weighted is NOT cached: its three consumers (both dot-product
+    // sides and the norms) recompute a cheap co-partitioned join off the
+    // pinned tf instead of paying a second materialization barrier
     val weighted = tf.join(df_, "term")
       .filter(maxDf.map(c => col("df") <= c).getOrElse(lit(true)))
       .select(col("source"), col("term"),

@@ -307,6 +307,7 @@ object Vectors {
     s"""WITH cent AS (
        |  SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
        |  FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+       |  WHERE label IS NOT NULL
        |  GROUP BY 1, 2),
        | cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
        | ranked AS (

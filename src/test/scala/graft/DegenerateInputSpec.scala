@@ -81,6 +81,7 @@ class NullHeavyInputSpec extends DegenerateInputSpec("graft-nulls-sf", 200) {
       df.withColumn("c_name", when(col("c_custkey") % 4 === 0, lit(null)).otherwise(col("c_name")))
     case "orders" =>
       df.withColumn("o_totalprice", when(col("o_orderkey") % 6 === 0, lit(null)).otherwise(col("o_totalprice")))
+        .withColumn("o_orderdate", when(col("o_orderkey") % 11 === 0, lit(null)).otherwise(col("o_orderdate")))
     case "events" =>
       df.withColumn("value", when(col("user_id") % 5 === 0, lit(null)).otherwise(col("value")))
     case "embeddings" =>
