@@ -177,23 +177,25 @@ object Similarity {
       .repartition(col("term"))
       .cache()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // the corpus-size idf scalar: sources are bounded (the reference's
-    // channel set), so ONE tiny collect folds it into the plan as a
-    // literal. Counted over raw documents, not the tokenized aggregate —
-    // sklearn (the reference's vectorizer) counts every fitted sample in
-    // n, including sources whose whole text is null/empty, and the
-    // oracle's COUNT(DISTINCT source) must see the same denominator. The
-    // scan is column-pruned to `source` alone.
-    val nSrc = documents.select(countDistinct("source")).first().getLong(0).toDouble
-    // weighted is NOT cached: its three consumers (both dot-product
-    // sides and the norms) recompute a cheap co-partitioned join off the
-    // pinned tf instead of paying a second materialization barrier
+    // the corpus-size idf scalar: counted over raw documents, not the
+    // tokenized aggregate — sklearn (the reference's vectorizer) counts
+    // every fitted sample in n, including sources whose whole text is
+    // null/empty, and the oracle's COUNT(DISTINCT source) must see the
+    // same denominator. Kept LAZY as a broadcast single-row cross join
+    // (not an eager collect) so the column-pruned source scan runs once
+    // inside the query, not once per plan build.
+    val n = documents.select(countDistinct("source").as("n_src"))
+    // weighted IS cached: its three consumers (both dot-product sides
+    // and the norms) would otherwise each re-run the idf join AND the
+    // n_src scan hanging under it
     val weighted = tf.join(df_, "term")
       .filter(maxDf.map(c => col("df") <= c).getOrElse(lit(true)))
+      .crossJoin(broadcast(n))
       .select(col("source"), col("term"),
         (col("tf").cast("double") *
-          (log((lit(1d) + nSrc) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
+          (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
           .as("wt"))
+      .cache()
     val dots = weighted.as("a")
       .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
