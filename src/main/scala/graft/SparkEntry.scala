@@ -171,6 +171,7 @@ object SparkEntry {
     "t_parse_query" -> ((s, d) => TextOps.parseQueryDocs(Fixtures.queryDocs(docs(s, d)))),
     // --- corpus-pipeline ops (#61-64) ---
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
+    "p_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
@@ -282,6 +283,9 @@ object SparkEntry {
     "t_gopher_rules" -> TextOps.gopherRulesDocsSql,
     "t_parse_query" -> TextOps.parseQueryDocsSql,
     "p_decontaminate" -> Pipeline.decontaminateSql(),
+    // same oracle as p_decontaminate: the bloom is candidate pruning only,
+    // an exact join re-verifies every survivor
+    "p_decontaminate_bloom" -> Pipeline.decontaminateSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),

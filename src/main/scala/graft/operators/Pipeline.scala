@@ -42,24 +42,76 @@ object Pipeline {
     * so the 100 TB scan never shuffles its text.
     */
   def decontaminate(documents: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
-    val w = split(lower(trim(col("text"))), "\\s+")
-    // per-doc distinct k-gram ids, in-row (same construction as Dedup)
-    def shingleSet(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), expr(
-        s"""array_distinct(transform(
-           | filter(
-           |  CASE WHEN size(w) >= $k
-           |   THEN transform(sequence(1, size(w) - $k + 1),
-           |     i -> array_join(slice(w, i, $k), ' '))
-           |   ELSE CAST(array() AS ARRAY<STRING>) END,
-           |  s -> length(s) > 0),
-           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
-          .stripMargin.replace("\n", "")).as("shs"))
-    val evalGrams = shingleSet(evalDocs)
+    val evalGrams = shingleIds(evalDocs, k)
       .select(explode(col("shs")).as("xsh")).distinct()
-    val hits = shingleSet(documents)
+    val hits = shingleIds(documents, k)
       .select(col("doc_id"), explode(col("shs")).as("xsh"))
+      .join(broadcast(evalGrams), "xsh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    documents.select("doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** Per-doc distinct k-gram ids, in-row (same construction as Dedup's
+    * shingle sets) — shared by [[decontaminate]] and [[decontaminateBloom]].
+    */
+  private def shingleIds(df: DataFrame, k: Int): DataFrame = df
+    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    .select(col("doc_id"), expr(
+      s"""array_distinct(transform(
+         | filter(
+         |  CASE WHEN size(w) >= $k
+         |   THEN transform(sequence(1, size(w) - $k + 1),
+         |     i -> array_join(slice(w, i, $k), ' '))
+         |   ELSE CAST(array() AS ARRAY<STRING>) END,
+         |  s -> length(s) > 0),
+         | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
+        .stripMargin.replace("\n", "")).as("shs"))
+
+  /** [[decontaminate]] with a Bloom-filter pre-prune — the shape that keeps
+    * decontamination affordable when the eval suite outgrows a comfortable
+    * broadcast hash relation. Semantics are IDENTICAL (the Bloom only
+    * prunes candidate shingles; an exact join re-verifies every survivor),
+    * so it shares decontaminate's oracle.
+    *
+    * Scale design: the eval shingle ids build ONE Bloom filter (Spark's own
+    * `BloomFilterAggregate`, the machinery behind AQE runtime filters; ≤8 MB
+    * at the default bit cap vs ~20+ bytes per key for a broadcast hash
+    * table), collected once on the driver — the bounded train-once collect,
+    * same contract as the PQ codebook — and embedded as a binary literal so
+    * `might_contain` runs INSIDE whole-stage codegen over the exploded
+    * corpus shingles. The exact-verify join then sees only the tiny
+    * surviving fraction (true hits + the fp rate), which is what lets it
+    * stay broadcast — or become an affordable shuffle join — at eval-set
+    * sizes where joining every corpus shingle against the full eval
+    * relation would dominate the scan.
+    */
+  def decontaminateBloom(documents: DataFrame, evalDocs: DataFrame, k: Int = 5,
+                         estItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // two consumers (bloom build + exact verify) — pin so the eval corpus
+    // is shingled once
+    val evalGrams = shingleIds(evalDocs, k)
+      .select(explode(col("shs")).as("xsh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty eval set -> the aggregate yields NULL -> might_contain(NULL, x)
+    // is NULL -> the filter drops every shingle -> zero hits: correct
+    val bloomBytes = evalGrams
+      .select(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("xsh")), estItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType), ColumnBridge.expression(col("xsh"))))
+    val hits = shingleIds(documents, k)
+      .select(col("doc_id"), explode(col("shs")).as("xsh"))
+      .filter(mightContain)
       .join(broadcast(evalGrams), "xsh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     documents.select("doc_id")

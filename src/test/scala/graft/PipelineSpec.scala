@@ -33,6 +33,25 @@ class PipelineSpec extends SparkSpec {
     res.values.foreach { case (n, f) => assert(f == (n > 0)) }
   }
 
+  test("decontaminateBloom: identical output to exact decontaminate; bloom prunes before the verify join") {
+    val exact = Pipeline.decontaminate(docs, graft.Fixtures.evalPrompts(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bloomDf = Pipeline.decontaminateBloom(docs, graft.Fixtures.evalPrompts(docs))
+    val bloom = bloomDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(bloom == exact, "bloom pre-prune must not change the result")
+    // the might_contain prune sits in the corpus-side plan (inside the
+    // codegen stage over the exploded shingles), not after the join
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom prune in plan:\n$plan")
+  }
+
+  test("decontaminateBloom: empty eval set flags nothing") {
+    val emptyEval = docs.filter(lit(false)).select("doc_id", "text")
+    val res = Pipeline.decontaminateBloom(docs, emptyEval).collect()
+    assert(res.length == docs.count())
+    res.foreach { r => assert(r.getLong(1) == 0L && !r.getBoolean(2)) }
+  }
+
   test("repetitionScore: appended-block docs score > 0, n_distinct <= n_ngrams") {
     val res = Pipeline.repetitionScore(graft.Fixtures.repeatedDocs(docs)).collect()
     assert(res.length == docs.count())
