@@ -172,6 +172,7 @@ object SparkEntry {
     // --- corpus-pipeline ops (#61-64) ---
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "p_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
+    "p_perplexity_buckets" -> ((s, d) => Pipeline.perplexityBuckets(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
@@ -286,6 +287,7 @@ object SparkEntry {
     // same oracle as p_decontaminate: the bloom is candidate pruning only,
     // an exact join re-verifies every survivor
     "p_decontaminate_bloom" -> Pipeline.decontaminateSql(),
+    "p_perplexity_buckets" -> Pipeline.perplexityBucketsSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),

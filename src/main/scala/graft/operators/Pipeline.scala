@@ -405,16 +405,25 @@ object Pipeline {
     * multiplicity per term is |docs containing it|, never raw occurrence
     * count), then one partial-agg shuffle keyed by doc_id.
     */
-  def unigramNll(documents: DataFrame): DataFrame = {
+  def unigramNll(documents: DataFrame): DataFrame =
+    unigramNllKeyed(documents, Nil)
+
+  /** [[unigramNll]] with extra per-doc columns carried through the rollup
+    * (e.g. `lang` for [[perplexityBuckets]]). Carried columns are
+    * functionally dependent on doc_id, so widening the group keys adds
+    * nothing to any shuffle.
+    */
+  private def unigramNllKeyed(documents: DataFrame, carry: Seq[String]): DataFrame = {
+    val cc = carry.map(col)
     val words = documents
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .select(col("doc_id") +: cc :+ explode(split(lower(trim(col("text"))), "\\s+")).as("term"): _*)
       .filter(length(col("term")) > 0)
     // pre-count per (doc, term), PERSISTED: the model build and the
     // scoring join share one materialization, so the corpus is scanned
     // once even though the relation has two consumers with different
     // column pruning (which would otherwise canonicalize to different
     // exchanges and re-run the explode per consumer)
-    val dt = words.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dt = words.groupBy(col("doc_id") +: cc :+ col("term"): _*).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus term frequency as a partial-agg groupBy + join-back on the
     // persisted pre-count — NOT a window over the term key: map-side
@@ -430,14 +439,70 @@ object Pipeline {
     dt
       .join(vocab, "term")
       .crossJoin(broadcast(scalars))
-      .groupBy("doc_id")
+      .groupBy(col("doc_id") +: cc: _*)
       .agg(
         sum("n").cast("long").as("n_tokens"),
         (sum(col("n").cast("double") *
           -log((col("freq").cast("double") + 1d) / (col("total").cast("double") + col("v_size").cast("double"))))
           / sum(col("n")).cast("double")).as("raw_nll"))
-      .select(col("doc_id"), col("n_tokens"), fl(col("raw_nll"), 4).as("mean_nll"))
+      .select(col("doc_id") +: cc ++: Seq(col("n_tokens"), fl(col("raw_nll"), 4).as("mean_nll")): _*)
   }
+
+  /** CCNet-style perplexity bucketing: per language, split the corpus into
+    * head/middle/tail thirds by the unigram-LM mean NLL — the published
+    * recipe (Wenzek et al., CCNet §4.3) that downstream pipelines sample
+    * from ("head" = most fluent third). Docs with no tokens carry no LM
+    * score and are absent, matching [[unigramNll]]'s contract.
+    *
+    * Scale shape: thresholds are a per-lang percentile AGGREGATE — a rollup
+    * with |langs| output rows, broadcast back for an in-row bucket compare;
+    * never a global sort or a window over the lang key. The oracle default
+    * is the exact percentile (which buffers per-group values — fine at
+    * oracle SF); the documented 100 TB lever is `approx = true`
+    * (approx_percentile's bounded-memory sketch), the same exact/approx
+    * twin contract as p_token_percentiles. Cross-engine determinism: both
+    * engines interpolate over the same 4-decimal-floored NLL multiset and
+    * compare against thresholds rounded to 6 decimals, so a last-ulp
+    * interpolation difference cannot move a doc across a bucket boundary.
+    */
+  def perplexityBuckets(documents: DataFrame, approx: Boolean = false): DataFrame = {
+    val nll = unigramNllKeyed(documents, Seq("lang"))
+    val pct =
+      if (approx) expr("approx_percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 10000)")
+      else expr("percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+    val thr = nll.groupBy("lang").agg(
+      round(pct.getItem(0), 6).as("t1"), round(pct.getItem(1), 6).as("t2"))
+    nll.as("n")
+      .join(broadcast(thr.as("t")), col("n.lang") <=> col("t.lang"))
+      .select(col("n.doc_id").as("doc_id"), col("n.lang").as("lang"),
+        col("n.mean_nll").as("mean_nll"),
+        when(col("n.mean_nll") <= col("t.t1"), lit("head"))
+          .when(col("n.mean_nll") <= col("t.t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  def perplexityBucketsSql(): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  FROM documents),
+       | dt AS (SELECT doc_id, lang, term, COUNT(*) AS n FROM words WHERE length(term) > 0 GROUP BY 1, 2, 3),
+       | vocab AS (SELECT term, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY 1),
+       | sc AS (SELECT CAST(SUM(freq) AS BIGINT) AS total, COUNT(*) AS v_size FROM vocab),
+       | nll AS (
+       |  SELECT dt.doc_id, dt.lang,
+       |   ${flSql("SUM(CAST(dt.n AS DOUBLE) * -ln((CAST(v.freq AS DOUBLE) + 1) / (CAST(sc.total AS DOUBLE) + CAST(sc.v_size AS DOUBLE)))) / CAST(SUM(dt.n) AS DOUBLE)", 4)} AS mean_nll
+       |  FROM dt JOIN vocab v ON dt.term = v.term CROSS JOIN sc
+       |  GROUP BY 1, 2),
+       | thr AS (
+       |  SELECT lang,
+       |   round(quantile_cont(mean_nll, CAST(1 AS DOUBLE)/3), 6) AS t1,
+       |   round(quantile_cont(mean_nll, CAST(2 AS DOUBLE)/3), 6) AS t2
+       |  FROM nll GROUP BY 1)
+       | SELECT n.doc_id, n.lang, n.mean_nll,
+       |  CASE WHEN n.mean_nll <= t.t1 THEN 'head'
+       |       WHEN n.mean_nll <= t.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       | FROM nll n JOIN thr t ON n.lang IS NOT DISTINCT FROM t.lang""".stripMargin.replace("\n", "")
 
   val unigramNllSql: String =
     s"""WITH words AS (

@@ -52,6 +52,35 @@ class PipelineSpec extends SparkSpec {
     res.foreach { r => assert(r.getLong(1) == 0L && !r.getBoolean(2)) }
   }
 
+  test("perplexityBuckets: buckets are monotone thirds per lang; approx twin agrees off-boundary") {
+    val res = Pipeline.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    // every scored doc bucketed exactly once
+    assert(res.map(_._1).distinct.length == res.length)
+    assert(res.length == Pipeline.unigramNll(docs).count())
+    res.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // monotone: every head nll < every middle nll < every tail nll
+      // (equal scores always share a bucket, so the order is strict)
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.max < m.min, s"$lang: head/middle overlap")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.max < t.min, s"$lang: middle/tail overlap")
+      // thirds, loosely (ties at thresholds can shift counts)
+      if (rows.length >= 30) Seq("head", "middle", "tail").foreach { b =>
+        val n = byBucket.getOrElse(b, Array.empty[Double]).length
+        assert(n >= rows.length / 6 && n <= rows.length / 2,
+          s"$lang/$b: $n of ${rows.length} is not roughly a third")
+      }
+    }
+    // the documented scale lever: approx thresholds bucket the same docs
+    // away from boundaries — demand >= 90% agreement overall
+    val approx = Pipeline.perplexityBuckets(docs, approx = true).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val agree = res.count { case (id, _, _, b) => approx(id) == b }
+    assert(agree.toDouble / res.length >= 0.9, s"approx twin agrees on only $agree/${res.length}")
+  }
+
   test("repetitionScore: appended-block docs score > 0, n_distinct <= n_ngrams") {
     val res = Pipeline.repetitionScore(graft.Fixtures.repeatedDocs(docs)).collect()
     assert(res.length == docs.count())
