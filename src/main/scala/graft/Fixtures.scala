@@ -65,6 +65,26 @@ object Fixtures {
       .select(col("doc_id"), concat_ws(" ", slice(w, 3, 20)).as("text"))
   }
 
+  // ---- labeled quality corpus (learned-classifier input) -------------------
+  /** Docs with doc_id % 7 = 0 get a spam-marker tail planted — verifiable
+    * junk for `TextOps.qualityClassifier` on a corpus with no natural spam.
+    */
+  def qualityCorpus(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat_ws(" ", coalesce(col("text"), lit("")),
+          lit("click here buy now free offer winner prize claim instant cash bonus")))
+        .otherwise(col("text")))
+
+  /** The labeled subset of [[qualityCorpus]]: planted-spam docs labeled 0.0,
+    * a disjoint deterministic slice of untouched docs labeled 1.0.
+    */
+  def qualityLabels(documents: DataFrame): DataFrame =
+    qualityCorpus(documents)
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 7 === 0, lit(0d)).otherwise(lit(1d)).as("label"))
+
   // ---- within-doc repetition injection (repetition-score input) ------------
   /** Docs with doc_id % 9 = 0 get their first six words appended twice —
     * verifiable positives for `Pipeline.repetitionScore` on a corpus that

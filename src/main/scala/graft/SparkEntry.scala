@@ -173,6 +173,9 @@ object SparkEntry {
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "p_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "p_perplexity_buckets" -> ((s, d) => Pipeline.perplexityBuckets(docs(s, d))),
+    // rows-only by design: LR training is not SQL-expressible; spec-gated
+    // (planted-spam separation, determinism, neutral empty-sample model)
+    "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(Fixtures.qualityCorpus(docs(s, d)), Fixtures.qualityLabels(docs(s, d)))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),

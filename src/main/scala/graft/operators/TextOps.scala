@@ -326,4 +326,45 @@ object TextOps {
        |  CASE WHEN error IS NULL THEN to_d END AS to_date,
        |  error
        | FROM v""".stripMargin.replace("\n", "")
+
+  // ---- learned quality classifier ------------------------------------------
+  /** Hashed-bag-of-words logistic-regression quality scoring — the LEARNED
+    * filter rung above [[qualityScoreDocs]]'s fixed heuristics (the
+    * fastText-classifier stage of DataComp/RefinedWeb-style recipes).
+    *
+    * `labeled` is a (doc_id, text, label) relation (label 1.0 = quality,
+    * 0.0 = junk) — the real API shape; the oracle registry feeds it
+    * [[graft.Fixtures.qualityLabels]]. Training happens ONCE on the driver
+    * over a BOUNDED deterministic sample (`orderBy(doc_id).limit(cap)` — a
+    * top-k, never a full sort; labeled quality sets are thousands of rows
+    * while the corpus is TBs), via [[graft.ml.QualityClassifier]] —
+    * deterministic zero-init full-batch Adam, the same bounded-collect
+    * train-once contract as the PQ codebook. Scoring is a pure in-row
+    * projection: the weight vector rides along as ONE array literal and
+    * `aggregate(tokens, …)` folds bucket weights inside whole-stage
+    * codegen over the scan — zero exchanges at any scale (the t_ plan
+    * audit pins it).
+    */
+  def qualityClassifier(documents: DataFrame, labeled: DataFrame,
+                        buckets: Int = 1024, sampleCap: Int = 2048): DataFrame = {
+    import graft.ml.QualityClassifier
+    val sample = labeled.select("doc_id", "text", "label")
+      .orderBy("doc_id").limit(sampleCap)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val (w, b) = QualityClassifier.train(sample, buckets)
+    val toks = expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)")
+    val sumW = expr(
+      s"""aggregate(_qc_toks, CAST(0 AS DOUBLE), (acc, t) ->
+         | acc + element_at(_qc_w, CAST(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $buckets AS INT) + 1))"""
+        .stripMargin.replace("\n", ""))
+    documents
+      .select(col("doc_id"), toks.as("_qc_toks"),
+        typedlit(w.toSeq).as("_qc_w"))
+      .select(col("doc_id"),
+        (lit(b) + when(size(col("_qc_toks")) <= 0, lit(0d))
+          .otherwise(sumW / size(col("_qc_toks")).cast("double"))).as("_qc_z"))
+      .select(col("doc_id"),
+        EventSemantics.fl(lit(1d) / (lit(1d) + exp(-col("_qc_z"))), 4).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("is_quality"))
+  }
 }
