@@ -750,4 +750,134 @@ object Vectors {
        |   ELSE ${flSql("list_max(list_transform(v, x -> abs(floor(x / scale) * scale - x)))", 6)}
        |  END AS max_err
        | FROM s""".stripMargin.replace("\n", "")
+
+  // ---- #109 corpus-wide distributed k-means --------------------------------
+
+  /** Fixed-point quantization scale for the centroid-update sums. At 1e6 a
+    * per-cluster sum stays an exact integer double (< 2^53) up to ~1e9
+    * member vectors of magnitude ~10; beyond that, lower the scale (the
+    * only effect is coarser centroids — assignment stays exact either way).
+    */
+  private val KM_QS = 1e6
+
+  /** Corpus-wide Lloyd k-means over the embedding column — the
+    * cluster-then-curate stage of SemDeDup/DSIR-style recipes (cluster the
+    * corpus, then dedup/sample within clusters), distinct from the bounded-
+    * sample codebook training the PQ family uses: here EVERY vector is
+    * assigned, and the centroid update aggregates the FULL corpus.
+    *
+    * Determinism (the reason this is oracle-exact, unusual for iterative
+    * k-means on doubles): centroid updates sum `floor(v*1e6)` per dimension
+    * — exact integer doubles, so the distributed sum is associative and
+    * independent of partitioning — and divide back only after the exact
+    * sum ([[KM_QS]]). Distances are the strict-fold [[graft.functions.DotProduct]]
+    * sequence (`|v|² - 2·v·c + |c|²`), bit-identical to the DuckDB oracle's
+    * `list_reduce` fold; argmin ties break to the lowest cluster index on
+    * both engines. Init = the k lowest-vec_id vectors (deterministic);
+    * empty clusters keep their previous centroid.
+    *
+    * Scale: per iteration, ONE partial-aggregated shuffle of k×(dim+1)
+    * doubles per map task (vec_sum combines map-side) plus a k-row collect;
+    * assignment is a pure in-row projection against centroid literals —
+    * zero joins, zero windows. iters+1 passes over the corpus total, the
+    * canonical distributed-k-means shape.
+    */
+  def clusterKmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecSum}
+    val e = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === DIM &&
+        size(filter(col("embedding"), x => x.isNull)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: the k lowest-vec_id vectors (a top-k, not a sort)
+    val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (init.isEmpty)
+      return e.filter(lit(false))
+        .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
+
+    // squared-L2 distances to every centroid, as one in-row array of the
+    // oracle's exact IEEE sequence: ((|v|² - (2 * v·c)) + |c|²) with |c|²
+    // pre-folded on the driver (same left fold as list_reduce)
+    def distArr(cent: Array[Array[Double]]): Column = {
+      val vd = col("embedding")
+      val dvv = vecDot(vd, vd)
+      array(cent.map { c =>
+        val cc = c.foldLeft(0d)((a, x) => a + x * x)
+        dvv - lit(2d) * vecDot(vd, typedlit(c.toSeq)) + lit(cc)
+      }: _*)
+    }
+    // first occurrence of the min = lowest cluster index on ties
+    def assignCol: Column =
+      (array_position(col("_km_d"), array_min(col("_km_d"))) - 1).cast("int")
+
+    val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
+    var cent = init
+    for (_ <- 1 to iters) {
+      val sums = e
+        .select(quant.as("_km_q"), distArr(cent).as("_km_d"))
+        .select(col("_km_q"), assignCol.as("cluster"))
+        .groupBy("cluster")
+        .agg(vecSum(col("_km_q"), DIM).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getSeq[Double](1).toArray, r.getLong(2))))
+        .toMap
+      cent = cent.zipWithIndex.map { case (prev, j) =>
+        sums.get(j).fold(prev) { case (s, n) => s.map(_ / n.toDouble / KM_QS) }
+      }
+    }
+    e.select(col("vec_id"), distArr(cent).as("_km_d"))
+      .select(col("vec_id"), assignCol.as("cluster"),
+        fl(array_min(col("_km_d")), 6).as("dist"))
+  }
+
+  /** DuckDB twin of [[clusterKmeans]]: the same iterations unrolled as a
+    * CTE chain (assign → exact fixed-point per-dim sums → centroid update
+    * with empty-cluster carry-over), ending in the final assignment.
+    */
+  def clusterKmeansSql(k: Int = 8, iters: Int = 3): String = {
+    def d(v: String, c: String) =
+      s"(${dotSql(v, v)} - 2 * ${dotSql(v, c)} + ${dotSql(c, c)})"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) = $DIM
+         |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         | c0 AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+         | FROM e ORDER BY vec_id LIMIT $k)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           | a$t AS (
+           | SELECT vec_id, v, cluster FROM (
+           |  SELECT e.vec_id, e.v, c.cluster,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${d("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+           |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+           | s$t AS (
+           | SELECT cluster, i AS pos,
+           |  CAST(SUM(CAST(floor(v[i] * ${KM_QS.toLong}.0) AS BIGINT)) AS DOUBLE) AS sv,
+           |  CAST(COUNT(*) AS DOUBLE) AS nv
+           | FROM a$t, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+           | GROUP BY 1, 2),
+           | c$t AS (
+           | SELECT p.cluster, COALESCE(u.c, p.c) AS c
+           | FROM c${t - 1} p LEFT JOIN (
+           |  SELECT cluster, list(sv / nv / ${KM_QS.toLong}.0 ORDER BY pos) AS c
+           |  FROM s$t GROUP BY 1) u
+           | ON p.cluster = u.cluster)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         | SELECT vec_id, cluster, ${flSql("dd", 6)} AS dist FROM (
+         |  SELECT e.vec_id, c.cluster, ${d("e.v", "c.c")} AS dd,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${d("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin)
+    sb.toString.replace("\n", "")
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Vectors
+
+/** Behavioral spec for the corpus-wide distributed k-means (#109) — the
+  * oracle pins Spark/DuckDB bit-equality; this pins the clustering
+  * SEMANTICS: planted well-separated groups are recovered exactly, the
+  * operator is deterministic, the Lloyd objective never increases with
+  * more iterations, and degenerate inputs (k > n, invalid rows) behave.
+  */
+class KmeansSpec extends SparkSpec {
+
+  private val dim = 64
+
+  /** Three well-separated centers with small deterministic jitter. */
+  private def planted: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val centers = Array(
+      Array.fill(dim)(0f),
+      Array.fill(dim)(5f),
+      Array.tabulate(dim)(d => if (d % 2 == 0) 10f else -10f))
+    (0 until 90).map { i =>
+      val g = i % 3
+      val v = centers(g).zipWithIndex.map { case (c, d) =>
+        c + 0.01f * ((i * 31 + d * 7) % 11 - 5)
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def assignments(df: DataFrame, k: Int, iters: Int): Map[Long, Int] =
+    Vectors.clusterKmeans(df, k, iters).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("recovers planted well-separated clusters exactly") {
+    val a = assignments(planted, k = 3, iters = 5)
+    assert(a.size == 90)
+    // same planted group → same cluster; different groups → different
+    val byGroup = a.groupBy(_._1 % 3).map { case (g, m) => g -> m.values.toSet }
+    byGroup.foreach { case (g, cs) => assert(cs.size == 1, s"group $g split across $cs") }
+    assert(byGroup.values.flatten.toSet.size == 3)
+  }
+
+  test("deterministic: identical assignments and distances across runs") {
+    val r1 = Vectors.clusterKmeans(planted, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val r2 = Vectors.clusterKmeans(planted, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("Lloyd objective is non-increasing in the iteration count") {
+    def obj(iters: Int): Double =
+      Vectors.clusterKmeans(planted, 3, iters).collect().map(_.getDouble(2)).sum
+    val objs = (1 to 4).map(obj)
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-6, s"objective rose: $objs") }
+  }
+
+  test("k larger than the corpus: every vector is its own (init) cluster") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (0L, Seq.fill(dim)(0f)),
+      (1L, Seq.fill(dim)(9f))).toDF("vec_id", "embedding")
+    val a = assignments(tiny, k = 8, iters = 2)
+    assert(a == Map(0L -> 0, 1L -> 1))
+  }
+
+  test("invalid rows (null / wrong-length / null-element embeddings) are dropped") {
+    val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      (0L, Some(Seq.fill(dim)(Option(1f)))),
+      (1L, None),
+      (2L, Some(Seq.fill(3)(Option(1f)))),
+      (3L, Some((None: Option[Float]) :: List.fill(dim - 1)(Option(2f))))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.clusterKmeans(mixed, k = 2, iters = 1).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L))
+  }
+}
