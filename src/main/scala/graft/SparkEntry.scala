@@ -194,6 +194,7 @@ object SparkEntry {
     "p_bpe_pairs" -> ((s, d) => Pipeline.bpePairs(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     "v_cluster_kmeans" -> ((s, d) => Vectors.clusterKmeans(emb(s, d))),
+    "v_cluster_sample" -> ((s, d) => Vectors.clusterSample(emb(s, d))),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
@@ -307,6 +308,7 @@ object SparkEntry {
     "p_bpe_pairs" -> Pipeline.bpePairsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     "v_cluster_kmeans" -> Vectors.clusterKmeansSql(),
+    "v_cluster_sample" -> Vectors.clusterSampleSql(),
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,

@@ -23,9 +23,9 @@ object Pipeline {
   /** md5-derived 60-bit id of a string — the cross-engine join key used by
     * every shingle/hash operator (same formula as Dedup's shingle ids).
     */
-  private def md5Id(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def md5Id(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-  private def md5IdSql(e: String): String =
+  private[operators] def md5IdSql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
   // ---- #61 benchmark decontamination ---------------------------------------

@@ -832,16 +832,18 @@ object Vectors {
         fl(array_min(col("_km_d")), 6).as("dist"))
   }
 
-  /** DuckDB twin of [[clusterKmeans]]: the same iterations unrolled as a
-    * CTE chain (assign → exact fixed-point per-dim sums → centroid update
-    * with empty-cluster carry-over), ending in the final assignment.
+  private def kmDistSql(v: String, c: String) =
+    s"(${dotSql(v, v)} - 2 * ${dotSql(v, c)} + ${dotSql(c, c)})"
+
+  /** The k-means CTE chain shared by [[clusterKmeansSql]] and
+    * [[clusterSampleSql]]: e (valid widened vectors), c0 (init), then per
+    * iteration assign → exact fixed-point per-dim sums → centroid update
+    * with empty-cluster carry-over. Final centroids land in c`iters`.
     */
-  def clusterKmeansSql(k: Int = 8, iters: Int = 3): String = {
-    def d(v: String, c: String) =
-      s"(${dotSql(v, v)} - 2 * ${dotSql(v, c)} + ${dotSql(c, c)})"
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (
+      s"""e AS (
          | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          | FROM embeddings
          | WHERE embedding IS NOT NULL AND len(embedding) = $DIM
@@ -856,7 +858,7 @@ object Vectors {
            | SELECT vec_id, v, cluster FROM (
            |  SELECT e.vec_id, e.v, c.cluster,
            |   row_number() OVER (PARTITION BY e.vec_id
-           |    ORDER BY ${d("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+           |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
            |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
            | s$t AS (
            | SELECT cluster, i AS pos,
@@ -871,13 +873,60 @@ object Vectors {
            |  FROM s$t GROUP BY 1) u
            | ON p.cluster = u.cluster)""".stripMargin)
     }
-    sb.append(
-      s"""
-         | SELECT vec_id, cluster, ${flSql("dd", 6)} AS dist FROM (
-         |  SELECT e.vec_id, c.cluster, ${d("e.v", "c.c")} AS dd,
-         |   row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${d("e.v", "c.c")} ASC, c.cluster ASC) AS rn
-         |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin)
-    sb.toString.replace("\n", "")
+    sb.toString
+  }
+
+  /** Final-assignment select against the c`iters` centroids. */
+  private def kmeansAssignSql(iters: Int): String =
+    s"""SELECT vec_id, cluster, ${flSql("dd", 6)} AS dist FROM (
+       |  SELECT e.vec_id, c.cluster, ${kmDistSql("e.v", "c.c")} AS dd,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+       |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of [[clusterKmeans]]: the same iterations unrolled as a
+    * CTE chain, ending in the final assignment.
+    */
+  def clusterKmeansSql(k: Int = 8, iters: Int = 3): String =
+    (s"WITH ${kmeansCtes(k, iters)}\n " + kmeansAssignSql(iters)).replace("\n", "")
+
+  // ---- #110 cluster-balanced curation sampling -----------------------------
+
+  /** Cluster-balanced corpus curation: [[clusterKmeans]] assignments +
+    * the deterministic hash-threshold cut of `Pipeline.sampleThreshold`,
+    * stratified by CLUSTER — each semantic cluster contributes ~`quota`
+    * vectors regardless of its size, the diversity-preserving sampling
+    * step of cluster-then-curate recipes (dominant modes are downsampled
+    * hard, rare modes survive intact).
+    *
+    * Scale: the per-cluster counts are a k-row aggregate broadcast back;
+    * the cut itself is a stateless in-row md5 threshold — no window, no
+    * sort, no shuffle beyond k-means' own training aggregates. Sample
+    * sizes are binomial around the quota (the documented trade vs an
+    * exact per-cluster rank, which would sort corpus/k rows per task).
+    */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    quota: Long = 40L): DataFrame = {
+    val HASH_MAX = (1L << 60).toDouble // md5Id yields 60-bit non-negative ids
+    val asg = clusterKmeans(embeddings, k, iters).select("cluster", "vec_id")
+    val counts = asg.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    asg.join(broadcast(counts), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        Pipeline.md5Id(col("vec_id").cast("string")).as("h"),
+        (least(lit(quota).cast("double") / col("n_c").cast("double"), lit(1d)) * HASH_MAX).as("thr"))
+      .filter(col("h") < col("thr"))
+      .select("cluster", "vec_id")
+  }
+
+  def clusterSampleSql(k: Int = 8, iters: Int = 3, quota: Long = 40L): String = {
+    val hashMax = (1L << 60).toDouble
+    s"""WITH ${kmeansCtes(k, iters)},
+       | asg AS (${kmeansAssignSql(iters)}),
+       | cnt AS (SELECT cluster, COUNT(*) AS n_c FROM asg GROUP BY 1)
+       | SELECT a.cluster, a.vec_id
+       | FROM asg a JOIN cnt c ON a.cluster = c.cluster
+       | WHERE ${Pipeline.md5IdSql("CAST(a.vec_id AS VARCHAR)")} <
+       |  least(CAST($quota AS DOUBLE) / CAST(c.n_c AS DOUBLE), 1.0) * $hashMax""".stripMargin
+      .replace("\n", "")
   }
 }

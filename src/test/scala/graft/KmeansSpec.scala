@@ -69,6 +69,28 @@ class KmeansSpec extends SparkSpec {
     assert(a == Map(0L -> 0, 1L -> 1))
   }
 
+  test("clusterSample: per-cluster balance, determinism, quota >= size keeps all") {
+    // quota far above any cluster size → identity sample (threshold rate 1)
+    val all = Vectors.clusterSample(planted, k = 3, iters = 3, quota = 1000L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(all.length == 90)
+
+    // small quota → every cluster still represented, none dominates, and
+    // the sample is a subset of the cluster's own members
+    val asg = assignments(planted, 3, 3)
+    val s1 = Vectors.clusterSample(planted, 3, 3, quota = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val s2 = Vectors.clusterSample(planted, 3, 3, quota = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(s1.sortBy(_._2).toSeq == s2.sortBy(_._2).toSeq)
+    assert(s1.length < 90 && s1.nonEmpty)
+    s1.foreach { case (c, id) => assert(asg(id) == c) }
+    val perCluster = s1.groupBy(_._1).view.mapValues(_.length)
+    assert(perCluster.size == 3, s"cluster dropped entirely: $perCluster")
+    // binomial around quota=10 out of 30 members: far below the full 30
+    perCluster.values.foreach(n => assert(n <= 25, s"no downsampling: $perCluster"))
+  }
+
   test("invalid rows (null / wrong-length / null-element embeddings) are dropped") {
     val s = spark
     import s.implicits._
