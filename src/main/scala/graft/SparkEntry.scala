@@ -176,6 +176,10 @@ object SparkEntry {
     // rows-only by design: LR training is not SQL-expressible; spec-gated
     // (planted-spam separation, determinism, neutral empty-sample model)
     "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(Fixtures.qualityCorpus(docs(s, d)), Fixtures.qualityLabels(docs(s, d)))),
+    // rows-only by design: iterative BPE training is not SQL-expressible;
+    // spec-gated (hand-computed merges, Spark ≡ driver-encoder equality)
+    "p_bpe_train" -> ((s, d) => Pipeline.bpeTrain(docs(s, d))),
+    "t_tokenize_bpe" -> ((s, d) => TextOps.tokenizeBpe(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),

@@ -691,6 +691,29 @@ object Pipeline {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(k)
 
+  /** #111 full BPE tokenizer training (the learned step above [[bpePairs]]'
+    * single-round pair statistics): classic character-level BPE (Sennrich
+    * et al. 2016) trained ONCE on the driver over a BOUNDED deterministic
+    * sample (`orderBy(doc_id).limit(cap)` — the PQ-codebook/quality-
+    * classifier train-once contract; tokenizer training sets are samples by
+    * construction, the corpus is TBs). Deterministic: merge ties break
+    * lexicographically. Output = the learned merge table in rank order —
+    * the artifact a corpus build ships alongside the data. Rows-only by
+    * design (iterative training is not SQL-expressible); spec-gated
+    * against hand-computed merges.
+    */
+  def bpeTrain(documents: DataFrame, numMerges: Int = 64, sampleCap: Int = 2048): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sample = documents.select("doc_id", "text").orderBy("doc_id").limit(sampleCap)
+      .collect().map(_.getString(1))
+    val merges = graft.ml.BpeTokenizer.train(sample.toSeq, numMerges)
+    merges.toSeq.zipWithIndex.map { case (m, r) =>
+      val Array(l, rgt) = m.split(graft.ml.BpeTokenizer.SEP, 2)
+      (r, l, rgt, l + rgt)
+    }.toDF("rank", "left", "right", "token")
+  }
+
   def bpePairsSql(k: Int = 20): String =
     s"""WITH words AS (
        |  SELECT unnest(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),

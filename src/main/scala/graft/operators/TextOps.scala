@@ -327,6 +327,33 @@ object TextOps {
        |  error
        | FROM v""".stripMargin.replace("\n", "")
 
+  // ---- learned BPE tokenization --------------------------------------------
+  /** #112 corpus-wide tokenization with a LEARNED BPE vocabulary — the real
+    * token accounting of a training-data build, vs [[tokenCountDocs]]'
+    * fixed regex approximations. Merges are trained once on a bounded
+    * sample ([[Pipeline.bpeTrain]]'s contract, same trainer) and baked
+    * into the plan; encoding is the codegen'd in-row
+    * [[graft.functions.BpeEncode]] expression — zero exchanges at any
+    * corpus size (the t_ plan audit pins it). Rows-only by design;
+    * spec pins Spark ≡ driver-encoder equality and merge-count
+    * monotonicity.
+    */
+  def tokenizeBpe(documents: DataFrame, numMerges: Int = 64,
+                  sampleCap: Int = 2048): DataFrame = {
+    val sample = documents.select("doc_id", "text").orderBy("doc_id").limit(sampleCap)
+      .collect().map(_.getString(1))
+    val merges = graft.ml.BpeTokenizer.train(sample.toSeq, numMerges)
+    val toks = graft.functions.TokenizerFunctions.bpeEncode(col("text"), merges)
+    documents
+      .select(col("doc_id"), col("text"), toks.as("_bpe"))
+      .select(col("doc_id"),
+        size(col("_bpe")).cast("long").as("bpe_tokens"),
+        wsTokenCount(col("text")).cast("long").as("ws_words"),
+        when(size(col("_bpe")) > 0,
+          EventSemantics.fl(length(col("text")).cast("double") / size(col("_bpe")).cast("double"), 4))
+          .otherwise(lit(0d)).as("chars_per_token"))
+  }
+
   // ---- learned quality classifier ------------------------------------------
   /** Hashed-bag-of-words logistic-regression quality scoring — the LEARNED
     * filter rung above [[qualityScoreDocs]]'s fixed heuristics (the
