@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  // ---- deterministic stream timestamps (embedding-stream twins) ------------
+  /** Epoch base for vec_id-derived timestamps (2023-11-14T22:13:20Z). */
+  val TS_EPOCH_BASE = 1700000000L
+
+  /** Embeddings with a deterministic event time (one per minute by vec_id)
+    * — the parquet table has no timestamp column, so the streaming twins
+    * derive one the same way on both engines.
+    */
+  def timedEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("ts",
+      timestamp_seconds(lit(TS_EPOCH_BASE) + col("vec_id") * 60))
+
   // ---- planted near/exact duplicates (dedup suite input) -------------------
   private val NEAR_OFF = 10000000L
   private val EXACT_OFF = 20000000L

@@ -72,7 +72,26 @@ object GraftExtensions {
     "graft_ws_tokens" -> unary("graft_ws_tokens", TextFunctions.wsTokenCount),
     "graft_bpe_tokens" -> unary("graft_bpe_tokens", TextFunctions.bpeTokenCount),
     "graft_quality" -> unary("graft_quality", TextFunctions.qualityScore),
-    "graft_fingerprint" -> unary("graft_fingerprint", TextFunctions.polyFingerprint))
+    "graft_fingerprint" -> unary("graft_fingerprint", TextFunctions.polyFingerprint),
+    // bpe_encode(text, merges): merges must be a foldable ARRAY<STRING> in
+    // rank order, each element 'left right' (one space) — the merge-table
+    // rows Pipeline.bpeTrain emits, concat_ws(' ', left, right)
+    "bpe_encode" -> ((args: Seq[Expression]) => {
+      expectArity("bpe_encode", args, 2)
+      if (!args(1).foldable ||
+          !args(1).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          args(1).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType !=
+            org.apache.spark.sql.types.StringType)
+        throw new IllegalArgumentException(
+          "bpe_encode: merges must be a literal ARRAY<STRING>")
+      val merges = args(1).eval() match {
+        case null => Array.empty[String]
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(u => if (u == null) "" else u.toString)
+      }
+      graft.functions.BpeEncode(args(0), merges)
+    }))
 
   /** Register every graft function on an existing session (idempotent —
     * re-registration overwrites with the identical builder).

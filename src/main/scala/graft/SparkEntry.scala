@@ -199,6 +199,13 @@ object SparkEntry {
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     "v_cluster_kmeans" -> ((s, d) => Vectors.clusterKmeans(emb(s, d))),
     "v_cluster_sample" -> ((s, d) => Vectors.clusterSample(emb(s, d))),
+    // train-batch / monitor-stream: centroids from the batch corpus, the
+    // batch twin of the streaming drift monitor as the oracle-checked form
+    "s_stream_cluster" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.streaming.ClusterStream.clusterCounts(
+        Fixtures.timedEmbeddings(e), Vectors.trainCentroids(e, 8, 3))
+    }),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
@@ -313,6 +320,7 @@ object SparkEntry {
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     "v_cluster_kmeans" -> Vectors.clusterKmeansSql(),
     "v_cluster_sample" -> Vectors.clusterSampleSql(),
+    "s_stream_cluster" -> graft.streaming.ClusterStream.clusterCountsSql(),
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,

@@ -782,42 +782,51 @@ object Vectors {
     * zero joins, zero windows. iters+1 passes over the corpus total, the
     * canonical distributed-k-means shape.
     */
-  def clusterKmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.{vecDot, vecSum}
-    val e = embeddings
-      .filter(col("embedding").isNotNull && size(col("embedding")) === DIM &&
-        size(filter(col("embedding"), x => x.isNull)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** A valid member vector for the k-means family (mirrored in the e CTE
+    * of every oracle sharing [[kmeansCtes]]).
+    */
+  private[graft] def kmValid: Column =
+    col("embedding").isNotNull && size(col("embedding")) === DIM &&
+      size(filter(col("embedding"), x => x.isNull)) === 0
 
+  /** Squared-L2 distances to every centroid, as one in-row array of the
+    * oracle's exact IEEE sequence: ((|v|² - (2 * v·c)) + |c|²) with |c|²
+    * pre-folded on the driver (same left fold as list_reduce).
+    */
+  private[graft] def kmDistArr(cent: Array[Array[Double]], v: Column): Column = {
+    import graft.functions.VectorFunctions.vecDot
+    val dvv = vecDot(v, v)
+    array(cent.map { c =>
+      val cc = c.foldLeft(0d)((a, x) => a + x * x)
+      dvv - lit(2d) * vecDot(v, typedlit(c.toSeq)) + lit(cc)
+    }: _*)
+  }
+
+  /** argmin over a `_km_d` distance array — first occurrence of the min,
+    * i.e. the lowest cluster index on ties (both engines).
+    */
+  private[graft] def kmAssign: Column =
+    (array_position(col("_km_d"), array_min(col("_km_d"))) - 1).cast("int")
+
+  /** Lloyd training loop only: returns the final centroids (empty if the
+    * corpus has no valid vectors). See [[clusterKmeans]] for semantics.
+    */
+  private[graft] def trainCentroids(embeddings: DataFrame, k: Int,
+                                    iters: Int): Array[Array[Double]] = {
+    import graft.functions.VectorFunctions.vecSum
+    val e = embeddings.filter(kmValid).select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic init: the k lowest-vec_id vectors (a top-k, not a sort)
     val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    if (init.isEmpty)
-      return e.filter(lit(false))
-        .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
-
-    // squared-L2 distances to every centroid, as one in-row array of the
-    // oracle's exact IEEE sequence: ((|v|² - (2 * v·c)) + |c|²) with |c|²
-    // pre-folded on the driver (same left fold as list_reduce)
-    def distArr(cent: Array[Array[Double]]): Column = {
-      val vd = col("embedding")
-      val dvv = vecDot(vd, vd)
-      array(cent.map { c =>
-        val cc = c.foldLeft(0d)((a, x) => a + x * x)
-        dvv - lit(2d) * vecDot(vd, typedlit(c.toSeq)) + lit(cc)
-      }: _*)
-    }
-    // first occurrence of the min = lowest cluster index on ties
-    def assignCol: Column =
-      (array_position(col("_km_d"), array_min(col("_km_d"))) - 1).cast("int")
+    if (init.isEmpty) return Array.empty
 
     val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
     var cent = init
     for (_ <- 1 to iters) {
       val sums = e
-        .select(quant.as("_km_q"), distArr(cent).as("_km_d"))
-        .select(col("_km_q"), assignCol.as("cluster"))
+        .select(quant.as("_km_q"), kmDistArr(cent, col("embedding")).as("_km_d"))
+        .select(col("_km_q"), kmAssign.as("cluster"))
         .groupBy("cluster")
         .agg(vecSum(col("_km_q"), DIM).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -827,8 +836,17 @@ object Vectors {
         sums.get(j).fold(prev) { case (s, n) => s.map(_ / n.toDouble / KM_QS) }
       }
     }
-    e.select(col("vec_id"), distArr(cent).as("_km_d"))
-      .select(col("vec_id"), assignCol.as("cluster"),
+    cent
+  }
+
+  def clusterKmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddings.filter(kmValid).select(col("vec_id"), col("embedding"))
+    val cent = trainCentroids(embeddings, k, iters)
+    if (cent.isEmpty)
+      return e.filter(lit(false))
+        .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
+    e.select(col("vec_id"), kmDistArr(cent, col("embedding")).as("_km_d"))
+      .select(col("vec_id"), kmAssign.as("cluster"),
         fl(array_min(col("_km_d")), 6).as("dist"))
   }
 
@@ -840,7 +858,7 @@ object Vectors {
     * iteration assign → exact fixed-point per-dim sums → centroid update
     * with empty-cluster carry-over. Final centroids land in c`iters`.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private[graft] def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""e AS (
@@ -877,7 +895,7 @@ object Vectors {
   }
 
   /** Final-assignment select against the c`iters` centroids. */
-  private def kmeansAssignSql(iters: Int): String =
+  private[graft] def kmeansAssignSql(iters: Int): String =
     s"""SELECT vec_id, cluster, ${flSql("dd", 6)} AS dist FROM (
        |  SELECT e.vec_id, c.cluster, ${kmDistSql("e.v", "c.c")} AS dd,
        |   row_number() OVER (PARTITION BY e.vec_id

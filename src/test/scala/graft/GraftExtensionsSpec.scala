@@ -27,6 +27,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(agg == Seq(11.0, 22.0))
   }
 
+  test("bpe_encode is callable from SQL with a literal merge list") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT bpe_encode('lowest low', array('e s', 'es t', 'l o', 'lo w')) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("low", "est", "low"))
+    // non-literal merges must fail loudly, not silently misbehave
+    intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', array(CAST(rand() AS STRING)))").collect()
+    }
+  }
+
   test("SQL text functions equal their Column twins on real documents") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, sfDir)
