@@ -466,7 +466,11 @@ object Pipeline {
     * interpolation difference cannot move a doc across a bucket boundary.
     */
   def perplexityBuckets(documents: DataFrame, approx: Boolean = false): DataFrame = {
+    // persisted: the threshold branch and the output branch both consume
+    // the full per-doc LM scoring — without this the dt→vocab→join→agg
+    // subtree (a whole corpus pass) executes twice, once per consumer
     val nll = unigramNllKeyed(documents, Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pct =
       if (approx) expr("approx_percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 10000)")
       else expr("percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
