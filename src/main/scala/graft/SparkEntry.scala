@@ -153,6 +153,9 @@ object SparkEntry {
     "v_ann_pq" -> ((s, d) => Vectors.annPq(emb(s, d))),
     // residual (two-stage) PQ refinement — same rows-only rationale
     "v_ann_pq_residual" -> ((s, d) => Vectors.annPqResidual(emb(s, d))),
+    // rows-only by design (trained index, like the PQ family): spec pins
+    // brute-force equality at full probe/rerank + cell-pruning containment
+    "v_ann_ivfpq" -> ((s, d) => Vectors.annIvfPq(emb(s, d))),
     // OPQ ANN (#105): learned orthogonal rotation + PQ — rows-only
     // (Lloyd + Procrustes not SQL-expressible), spec-gated by OpqSpec
     "v_ann_pq_opq" -> ((s, d) => Vectors.annPqOpq(emb(s, d))),

@@ -908,6 +908,122 @@ object Vectors {
   def clusterKmeansSql(k: Int = 8, iters: Int = 3): String =
     (s"WITH ${kmeansCtes(k, iters)}\n " + kmeansAssignSql(iters)).replace("\n", "")
 
+  // ---- #114 IVF-PQ composite index -----------------------------------------
+
+  /** IVF-PQ ANN (Jégou et al. TPAMI'11 §IV, the FAISS `IVFx,PQy` index —
+    * the canonical billion-scale production shape): the coarse quantizer
+    * (per-label cell centroids, collected once as a bounded relation)
+    * prunes the scan to the `nProbe` cells nearest the query; within a
+    * probed cell each vector is PQ-coded on its RESIDUAL v − c_cell
+    * (residuals are what PQ compresses well — they drop the cell's common
+    * component), scored by asymmetric-distance LUTs, and the top `rerank`
+    * survivors are re-ranked with exact cosine on the raw vectors.
+    *
+    * Cell-dependent ADC terms (⟨c_cell, q⟩, |c_cell|², the 2⟨c_cell_s,
+    * cent_s_c⟩ cross LUT) ride the BROADCAST probed-cells relation as
+    * columns, so the scan side stays one broadcast-hash join + in-row
+    * arithmetic. At 100 TB the cell id is the partition column — probing
+    * IS partition pruning (the label filter pushes to the scan) — and the
+    * stored index is m sub-byte codes per vector; raw vectors are touched
+    * only by the re-rank. With `nProbe` ≥ all cells and `rerank` ≥ corpus
+    * this degrades to exact brute force (the spec pins that equality).
+    */
+  def annIvfPq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+               nProbe: Int = 3, m: Int = 4, codebookK: Int = 16,
+               rerank: Int = 100, sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val sub = DIM / m
+    val empty = embeddings.filter(lit(false))
+      .select(col("vec_id"), col("label"), lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
+
+    // coarse quantizer: one centroid per label cell (bounded relation),
+    // collected once — the knnJoinMultiProbe contract
+    val cells = embeddings.filter(col("label").isNotNull && kmValid)
+      .groupBy("label")
+      .agg(graft.functions.VectorFunctions.vecSum(col("embedding"), DIM).as("sv"),
+        count(lit(1)).as("nv"))
+      .select(col("label"),
+        transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    val qRow = embeddings.filter(col("vec_id") === qId)
+      .select("embedding").limit(1).collect().headOption
+    // training sample with labels, seeded-hash order (the PQ contract)
+    val sample = embeddings.filter(kmValid)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    if (cells.isEmpty || qRow.isEmpty || sample.isEmpty) return empty
+
+    val q = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // residual codebook: one PQ shared across cells (the FAISS default)
+    val residuals = sample.map { case (lbl, v) =>
+      val c = cells.getOrElse(lbl, new Array[Double](DIM))
+      Array.tabulate(DIM)(i => v(i) - c(i))
+    }
+    val cb = trainPqCodebook(residuals, DIM, m, codebookK, iters)
+
+    // probe the nProbe cells nearest the query by centroid cosine
+    // (driver math over the bounded cell relation; lowest label on ties)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        (0 until DIM).foldLeft(0d)((acc, i) => acc + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val probed = cells.toSeq
+      .sortBy { case (lbl, c) => (-cos(c, q), lbl) }
+      .take(nProbe)
+
+    // residual-ADC LUTs vs the query's own residual per cell would need a
+    // per-cell dot table; sharing one residual codebook means dot(r̂, q)
+    // and |r̂|² LUTs are global, while ⟨c_cell, q⟩, |c_cell|² and the
+    // 2⟨c_cell_s, cent_s_c⟩ cross LUT ride the probed relation
+    val dLut = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
+    }
+    val n2Lut = Array.tabulate(m, codebookK) { (s, c) =>
+      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probedDf = probed.map { case (lbl, c) =>
+      val cdotq = (0 until DIM).map(i => c(i) * q(i)).sum
+      val cn2 = (0 until DIM).map(i => c(i) * c(i)).sum
+      val cross = Array.tabulate(m * codebookK) { sc =>
+        val s = sc / codebookK; val cc = sc % codebookK
+        2d * (0 until sub).map(j => c(s * sub + j) * cb((s * codebookK + cc) * sub + j)).sum
+      }
+      (lbl, c.toSeq, cdotq, cn2, cross.toSeq)
+    }.toDF("label", "cvec", "cdotq", "cn2", "cross")
+
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val codes = embeddings
+      .filter(col("vec_id") =!= qId && kmValid &&
+        col("label").isin(probed.map(p => Integer.valueOf(p._1)): _*))
+      .join(broadcast(probedDf), "label")
+      .withColumn("c2", graft.functions.VectorFunctions.pqEncode(
+        zip_with(vd, col("cvec"), (x, c) => x - c), DIM, m, codebookK, cb))
+    val adcDot = col("cdotq") + (0 until m).map(s =>
+      element_at(lit(dLut(s)), col("c2").getItem(s) + 1)).reduce(_ + _)
+    val adcN2 = col("cn2") + (0 until m).map(s =>
+      element_at(lit(n2Lut(s)), col("c2").getItem(s) + 1) +
+        element_at(col("cross"), lit(s * codebookK) + col("c2").getItem(s) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+      .limit(rerank)
+      .crossJoin(broadcast(queryVec(embeddings, qId)))
+      .select(col("vec_id"), col("label"),
+        fl(col("adc_cosine"), 6).as("adc_cosine"),
+        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- #110 cluster-balanced curation sampling -----------------------------
 
   /** Cluster-balanced corpus curation: [[clusterKmeans]] assignments +

@@ -364,6 +364,43 @@ class DedupVectorsSpec extends SparkSpec {
     assert(exact.sameElements(truth0), "rerank >= corpus must reproduce brute force exactly")
   }
 
+  test("ann: ivf-pq composite index — pruning containment, recall margin, full-probe exactness") {
+    // nProbe = 1: every result must come from the single probed cell
+    // (the coarse quantizer actually prunes) — and that cell is the one
+    // nearest the query by centroid cosine, which contains the query's
+    // own label cell for this corpus
+    val one = Vectors.annIvfPq(emb, k = 10, nProbe = 1, rerank = 100000).collect()
+    assert(one.nonEmpty && one.map(_.getInt(1)).toSet.size == 1,
+      "nProbe=1 must confine results to one cell")
+
+    // all cells probed + rerank >= corpus = exact brute force
+    val truth = Vectors.annTopK(emb, k = 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val full = Vectors.annIvfPq(emb, k = 10, nProbe = 1000, rerank = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(full.sameElements(truth), "full probe + full rerank must equal brute force")
+
+    // recall floor: this corpus's labels are RANDOM, not geometry-derived,
+    // so a true neighbor lands in a probed cell with p ≈ nProbe/|cells| —
+    // the index must still clear that no-geometry floor (the rerank margin
+    // makes probed-cell neighbors near-certain finds), averaged over 20
+    // queries for stability. Real deployments cluster cells by geometry
+    // (v_cluster_kmeans), where probed-cell coverage → 1.
+    val nCells = emb.select("label").distinct().count().toDouble
+    val qids = (0L until 20L)
+    val meanRecall = qids.map { q =>
+      val t = Vectors.annTopK(emb, qId = q, k = 10).collect().map(_.getLong(0)).toSet
+      Vectors.annIvfPq(emb, qId = q, k = 10, nProbe = 3, rerank = 100)
+        .collect().map(_.getLong(0)).count(t) / 10d
+    }.sum / qids.size
+    assert(meanRecall >= 3d / nCells,
+      s"ivf-pq mean recall $meanRecall below the $nCells-cell probe floor")
+
+    // deterministic
+    val a = Vectors.annIvfPq(emb, k = 10).collect().map(_.toSeq)
+    val b = Vectors.annIvfPq(emb, k = 10).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ann: pq with rerank >= corpus reproduces brute force exactly") {
     // exact re-rank over every row = brute-force top-k, independent of
     // quantization quality — pins the ADC + re-rank plumbing
