@@ -185,6 +185,7 @@ object SparkEntry {
     "t_tokenize_bpe" -> ((s, d) => TextOps.tokenizeBpe(docs(s, d))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
+    "p_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
     "p_mix_sample" -> ((s, d) => Pipeline.mixSample(docs(s, d))),
@@ -309,6 +310,7 @@ object SparkEntry {
     "p_perplexity_buckets" -> Pipeline.perplexityBucketsSql(),
     "t_repetition" -> Pipeline.repetitionScoreSql(),
     "p_sample_hash" -> Pipeline.sampleHashSql(),
+    "p_shuffle_shards" -> Pipeline.shuffleShardsSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
     "p_mix_sample" -> Pipeline.mixSampleSql(),

@@ -271,6 +271,36 @@ object Pipeline {
        |  least(CAST($quota AS DOUBLE) / CAST(c.n_lang AS DOUBLE), 1.0) * $hashMax""".stripMargin.replace("\n", "")
   }
 
+  // ---- #115 deterministic corpus shuffle + sharding ------------------------
+  /** The last step of every training-data build: a global, DETERMINISTIC
+    * shuffle of the corpus into `shards` output shards — shard by md5
+    * hash, position within the shard by (hash, doc_id). No RNG state:
+    * the same corpus always shuffles identically (resumable, auditable),
+    * and adjacent input docs land far apart (the decorrelation training
+    * wants).
+    *
+    * Scale: ONE hash-keyed exchange + a per-shard sort — exactly the
+    * write path of a sharded corpus (each shard file is written in hash
+    * order). `shards` is the parallelism knob: corpus/shards rows sort
+    * per task, so size it to the cluster like any terasort-style job.
+    * The hash order inside a shard is also the resume cursor — a
+    * half-written shard restarts at its last position.
+    */
+  def shuffleShards(documents: DataFrame, shards: Int = 16): DataFrame = {
+    val h = md5Id(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  def shuffleShardsSql(shards: Int = 16): String =
+    s"""SELECT doc_id, h % $shards AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY h % $shards ORDER BY h ASC, doc_id ASC) AS pos
+       | FROM (SELECT doc_id, ${md5IdSql("CAST(doc_id AS VARCHAR)")} AS h FROM documents)""".stripMargin.replace("\n", "")
+
   // ---- #84 weighted source mixing -------------------------------------------
   /** Deterministic source-mixture sampling — the composition step of a
     * training-data build (DoReMi-style source reweighting): given target

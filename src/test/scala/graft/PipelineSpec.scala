@@ -95,6 +95,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: a deterministic permutation — contiguous positions per shard, decorrelated neighbors") {
+    val out = Pipeline.shuffleShards(docs, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // every doc exactly once; per shard, positions are exactly 1..n
+    assert(out.map(_._1).distinct.length == out.length)
+    out.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"shard $s positions not contiguous")
+    }
+    // deterministic across runs
+    val again = Pipeline.shuffleShards(docs, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // decorrelation: consecutive doc_ids should rarely share a shard
+    // (p = 1/8 for a uniform hash; allow generous slack)
+    val byId = out.sortBy(_._1)
+    val sameShard = byId.sliding(2).count { case Array(a, b) => a._2 == b._2 }
+    assert(sameShard.toDouble / (byId.length - 1) < 0.3,
+      "consecutive docs cluster in the same shard — hash not decorrelating")
+  }
+
   test("sampleHash: deterministic, bucket-consistent, and complementary pcts partition the corpus") {
     val s20 = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
     val s20again = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
