@@ -53,6 +53,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(userKeyed == 0, s"sketch matrix gained a user-keyed exchange:\n$p")
   }
 
+  private def dataExchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+
+  test("k-means family: in-row assignment, bounded exchanges, pushed cell filter") {
+    // final assignment is a pure projection (training jobs already ran at
+    // plan-build time): no data exchange in the OUTPUT plan
+    assert(dataExchanges(plans("v_cluster_kmeans")) == 0,
+      s"k-means assignment gained a shuffle:\n${plans("v_cluster_kmeans")}")
+    // cluster sampling adds only the k-row count aggregate's exchange and
+    // consumes it via a broadcast join
+    val cs = plans("v_cluster_sample")
+    assert(cs.contains("BroadcastHashJoin"), "cluster-count join must be broadcast")
+    assert(dataExchanges(cs) <= 2, s"cluster sample gained shuffles:\n$cs")
+    // streaming drift twin: the single windowed-count aggregation
+    assert(dataExchanges(plans("s_stream_cluster")) <= 1,
+      s"drift monitor gained shuffles:\n${plans("s_stream_cluster")}")
+  }
+
+  test("ivf-pq: probed-cell filter reaches the scan; cell relation is broadcast") {
+    val p = plans("v_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), "probed-cells join must be broadcast")
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") || l.contains("DataFilters")).mkString("\n")
+    assert(scanLines.contains("label"),
+      s"label probe filter did not reach the scan:\n$p")
+    assert(dataExchanges(p) == 0, s"ivf-pq gained a data shuffle:\n$p")
+  }
+
+  test("corpus shuffle: exactly one hash exchange (the shard partitioning)") {
+    assert(dataExchanges(plans("p_shuffle_shards")) == 1,
+      s"shuffleShards must shuffle exactly once:\n${plans("p_shuffle_shards")}")
+  }
+
   test("dim joins are broadcast in the hours suite") {
     Seq("q_hours_total", "q_hours_avg", "q_hours_max", "q_video_highlights").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dim join")
