@@ -948,8 +948,10 @@ object Vectors {
       .toMap
     val qRow = embeddings.filter(col("vec_id") === qId)
       .select("embedding").limit(1).collect().headOption
-    // training sample with labels, seeded-hash order (the PQ contract)
-    val sample = embeddings.filter(kmValid)
+    // training sample with labels, seeded-hash order (the PQ contract);
+    // label null-guard mirrors the cells aggregate — a sample row must
+    // belong to a cell
+    val sample = embeddings.filter(col("label").isNotNull && kmValid)
       .select(col("vec_id"), col("label"), col("embedding"))
       .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
       .limit(sampleN)
