@@ -156,6 +156,7 @@ object SparkEntry {
     // rows-only by design (trained index, like the PQ family): spec pins
     // brute-force equality at full probe/rerank + cell-pruning containment
     "v_ann_ivfpq" -> ((s, d) => Vectors.annIvfPq(emb(s, d))),
+    "v_ann_ivfpq_geo" -> ((s, d) => Vectors.annIvfPqGeo(emb(s, d))),
     // OPQ ANN (#105): learned orthogonal rotation + PQ — rows-only
     // (Lloyd + Procrustes not SQL-expressible), spec-gated by OpqSpec
     "v_ann_pq_opq" -> ((s, d) => Vectors.annPqOpq(emb(s, d))),

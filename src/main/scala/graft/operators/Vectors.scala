@@ -1026,6 +1026,24 @@ object Vectors {
       .limit(k)
   }
 
+  /** [[annIvfPq]] with GEOMETRY cells: the coarse quantizer is
+    * [[clusterKmeans]]'s Voronoi partition instead of the arbitrary
+    * `label` column — the production composition (FAISS trains its IVF
+    * cells exactly this way), where probing the query's nearest cells
+    * actually concentrates its true neighbors. At deploy the cluster id
+    * is written once as the partition column (the join below is that
+    * one-off relabeling materialization); queries then prune partitions.
+    */
+  def annIvfPqGeo(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+                  kCells: Int = 8, cellIters: Int = 3, nProbe: Int = 3,
+                  m: Int = 4, codebookK: Int = 16, rerank: Int = 100,
+                  sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val asg = clusterKmeans(embeddings, kCells, cellIters)
+      .select(col("vec_id"), col("cluster").as("label"))
+    val relabeled = embeddings.drop("label").join(asg, "vec_id")
+    annIvfPq(relabeled, qId, k, nProbe, m, codebookK, rerank, sampleN, iters)
+  }
+
   // ---- #110 cluster-balanced curation sampling -----------------------------
 
   /** Cluster-balanced corpus curation: [[clusterKmeans]] assignments +
