@@ -159,6 +159,46 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("BpeEncode: codegen path matches the driver encoder; tokens partition each word") {
+    // words over a tiny alphabet so merges actually fire, plus mixed case
+    // and an astral-plane char (code-point splitting must survive the
+    // UTF8String boundary)
+    val word = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "B", "🦦"))
+    } yield cs.mkString
+    val textGen = for {
+      n <- Gen.chooseNum(0, 6)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val pairGen = for {
+      x <- Gen.oneOf("a", "b", "c", "ab", "bc", "abc", "🦦")
+      y <- Gen.oneOf("a", "b", "c", "ab", "🦦")
+    } yield x + " " + y
+    val mergesGen = for {
+      n <- Gen.chooseNum(0, 8)
+      ms <- Gen.listOfN(n, pairGen)
+    } yield ms.distinct.toArray
+
+    val texts = sample(textGen, N)
+    sample(mergesGen, 8).foreach { merges =>
+      val ranks = graft.ml.BpeTokenizer.ranksOf(merges)
+      val schema = StructType(Seq(StructField("t", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(texts.map(Row(_)), 4), schema)
+      val got = df.select(graft.functions.TokenizerFunctions.bpeEncode(col("t"), merges))
+        .collect().map(_.getSeq[String](0).toList)
+      texts.zip(got).foreach { case (t, toks) =>
+        // plumbing: expression ≡ driver encoder (same fn through codegen +
+        // UTF8String round-trip)
+        assert(toks == graft.ml.BpeTokenizer.encode(t, ranks).toList, s"text '$t'")
+        // algorithm: tokens partition the lowercased words — merging only
+        // concatenates, never drops or invents characters
+        assert(toks.mkString == graft.ml.BpeTokenizer.words(t).mkString, s"text '$t'")
+      }
+    }
+  }
+
   test("vec_sum aggregates element-wise across partitions like the driver-side model") {
     val dim = 8
     val gen = for {
