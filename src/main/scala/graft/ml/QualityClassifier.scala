@@ -26,12 +26,10 @@ object QualityClassifier {
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets).toInt
   }
 
-  /** Same canonicalization as the Spark side: lower, trim, split on
-    * whitespace, drop empties; null-safe.
+  /** Same canonicalization as the Spark side — the ONE canonical word
+    * split of the learned components ([[BpeTokenizer.words]]).
     */
-  def tokens(text: String): Array[String] =
-    if (text == null) Array.empty
-    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+  def tokens(text: String): Array[String] = BpeTokenizer.words(text)
 
   /** Full-batch logistic regression over L1-normalized hashed counts,
     * zero-init + Adam — deterministic (no sampling, no shuffling).

@@ -736,13 +736,22 @@ object Pipeline {
     * design (iterative training is not SQL-expressible); spec-gated
     * against hand-computed merges.
     */
+  /** The ONE sample-and-train definition shared by the merge-table
+    * artifact ([[bpeTrain]]) and the corpus apply
+    * (`TextOps.tokenizeBpe`) — the shipped table must always match the
+    * merges actually applied.
+    */
+  private[operators] def bpeMerges(documents: DataFrame, numMerges: Int,
+                                   sampleCap: Int): Array[String] = {
+    val sample = documents.select("doc_id", "text").orderBy("doc_id").limit(sampleCap)
+      .collect().map(_.getString(1))
+    graft.ml.BpeTokenizer.train(sample.toSeq, numMerges)
+  }
+
   def bpeTrain(documents: DataFrame, numMerges: Int = 64, sampleCap: Int = 2048): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val sample = documents.select("doc_id", "text").orderBy("doc_id").limit(sampleCap)
-      .collect().map(_.getString(1))
-    val merges = graft.ml.BpeTokenizer.train(sample.toSeq, numMerges)
-    merges.toSeq.zipWithIndex.map { case (m, r) =>
+    bpeMerges(documents, numMerges, sampleCap).toSeq.zipWithIndex.map { case (m, r) =>
       val Array(l, rgt) = m.split(graft.ml.BpeTokenizer.SEP, 2)
       (r, l, rgt, l + rgt)
     }.toDF("rank", "left", "right", "token")

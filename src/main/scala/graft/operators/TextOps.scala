@@ -340,9 +340,7 @@ object TextOps {
     */
   def tokenizeBpe(documents: DataFrame, numMerges: Int = 64,
                   sampleCap: Int = 2048): DataFrame = {
-    val sample = documents.select("doc_id", "text").orderBy("doc_id").limit(sampleCap)
-      .collect().map(_.getString(1))
-    val merges = graft.ml.BpeTokenizer.train(sample.toSeq, numMerges)
+    val merges = Pipeline.bpeMerges(documents, numMerges, sampleCap)
     val toks = graft.functions.TokenizerFunctions.bpeEncode(col("text"), merges)
     documents
       .select(col("doc_id"), col("text"), toks.as("_bpe"))
@@ -379,7 +377,9 @@ object TextOps {
       .orderBy("doc_id").limit(sampleCap)
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
     val (w, b) = QualityClassifier.train(sample, buckets)
-    val toks = expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)")
+    // coalesce: NULL text must score like the driver's tokens(null) = []
+    // (the neutral sigmoid(b)), not propagate NULL past the size guard
+    val toks = expr("filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'), t -> length(t) > 0)")
     val sumW = expr(
       s"""aggregate(_qc_toks, CAST(0 AS DOUBLE), (acc, t) ->
          | acc + element_at(_qc_w, CAST(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $buckets AS INT) + 1))"""

@@ -786,7 +786,8 @@ object Vectors {
     * of every oracle sharing [[kmeansCtes]]).
     */
   private[graft] def kmValid: Column =
-    col("embedding").isNotNull && size(col("embedding")) === DIM &&
+    col("vec_id").isNotNull &&
+      col("embedding").isNotNull && size(col("embedding")) === DIM &&
       size(filter(col("embedding"), x => x.isNull)) === 0
 
   /** Squared-L2 distances to every centroid, as one in-row array of the
@@ -819,7 +820,7 @@ object Vectors {
     // deterministic init: the k lowest-vec_id vectors (a top-k, not a sort)
     val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    if (init.isEmpty) return Array.empty
+    if (init.isEmpty) { e.unpersist(blocking = false); return Array.empty }
 
     val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
     var cent = init
@@ -836,6 +837,10 @@ object Vectors {
         sums.get(j).fold(prev) { case (s, n) => s.map(_ / n.toDouble / KM_QS) }
       }
     }
+    // the centroids are plain driver arrays now — release the training
+    // cache (every action on e has completed; repeated callers, e.g. the
+    // geo-cells ANN in a query loop, must not accumulate corpus copies)
+    e.unpersist(blocking = false)
     cent
   }
 
@@ -864,7 +869,8 @@ object Vectors {
       s"""e AS (
          | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          | FROM embeddings
-         | WHERE embedding IS NOT NULL AND len(embedding) = $DIM
+         | WHERE vec_id IS NOT NULL
+         |  AND embedding IS NOT NULL AND len(embedding) = $DIM
          |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          | c0 AS (
          | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
@@ -946,7 +952,9 @@ object Vectors {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
-    val qRow = embeddings.filter(col("vec_id") === qId)
+    // kmValid guards the query row too: a null / wrong-dim query vector
+    // degrades to the empty result instead of crashing the driver collect
+    val qRow = embeddings.filter(col("vec_id") === qId && kmValid)
       .select("embedding").limit(1).collect().headOption
     // training sample with labels, seeded-hash order (the PQ contract);
     // label null-guard mirrors the cells aggregate — a sample row must
