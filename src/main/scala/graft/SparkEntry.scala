@@ -157,6 +157,18 @@ object SparkEntry {
     // brute-force equality at full probe/rerank + cell-pruning containment
     "v_ann_ivfpq" -> ((s, d) => Vectors.annIvfPq(emb(s, d))),
     "v_ann_ivfpq_geo" -> ((s, d) => Vectors.annIvfPqGeo(emb(s, d))),
+    // clustering-MV maintenance: the QUERY builds state from two ingest
+    // partitions merged; the ORACLE builds it monolithically — equality
+    // proves the additive maintenance is exact
+    "v_kmeans_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val e = emb(s, d)
+      val cent = Vectors.trainCentroids(e, 8, 3)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Vectors.kmeansStateExploded(Vectors.mergeKmeansState(
+        Vectors.kmeansState(even, cent), Vectors.kmeansState(odd, cent)))
+    }),
     // OPQ ANN (#105): learned orthogonal rotation + PQ — rows-only
     // (Lloyd + Procrustes not SQL-expressible), spec-gated by OpqSpec
     "v_ann_pq_opq" -> ((s, d) => Vectors.annPqOpq(emb(s, d))),
@@ -325,6 +337,7 @@ object SparkEntry {
     "p_bpe_pairs" -> Pipeline.bpePairsSql(),
     "v_quantize_int8" -> Vectors.quantizeInt8Sql,
     "v_cluster_kmeans" -> Vectors.clusterKmeansSql(),
+    "v_kmeans_incremental" -> Vectors.kmeansStateSql(),
     "v_cluster_sample" -> Vectors.clusterSampleSql(),
     "s_stream_cluster" -> graft.streaming.ClusterStream.clusterCountsSql(),
     // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)

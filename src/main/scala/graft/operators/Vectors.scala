@@ -1034,6 +1034,82 @@ object Vectors {
       .limit(k)
   }
 
+  // ---- #117 incremental clustering-MV maintenance --------------------------
+
+  /** Per-cluster centroid STATE of `embeddings` against frozen `cent`
+    * centroids: (cluster, sv = fixed-point per-dim sums, n). The
+    * clustering analog of the additive rollup/sketch MVs: because the
+    * sums are exact integer doubles ([[KM_QS]]), state built on any
+    * partitioning of the corpus merges to the identical result — a new
+    * ingest partition is assigned alone (one in-row projection + one
+    * partial-agg shuffle over k keys) and merged into the stored state
+    * without touching history. `centroidsOf` recovers the centroids;
+    * periodic full re-training is the compaction step.
+    */
+  def kmeansState(embeddings: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions.vecSum
+    if (cent.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(lit(0).cast("int").as("cluster"),
+          typedlit(Seq.empty[Double]).as("sv"), lit(0L).as("n"))
+    val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
+    embeddings.filter(kmValid)
+      .select(quant.as("_km_q"), kmDistArr(cent, col("embedding")).as("_km_d"))
+      .select(col("_km_q"), kmAssign.as("cluster"))
+      .groupBy("cluster")
+      .agg(vecSum(col("_km_q"), DIM).as("sv"), count(lit(1)).as("n"))
+  }
+
+  /** Merge stored state with a delta partition's state: element-wise sum
+    * of the exact fixed-point vectors, counts add. Bit-exact vs a full
+    * rebuild against the same frozen centroids, at any split — the spec
+    * and the oracle (monolithic build vs the registry's two-partition
+    * merge) both pin it.
+    */
+  def mergeKmeansState(stored: DataFrame, delta: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vecSum
+    stored.unionByName(delta)
+      .groupBy("cluster")
+      .agg(vecSum(col("sv"), DIM).as("sv"), sum("n").cast("long").as("n"))
+  }
+
+  /** Recover centroids from a maintained state (k rows — a driver array,
+    * same division sequence as the training loop).
+    */
+  def centroidsOf(state: DataFrame, k: Int): Array[Array[Double]] = {
+    val rows = state.collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Double](1).toArray, r.getLong(2)))).toMap
+    Array.tabulate(k)(j => rows.get(j).fold(new Array[Double](DIM)) {
+      case (s, n) => s.map(_ / n.toDouble / KM_QS)
+    })
+  }
+
+  /** Exploded scalar form of a state relation for the oracle compare:
+    * (cluster, pos, s, n) — array-free so the hash compare is exact.
+    */
+  def kmeansStateExploded(state: DataFrame): DataFrame =
+    state.select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "sval")), col("n"))
+      .select(col("cluster"), col("pos"), col("sval").cast("long").as("s"), col("n"))
+
+  /** DuckDB oracle for the incremental-maintenance query: the MONOLITHIC
+    * state build (train + assign the whole corpus at once, exact
+    * fixed-point sums) — hash-equality with the registry's two-partition
+    * merge IS the proof that maintenance is exact.
+    */
+  def kmeansStateSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       | af AS (
+       | SELECT vec_id, v, cluster FROM (
+       |  SELECT e.vec_id, e.v, c.cluster,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+       |  FROM e CROSS JOIN c$iters c) WHERE rn = 1)
+       | SELECT cluster, CAST(i - 1 AS INT) AS pos,
+       |  CAST(SUM(CAST(floor(v[i] * ${KM_QS.toLong}.0) AS BIGINT)) AS BIGINT) AS s,
+       |  COUNT(*) AS n
+       | FROM af, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+       | GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
   /** [[annIvfPq]] with GEOMETRY cells: the coarse quantizer is
     * [[clusterKmeans]]'s Voronoi partition instead of the arbitrary
     * `label` column — the production composition (FAISS trains its IVF

@@ -91,6 +91,40 @@ class KmeansSpec extends SparkSpec {
     perCluster.values.foreach(n => assert(n <= 25, s"no downsampling: $perCluster"))
   }
 
+  test("incremental state maintenance: any split merges bit-exactly to the monolithic build") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val cent = Vectors.trainCentroids(planted, 3, 3)
+    def collectState(df: org.apache.spark.sql.DataFrame) =
+      Vectors.kmeansStateExploded(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+
+    val mono = collectState(Vectors.kmeansState(planted, cent))
+    // two-way split
+    val even = planted.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = planted.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val two = collectState(Vectors.mergeKmeansState(
+      Vectors.kmeansState(even, cent), Vectors.kmeansState(odd, cent)))
+    assert(two.toSeq == mono.toSeq)
+    // three-way split, merged associatively in a different order
+    val parts = (0 until 3).map(i => planted.filter(pmod(col("vec_id"), lit(3)) === i))
+    val three = collectState(Vectors.mergeKmeansState(
+      Vectors.kmeansState(parts(2), cent),
+      Vectors.mergeKmeansState(Vectors.kmeansState(parts(0), cent),
+        Vectors.kmeansState(parts(1), cent))))
+    assert(three.toSeq == mono.toSeq)
+    // the maintained state recovers usable centroids: assigning against
+    // them reproduces the planted partition
+    val rec = Vectors.centroidsOf(Vectors.kmeansState(planted, cent), 3)
+    val a = Vectors.clusterKmeans(planted, 3, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaRec = planted
+      .select(col("vec_id"), Vectors.kmDistArr(rec, col("embedding")).as("_km_d"))
+      .select(col("vec_id"), Vectors.kmAssign.as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaRec == a, "state-recovered centroids must reproduce the assignment")
+  }
+
   test("invalid rows (null / wrong-length / null-element embeddings) are dropped") {
     val s = spark
     import s.implicits._
