@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ChatStats, EventSemantics, Layout, Similarity}
+import graft.operators.{ChatStats, EventSemantics, Layout, Similarity, Vectors}
 
 /** The maintained-MV warehouse flow end-to-end (SURVEY §4 / SCALING.md
   * "Cache lifecycle"): the reference keeps `mv_user_monthly_activity` as a
@@ -163,4 +163,54 @@ object RollupWarehouse {
     */
   def commonUsersMatrixApprox(spark: SparkSession, table: String = SketchTable): DataFrame =
     ChatStats.commonUsersMatrixApproxFrom(spark.table(table))
+
+  // ---- clustering MV (the curation layer's centroid state) -----------------
+
+  val KmeansStateTable = "graft_kmeans_state"
+  val KmeansCentroidTable = "graft_kmeans_centroids"
+
+  /** Bootstrap the clustering MV: train centroids on the corpus, store
+    * BOTH the frozen assignment basis (centroid table — the contract
+    * every later increment assigns against) and the additive per-cluster
+    * state (k rows of fixed-point sums).
+    */
+  def bootstrapKmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cent = Vectors.trainCentroids(embeddings, k, iters)
+    cent.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec")
+      .write.mode("overwrite").saveAsTable(KmeansCentroidTable)
+    Layout.writeBucketed(Vectors.kmeansState(embeddings, cent),
+      KmeansStateTable, "cluster", 4)
+  }
+
+  /** The frozen assignment basis, as any session of the warehouse reads
+    * it (cluster-index order).
+    */
+  def storedCentroids(spark: SparkSession): Array[Array[Double]] =
+    spark.table(KmeansCentroidTable).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** Incremental refresh: assign ONLY the new partition against the
+    * stored frozen centroids and merge the exact fixed-point sums into
+    * the stored state — bit-identical to a monolithic rebuild against
+    * the same centroids (`Vectors.mergeKmeansState`'s contract). A full
+    * retrain + [[bootstrapKmeans]] is the compaction step.
+    */
+  def refreshKmeans(spark: SparkSession, newEmbeddings: DataFrame): Unit =
+    swapWrite(spark,
+      Vectors.mergeKmeansState(spark.table(KmeansStateTable),
+        Vectors.kmeansState(newEmbeddings, storedCentroids(spark))),
+      KmeansStateTable, buckets = 4, key = "cluster")
+
+  /** Assign any relation against the maintained centroids — zero
+    * training, zero fact access beyond the scanned relation itself.
+    */
+  def clusterAssign(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val cent = storedCentroids(spark)
+    embeddings.filter(Vectors.kmValid)
+      .select(col("vec_id"), Vectors.kmDistArr(cent, col("embedding")).as("_km_d"))
+      .select(col("vec_id"), Vectors.kmAssign.as("cluster"))
+  }
 }

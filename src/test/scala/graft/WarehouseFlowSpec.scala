@@ -110,6 +110,52 @@ class WarehouseFlowSpec extends SparkSpec {
     }
   }
 
+  test("clustering MV: bootstrap + incremental refresh; state matches the monolithic build; assignment off the catalog") {
+    val emb = Tables.embeddings(spark, sfDir)
+    try {
+      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+
+      // scheduled-job shape: bootstrap on the base partition, refresh with
+      // the delta — every increment assigns against the FROZEN centroids
+      RollupWarehouse.bootstrapKmeans(base, k = 4, iters = 2)
+      RollupWarehouse.refreshKmeans(spark, delta)
+
+      // "next session": the maintained state equals a monolithic build of
+      // the FULL corpus against the same frozen centroids, bit-exactly
+      val s2 = spark.newSession()
+      val cent = RollupWarehouse.storedCentroids(s2)
+      assert(cent.length == 4 && cent.forall(_.length == 64))
+      def explodeSorted(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Vectors.kmeansStateExploded(df).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+      val maintained = explodeSorted(s2.table(RollupWarehouse.KmeansStateTable))
+      val monolithic = explodeSorted(graft.operators.Vectors.kmeansState(emb, cent))
+      assert(maintained.toSeq == monolithic.toSeq)
+
+      // catalog-backed assignment: no training jobs, covers every valid
+      // vector, and agrees with the state the warehouse maintains
+      val assigned = RollupWarehouse.clusterAssign(s2, emb).collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      assert(assigned.length == emb.count())
+      val sizes = assigned.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val stateN = s2.table(RollupWarehouse.KmeansStateTable).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(sizes == stateN.filter(_._2 > 0),
+        "per-cluster assignment counts must equal the maintained state's n")
+    } finally {
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.currentTimeMillis + 30000
+      while (tracker.getActiveJobIds.nonEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      Seq(RollupWarehouse.KmeansStateTable, RollupWarehouse.KmeansStateTable + "_staging",
+        RollupWarehouse.KmeansCentroidTable).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sketch MV: incremental refresh through the catalog, matrix answered with zero fact access") {
     val events = Tables.events(spark, sfDir)
     val cutoff = to_date(lit("2024-01-20"))
