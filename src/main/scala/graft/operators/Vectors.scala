@@ -814,7 +814,6 @@ object Vectors {
     */
   private[graft] def trainCentroids(embeddings: DataFrame, k: Int,
                                     iters: Int): Array[Array[Double]] = {
-    import graft.functions.VectorFunctions.vecSum
     val e = embeddings.filter(kmValid).select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic init: the k lowest-vec_id vectors (a top-k, not a sort)
@@ -822,14 +821,11 @@ object Vectors {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     if (init.isEmpty) { e.unpersist(blocking = false); return Array.empty }
 
-    val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
     var cent = init
     for (_ <- 1 to iters) {
-      val sums = e
-        .select(quant.as("_km_q"), kmDistArr(cent, col("embedding")).as("_km_d"))
-        .select(col("_km_q"), kmAssign.as("cluster"))
-        .groupBy("cluster")
-        .agg(vecSum(col("_km_q"), DIM).as("s"), count(lit(1)).as("n"))
+      // the loop body IS the state build — one definition of the
+      // oracle-pinned quantize/assign/aggregate sequence (kmeansState)
+      val sums = kmeansState(e, cent)
         .collect()
         .map(r => r.getInt(0) -> ((r.getSeq[Double](1).toArray, r.getLong(2))))
         .toMap
@@ -858,6 +854,17 @@ object Vectors {
   private def kmDistSql(v: String, c: String) =
     s"(${dotSql(v, v)} - 2 * ${dotSql(v, c)} + ${dotSql(c, c)})"
 
+  /** The (vec_id, v, cluster) assignment rows against the centroids in
+    * CTE `centCte` — the ONE SQL twin of the in-row assignment, used by
+    * every training iteration and the state oracle's final assignment.
+    */
+  private def kmAssignRowsSql(centCte: String): String =
+    s"""SELECT vec_id, v, cluster FROM (
+       |  SELECT e.vec_id, e.v, c.cluster,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
+       |  FROM e CROSS JOIN $centCte c) WHERE rn = 1""".stripMargin
+
   /** The k-means CTE chain shared by [[clusterKmeansSql]] and
     * [[clusterSampleSql]]: e (valid widened vectors), c0 (init), then per
     * iteration assign → exact fixed-point per-dim sums → centroid update
@@ -879,11 +886,7 @@ object Vectors {
       sb.append(
         s""",
            | a$t AS (
-           | SELECT vec_id, v, cluster FROM (
-           |  SELECT e.vec_id, e.v, c.cluster,
-           |   row_number() OVER (PARTITION BY e.vec_id
-           |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
-           |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+           | ${kmAssignRowsSql(s"c${t - 1}")}),
            | s$t AS (
            | SELECT cluster, i AS pos,
            |  CAST(SUM(CAST(floor(v[i] * ${KM_QS.toLong}.0) AS BIGINT)) AS DOUBLE) AS sv,
@@ -1074,14 +1077,34 @@ object Vectors {
   }
 
   /** Recover centroids from a maintained state (k rows — a driver array,
-    * same division sequence as the training loop).
+    * same division sequence as the training loop). `frozen` is the
+    * assignment basis the state was built against: a cluster with no
+    * members KEEPS its frozen centroid — the family-wide empty-cluster
+    * invariant (trainCentroids folds to prev; the oracle COALESCEs) — a
+    * zero-vector substitute would become a phantom attractor for vectors
+    * anti-correlated with every real centroid.
     */
-  def centroidsOf(state: DataFrame, k: Int): Array[Array[Double]] = {
+  def centroidsOf(state: DataFrame, frozen: Array[Array[Double]]): Array[Array[Double]] = {
     val rows = state.collect()
       .map(r => r.getInt(0) -> ((r.getSeq[Double](1).toArray, r.getLong(2)))).toMap
-    Array.tabulate(k)(j => rows.get(j).fold(new Array[Double](DIM)) {
-      case (s, n) => s.map(_ / n.toDouble / KM_QS)
-    })
+    frozen.zipWithIndex.map { case (prev, j) =>
+      rows.get(j).fold(prev) { case (s, n) => s.map(_ / n.toDouble / KM_QS) }
+    }
+  }
+
+  /** Cluster assignment of a relation against given centroids — THE
+    * in-row assignment projection every consumer shares (the warehouse's
+    * catalog-backed scoring, the spec's recovered-centroid check).
+    * Invalid vectors are dropped; empty centroids degrade to the empty
+    * result, the family contract.
+    */
+  def assignClusters(embeddings: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    if (cent.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), lit(0).cast("int").as("cluster"))
+    embeddings.filter(kmValid)
+      .select(col("vec_id"), kmDistArr(cent, col("embedding")).as("_km_d"))
+      .select(col("vec_id"), kmAssign.as("cluster"))
   }
 
   /** Exploded scalar form of a state relation for the oracle compare:
@@ -1099,11 +1122,7 @@ object Vectors {
   def kmeansStateSql(k: Int = 8, iters: Int = 3): String =
     s"""WITH ${kmeansCtes(k, iters)},
        | af AS (
-       | SELECT vec_id, v, cluster FROM (
-       |  SELECT e.vec_id, e.v, c.cluster,
-       |   row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${kmDistSql("e.v", "c.c")} ASC, c.cluster ASC) AS rn
-       |  FROM e CROSS JOIN c$iters c) WHERE rn = 1)
+       | ${kmAssignRowsSql(s"c$iters")})
        | SELECT cluster, CAST(i - 1 AS INT) AS pos,
        |  CAST(SUM(CAST(floor(v[i] * ${KM_QS.toLong}.0) AS BIGINT)) AS BIGINT) AS s,
        |  COUNT(*) AS n

@@ -205,12 +205,9 @@ object RollupWarehouse {
       KmeansStateTable, buckets = 4, key = "cluster")
 
   /** Assign any relation against the maintained centroids — zero
-    * training, zero fact access beyond the scanned relation itself.
+    * training, zero fact access beyond the scanned relation itself
+    * (empty centroid table → empty result, the family contract).
     */
-  def clusterAssign(spark: SparkSession, embeddings: DataFrame): DataFrame = {
-    val cent = storedCentroids(spark)
-    embeddings.filter(Vectors.kmValid)
-      .select(col("vec_id"), Vectors.kmDistArr(cent, col("embedding")).as("_km_d"))
-      .select(col("vec_id"), Vectors.kmAssign.as("cluster"))
-  }
+  def clusterAssign(spark: SparkSession, embeddings: DataFrame): DataFrame =
+    Vectors.assignClusters(embeddings, storedCentroids(spark))
 }

@@ -92,7 +92,6 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("incremental state maintenance: any split merges bit-exactly to the monolithic build") {
-    val s = spark
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val cent = Vectors.trainCentroids(planted, 3, 3)
     def collectState(df: org.apache.spark.sql.DataFrame) =
@@ -115,14 +114,20 @@ class KmeansSpec extends SparkSpec {
     assert(three.toSeq == mono.toSeq)
     // the maintained state recovers usable centroids: assigning against
     // them reproduces the planted partition
-    val rec = Vectors.centroidsOf(Vectors.kmeansState(planted, cent), 3)
+    val rec = Vectors.centroidsOf(Vectors.kmeansState(planted, cent), cent)
     val a = Vectors.clusterKmeans(planted, 3, 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val viaRec = planted
-      .select(col("vec_id"), Vectors.kmDistArr(rec, col("embedding")).as("_km_d"))
-      .select(col("vec_id"), Vectors.kmAssign.as("cluster"))
+    val viaRec = Vectors.assignClusters(planted, rec)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaRec == a, "state-recovered centroids must reproduce the assignment")
+    // empty-cluster invariant: state missing a cluster keeps the FROZEN
+    // centroid, never a zero-vector phantom
+    val partial = Vectors.kmeansState(planted.filter(col("vec_id") < 2), cent)
+    val rec2 = Vectors.centroidsOf(partial, cent)
+    (0 until 3).foreach { j =>
+      if (!partial.collect().map(_.getInt(0)).contains(j))
+        assert(rec2(j).sameElements(cent(j)), s"empty cluster $j lost its frozen centroid")
+    }
   }
 
   test("invalid rows (null / wrong-length / null-element embeddings) are dropped") {

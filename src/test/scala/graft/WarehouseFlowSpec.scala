@@ -138,11 +138,11 @@ class WarehouseFlowSpec extends SparkSpec {
       // vector, and agrees with the state the warehouse maintains
       val assigned = RollupWarehouse.clusterAssign(s2, emb).collect()
         .map(r => r.getLong(0) -> r.getInt(1))
-      assert(assigned.length == emb.count())
+      assert(assigned.length == emb.filter(graft.operators.Vectors.kmValid).count())
       val sizes = assigned.groupBy(_._2).view.mapValues(_.size.toLong).toMap
       val stateN = s2.table(RollupWarehouse.KmeansStateTable).collect()
         .map(r => r.getInt(0) -> r.getLong(2)).toMap
-      assert(sizes == stateN.filter(_._2 > 0),
+      assert(sizes == stateN,
         "per-cluster assignment counts must equal the maintained state's n")
     } finally {
       val tracker = spark.sparkContext.statusTracker
