@@ -364,6 +364,104 @@ object RotateVec {
   }
 }
 
+/** Fused nearest-centroid assignment for the k-means family: ONE pass
+  * computes, for each of the k baked centroids, the exact IEEE squared-L2
+  * sequence `((|v|² - (2·v·c_j)) + |c_j|²)` — every dot the same strict
+  * ascending fold as [[DotProduct]] and the oracle's `list_reduce` — and
+  * keeps the FIRST index attaining the minimum (the lowest-cluster
+  * tie-break both engines use). Returns `struct(cluster INT, dist
+  * DOUBLE)`. Replaces the k-expression array + array_min/array_position
+  * composition with bit-identical values in one fused codegen'd loop
+  * instead of k+2 array traversals per row — the assignment is the hot
+  * path of clustering training, drift monitoring, and catalog scoring.
+  *
+  * A null array, or a null ELEMENT, yields null (the [[DotProduct]]
+  * propagate-null contract; the k-means family's kmValid filter removes
+  * such rows before this expression runs).
+  */
+case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
+    extends UnaryExpression {
+
+  require(dim > 0 && cent.nonEmpty && cent.length % dim == 0,
+    s"centroids must be a non-empty multiple of dim=$dim doubles, got ${cent.length}")
+  private val k = cent.length / dim
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  /** |c_j|² — the same ascending fold the oracle's dot(c, c) executes. */
+  @transient private lazy val cnorm: Array[Double] = Array.tabulate(k) { j =>
+    var acc = 0d
+    var i = 0
+    while (i < dim) { val x = cent(j * dim + i); acc += x * x; i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], isFloat, dim, k, cent, cnorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("ncCent", cent, "double[]")
+    val cnRef = ctx.addReferenceObj("ncCnorm", cnorm, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ncRes")
+      s"""Object $tmp = graft.functions.NearestCentroid.compute($c, $isFloat, $dim, $k, $centRef, $cnRef);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Shared by interpreted eval and codegen; null on any null element. */
+  def compute(arr: ArrayData, isFloat: Boolean, dim: Int, k: Int,
+              cent: Array[Double], cn: Array[Double]): Any = {
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var dvv = 0d
+    i = 0
+    while (i < n) { dvv += v(i) * v(i); i += 1 }
+    var bestJ = -1
+    var bestD = 0d
+    var j = 0
+    while (j < k) {
+      var dvc = 0d
+      var t = 0
+      while (t < n) { dvc += v(t) * cent(j * dim + t); t += 1 }
+      val d = (dvv - 2d * dvc) + cn(j)
+      if (bestJ < 0 || d < bestD) { bestJ = j; bestD = d }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestJ, bestD))
+  }
+}
+
 object VectorFunctions {
   /** `vec_dot(a, b)` as a Column — strict fold dot product, codegen'd. */
   def vecDot(a: Column, b: Column): Column =
@@ -386,4 +484,10 @@ object VectorFunctions {
   /** `R · v` for a baked d×d rotation matrix (row-major doubles). */
   def rotateVec(v: Column, dim: Int, matrix: Array[Double]): Column =
     ColumnBridge.column(RotateVec(ColumnBridge.expression(v), dim, matrix))
+
+  /** `struct(cluster, dist)` of the nearest of the baked centroids
+    * (row-major k×dim doubles) — the fused k-means assignment.
+    */
+  def nearestCentroid(v: Column, dim: Int, cent: Array[Double]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), dim, cent))
 }

@@ -790,24 +790,14 @@ object Vectors {
       col("embedding").isNotNull && size(col("embedding")) === DIM &&
       size(filter(col("embedding"), x => x.isNull)) === 0
 
-  /** Squared-L2 distances to every centroid, as one in-row array of the
-    * oracle's exact IEEE sequence: ((|v|² - (2 * v·c)) + |c|²) with |c|²
-    * pre-folded on the driver (same left fold as list_reduce).
+  /** Fused assignment struct(cluster, dist) against `cent` — the
+    * codegen'd [[graft.functions.NearestCentroid]] expression: the
+    * oracle's exact IEEE sequence ((|v|² - (2·v·c_j)) + |c_j|²) per
+    * centroid with the first-min (lowest-cluster) tie-break, in ONE
+    * fused loop instead of k+2 array traversals per row.
     */
-  private[graft] def kmDistArr(cent: Array[Array[Double]], v: Column): Column = {
-    import graft.functions.VectorFunctions.vecDot
-    val dvv = vecDot(v, v)
-    array(cent.map { c =>
-      val cc = c.foldLeft(0d)((a, x) => a + x * x)
-      dvv - lit(2d) * vecDot(v, typedlit(c.toSeq)) + lit(cc)
-    }: _*)
-  }
-
-  /** argmin over a `_km_d` distance array — first occurrence of the min,
-    * i.e. the lowest cluster index on ties (both engines).
-    */
-  private[graft] def kmAssign: Column =
-    (array_position(col("_km_d"), array_min(col("_km_d"))) - 1).cast("int")
+  private[graft] def kmNearest(cent: Array[Array[Double]]): Column =
+    graft.functions.VectorFunctions.nearestCentroid(col("embedding"), DIM, cent.flatten)
 
   /** Lloyd training loop only: returns the final centroids (empty if the
     * corpus has no valid vectors). See [[clusterKmeans]] for semantics.
@@ -846,9 +836,9 @@ object Vectors {
     if (cent.isEmpty)
       return e.filter(lit(false))
         .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
-    e.select(col("vec_id"), kmDistArr(cent, col("embedding")).as("_km_d"))
-      .select(col("vec_id"), kmAssign.as("cluster"),
-        fl(array_min(col("_km_d")), 6).as("dist"))
+    e.select(col("vec_id"), kmNearest(cent).as("_km_nc"))
+      .select(col("vec_id"), col("_km_nc.cluster").as("cluster"),
+        fl(col("_km_nc.dist"), 6).as("dist"))
   }
 
   private def kmDistSql(v: String, c: String) =
@@ -1057,8 +1047,7 @@ object Vectors {
           typedlit(Seq.empty[Double]).as("sv"), lit(0L).as("n"))
     val quant = transform(col("embedding"), x => floor(x * lit(KM_QS)).cast("double"))
     embeddings.filter(kmValid)
-      .select(quant.as("_km_q"), kmDistArr(cent, col("embedding")).as("_km_d"))
-      .select(col("_km_q"), kmAssign.as("cluster"))
+      .select(quant.as("_km_q"), kmNearest(cent).getField("cluster").as("cluster"))
       .groupBy("cluster")
       .agg(vecSum(col("_km_q"), DIM).as("sv"), count(lit(1)).as("n"))
   }
@@ -1103,8 +1092,7 @@ object Vectors {
       return embeddings.filter(lit(false))
         .select(col("vec_id"), lit(0).cast("int").as("cluster"))
     embeddings.filter(kmValid)
-      .select(col("vec_id"), kmDistArr(cent, col("embedding")).as("_km_d"))
-      .select(col("vec_id"), kmAssign.as("cluster"))
+      .select(col("vec_id"), kmNearest(cent).getField("cluster").as("cluster"))
   }
 
   /** Exploded scalar form of a state relation for the oracle compare:

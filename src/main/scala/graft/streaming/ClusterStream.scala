@@ -42,8 +42,7 @@ object ClusterStream {
         .select(col("ts").as("window_start"), lit(0).cast("int").as("cluster"),
           lit(0L).as("n"))
     valid
-      .select(col("ts"), Vectors.kmDistArr(cent, col("embedding")).as("_km_d"))
-      .select(col("ts"), Vectors.kmAssign.as("cluster"))
+      .select(col("ts"), Vectors.kmNearest(cent).getField("cluster").as("cluster"))
       .groupBy(window(col("ts"), bucket).as("w"), col("cluster"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("cluster"), col("n"))

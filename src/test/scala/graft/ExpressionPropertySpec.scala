@@ -159,6 +159,35 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroid matches the independent fold model bit-for-bit (codegen path)") {
+    val dim = 16
+    val k = 5
+    val cent = sample(Gen.listOfN(k * dim, finiteD), 1).head.toArray
+    val data = sample(Gen.listOfN(dim, finiteD), N).map(_.toArray)
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(v => Row(v.toSeq)), 4), schema)
+    val got = df.select(VectorFunctions.nearestCentroid(col("v"), dim, cent).as("nc"))
+      .select(col("nc.cluster"), col("nc.dist"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    data.zip(got).foreach { case (v, (gc, gd)) =>
+      // independent model: the exact fold sequence, first-min tie-break
+      var dvv = 0d; v.foreach(x => dvv += x * x)
+      var bj = -1; var bd = 0d
+      (0 until k).foreach { j =>
+        var dvc = 0d; var cc = 0d
+        (0 until dim).foreach { i =>
+          dvc += v(i) * cent(j * dim + i)
+          cc += cent(j * dim + i) * cent(j * dim + i)
+        }
+        val d = (dvv - 2d * dvc) + cc
+        if (bj < 0 || d < bd) { bj = j; bd = d }
+      }
+      assert(gc == bj && gd == bd, s"fused ($gc, $gd) != model ($bj, $bd)")
+    }
+  }
+
   test("BpeEncode: codegen path matches the driver encoder; tokens partition each word") {
     // words over a tiny alphabet so merges actually fire, plus mixed case
     // and an astral-plane char (code-point splitting must survive the
