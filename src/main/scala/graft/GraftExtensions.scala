@@ -73,6 +73,21 @@ object GraftExtensions {
     "graft_bpe_tokens" -> unary("graft_bpe_tokens", TextFunctions.bpeTokenCount),
     "graft_quality" -> unary("graft_quality", TextFunctions.qualityScore),
     "graft_fingerprint" -> unary("graft_fingerprint", TextFunctions.polyFingerprint),
+    // nearest_centroid(v, dim, cent): cent must be a foldable ARRAY<DOUBLE>
+    // of k×dim row-major centroid components; returns struct(cluster, dist)
+    "nearest_centroid" -> ((args: Seq[Expression]) => {
+      expectArity("nearest_centroid", args, 3)
+      if (!args(1).foldable || !args(2).foldable)
+        throw new IllegalArgumentException(
+          "nearest_centroid: dim and centroids must be literals")
+      val dim = args(1).eval().asInstanceOf[Number].intValue()
+      val cent = args(2).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+        case _ => throw new IllegalArgumentException(
+          "nearest_centroid: centroids must be a literal ARRAY<DOUBLE>")
+      }
+      graft.functions.NearestCentroid(args(0), dim, cent)
+    }),
     // bpe_encode(text, merges): merges must be a foldable ARRAY<STRING> in
     // rank order, each element 'left right' (one space) — the merge-table
     // rows Pipeline.bpeTrain emits, concat_ws(' ', left, right)

@@ -27,6 +27,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(agg == Seq(11.0, 22.0))
   }
 
+  test("nearest_centroid is callable from SQL with literal centroids") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT nearest_centroid(CAST(array(1.0, 1.0) AS ARRAY<DOUBLE>), 2,
+        |  CAST(array(0.0, 0.0, 1.0, 1.0, 5.0, 5.0) AS ARRAY<DOUBLE>)) AS nc""".stripMargin)
+      .select("nc.cluster", "nc.dist").collect()(0)
+    assert(r.getInt(0) == 1 && r.getDouble(1) == 0.0)
+  }
+
   test("bpe_encode is callable from SQL with a literal merge list") {
     GraftExtensions.register(spark)
     val r = spark.sql(
