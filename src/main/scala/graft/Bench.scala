@@ -59,6 +59,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       var countsBefore = (0L, 0L, 0L)
       val times = (1 to 2).map { rep =>
+        Caches.release()
         spark.catalog.clearCache()
         if (rep == 2) countsBefore = counter.snapshot()
         val t0 = System.nanoTime()

@@ -21,10 +21,14 @@ import scala.collection.mutable
   */
 object BpeTokenizer {
 
-  /** The word convention of the text suite: lowercase, whitespace split. */
+  /** The word convention of the text suite: lowercase, whitespace split.
+    * Locale.ROOT so JVM-side tokenization matches Spark SQL's
+    * locale-independent `lower()` (tr_TR would map 'I'→'ı' otherwise and
+    * break the "identical features" contract with in-row scoring).
+    */
   def words(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
 
   /** Separator joining a merge pair into one ranks-map key. Symbols are
     * born from whitespace-free words, so a space can never occur in one.
@@ -49,8 +53,9 @@ object BpeTokenizer {
           val p = (s(i), s(i + 1)); pc.update(p, pc.getOrElse(p, 0L) + n); i += 1
         }
       }
-      // a merge must save something: only pairs seen at least twice qualify
-      val candidates = pc.iterator.filter(_._2 >= 2L)
+      // a merge must save something: only pairs seen at least twice
+      // qualify. Materialized: an Iterator is unusable after isEmpty.
+      val candidates = pc.iterator.filter(_._2 >= 2L).toSeq
       if (candidates.isEmpty) halt = true
       else {
         val (best, _) = candidates.minBy { case ((a, b), n) => (-n, a, b) }

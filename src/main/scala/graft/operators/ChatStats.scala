@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches.SharedCacheOps
 
 import EventSemantics._
 
@@ -242,7 +243,7 @@ object ChatStats {
     commonUsersMatrixFrom(
       userWeeklyActivity(events)
         .select("user_id", "channel", "week")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .sharedCache)
 
   /** Matrix from an already-materialized (user_id, channel, week) rollup —
     * the deploy seam for a warehouse that maintains the reference's MV as
@@ -347,7 +348,7 @@ object ChatStats {
   def commonUsersPair(events: DataFrame, chA: String, wa: String, chB: String, wb: String): DataFrame = {
     // four consumers (each side's membership join + each side's size count)
     val ucw = userWeeklyActivity(events).select("user_id", "channel", "week")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val sa = ucw.filter(col("channel") === chA && col("week") === to_date(lit(wa))).select("user_id")
     val sb = ucw.filter(col("channel") === chB && col("week") === to_date(lit(wb))).select("user_id")
     val common = sa.join(sb, "user_id").agg(count(lit(1)).as("num_common_users"))
@@ -386,7 +387,7 @@ object ChatStats {
       .agg(max("membership_rank").as("rank"))
       .filter(col("rank") >= 0)
       .select("user_id", "channel", "week")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val pairCounts = ud.as("a")
       .join(ud.as("b"), col("a.user_id") === col("b.user_id") && col("a.week") === col("b.week"))
       .groupBy(col("a.week").as("week"), col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
@@ -463,7 +464,7 @@ object ChatStats {
     val qualified = userWeeklyActivity(events)
       .filter(col("messages") >= threshold)
       .select("user_id", "channel", "week")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val tagged = qualified
       .select(col("user_id"), col("channel"), col("week"), lit(1).as("c"), lit(0).as("p"))
       .unionByName(qualified
@@ -508,7 +509,7 @@ object ChatStats {
     */
   def exclusiveUsers(events: DataFrame): DataFrame = {
     val ucw = userWeeklyActivity(events).select("user_id", "channel", "week")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val span = ucw
       .groupBy("user_id", "week")
       .agg(count(lit(1)).as("n_channels"))
@@ -576,7 +577,7 @@ object ChatStats {
     // smaller than the raw fact (see README "Cache lifecycle").
     attritionFrom(
       userWeeklyActivity(events)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .sharedCache,
       topK, baselineWeeks)
 
   /** Attrition from an already-materialized weekly rollup — the deploy
@@ -593,7 +594,10 @@ object ChatStats {
     // pushable date predicates on the rollup scan
     val weeks = act.select("week").distinct().collect()
       .map(_.getDate(0)).sortBy(_.getTime)
-    if (weeks.isEmpty)
+    // baselineWeeks <= 0 means an empty baseline window: no top set, no
+    // rows — same degenerate shape as an empty corpus (and it must not
+    // index weeks(-1))
+    if (weeks.isEmpty || baselineWeeks <= 0)
       return act.select(col("week"), lit(0L).as("active_users"),
         lit(0d).as("percent_active")).limit(0)
     val cutoff = weeks(math.min(baselineWeeks, weeks.length) - 1)

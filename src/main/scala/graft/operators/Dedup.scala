@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Caches.SharedCacheOps
 
 import EventSemantics.{fl, flSql}
 
@@ -664,7 +665,7 @@ object Dedup {
              | i -> array_join(slice(w, i * $width + 1, $width), ' '))"""
             .stripMargin.replace("\n", ""))).as(Seq("pos", "segment")))
       .withColumn("h", md5(col("segment")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val segCounts = segments.groupBy("h").agg(count(lit(1)).as("seg_df"))
     segments
       .join(segCounts, "h")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches.SharedCacheOps
 
 import EventSemantics.{fl, flSql}
 
@@ -99,7 +100,7 @@ object Pipeline {
     // is shingled once
     val evalGrams = shingleIds(evalDocs, k)
       .select(explode(col("shs")).as("xsh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     // empty eval set -> the aggregate yields NULL -> might_contain(NULL, x)
     // is NULL -> the filter drops every shingle -> zero hits: correct
     val bloomBytes = evalGrams
@@ -454,7 +455,7 @@ object Pipeline {
     // column pruning (which would otherwise canonicalize to different
     // exchanges and re-run the explode per consumer)
     val dt = words.groupBy(col("doc_id") +: cc :+ col("term"): _*).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     // corpus term frequency as a partial-agg groupBy + join-back on the
     // persisted pre-count — NOT a window over the term key: map-side
     // combine absorbs hot stopword terms before the shuffle, and the
@@ -500,7 +501,7 @@ object Pipeline {
     // the full per-doc LM scoring — without this the dt→vocab→join→agg
     // subtree (a whole corpus pass) executes twice, once per consumer
     val nll = unigramNllKeyed(documents, Seq("lang"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val pct =
       if (approx) expr("approx_percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 10000)")
       else expr("percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
@@ -580,7 +581,7 @@ object Pipeline {
           .stripMargin.replace("\n", ""))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
     val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val bvocab = db.groupBy("bigram").agg(sum("n").as("bfreq"))
     val hist = db.groupBy("prev").agg(sum("n").as("pfreq"))
     val scalars = toks.select(explode(col("w")).as("term"))

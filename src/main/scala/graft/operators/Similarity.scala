@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches.SharedCacheOps
 
 import EventSemantics.{fl, flSql, userWeeklyActivitySql}
 
@@ -31,7 +32,7 @@ object Similarity {
       // (see ChatStats.attrition for the full rationale)
       EventSemantics.userWeeklyActivity(events)
         .select(col("user_id"), col("channel"), col("week"), col("messages"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .sharedCache)
 
   /** Cosine similarity from an already-materialized weekly rollup `w`
     * (user_id, channel, week, messages) — the deploy seam for a warehouse
@@ -82,7 +83,7 @@ object Similarity {
     recommendFrom(
       EventSemantics.userWeeklyActivity(events)
         .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .sharedCache,
       userId, exclThreshold, k)
 
   /** Recommendations from an already-materialized full-period weight
@@ -267,7 +268,7 @@ object Similarity {
     // one materialized rollup feeds the similarity edges AND the node list
     val w = EventSemantics.userWeeklyActivity(events)
       .select(col("user_id"), col("channel"), col("week"), col("messages"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val edges = channelSimilarityFrom(w)
       .withColumn("thr", expr("percentile(similarity, 0.5)").over(Window.partitionBy("week")))
       .filter(col("similarity") > col("thr"))
@@ -304,7 +305,7 @@ object Similarity {
   def leidenCommunities(events: DataFrame): DataFrame = {
     val w = EventSemantics.userWeeklyActivity(events)
       .select(col("user_id"), col("channel"), col("week"), col("messages"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedCache
     val edges = channelSimilarityFrom(w)
       .withColumn("thr", expr("percentile(similarity, 0.5)").over(Window.partitionBy("week")))
       .filter(col("similarity") > col("thr"))

@@ -277,9 +277,13 @@ object Vectors {
     // the multi-probe graph IS the single-block graph (empty)
     if (cents.isEmpty) return knnJoin(embeddings, k)
     // (-centroid cosine, label) structs sort lexicographically =
-    // score desc, label asc — deterministic probe ranking in-row
+    // score desc, label asc — deterministic probe ranking in-row. The
+    // score is floored at 6 decimals like the final cosine: centroids come
+    // from a distributed double fold here and a per-dim AVG in the oracle,
+    // so an unrounded near-tie could rank probes differently per engine /
+    // partitioning and change the candidate set.
     val scoredCents = cents.map { case (l, cv) =>
-      struct((-cosTo(typedLit(cv), col("embedding"))).as("neg"), lit(l).as("lbl"))
+      struct((-fl(cosTo(typedLit(cv), col("embedding")), 6)).as("neg"), lit(l).as("lbl"))
     }
     val topLabels = transform(
       slice(array_sort(array(scoredCents.toIndexedSeq: _*)), 1, nProbe),
@@ -313,7 +317,7 @@ object Vectors {
        | ranked AS (
        |  SELECT e.vec_id, c.label AS probe_label,
        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |     ORDER BY ${cosToSql("c.cvec", "e.embedding")} DESC, c.label ASC) AS pr
+       |     ORDER BY ${flSql(cosToSql("c.cvec", "e.embedding"), 6)} DESC, c.label ASC) AS pr
        |  FROM embeddings e CROSS JOIN cvecs c),
        | probes AS (
        |  SELECT vec_id, probe_label FROM ranked WHERE pr <= $nProbe

@@ -8,6 +8,14 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  // Operator-internal persisted relations (Caches.sharedCache) are released
+  // per-suite so the shared session never accumulates pinned corpora across
+  // the ~30 suites of a full `sbt test` run.
+  override protected def afterAll(): Unit = {
+    Caches.release()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {
