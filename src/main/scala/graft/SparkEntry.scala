@@ -346,7 +346,18 @@ object SparkEntry {
     "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,
     "s_stream_velocity" -> graft.streaming.VelocityStream.burstsSql(),
     "s_sessionize_gap" -> graft.streaming.EventStream.gapSessionsSql()
-  )
+  ) ++ trainedOracles
+
+  /** Trained-model oracles (literal-inlined codebooks/rotations/LUTs —
+    * [[graft.operators.Vectors.stashedSql]]): present only after the
+    * corresponding query has run in this JVM. Verify runs every query
+    * BEFORE dumping oracle_sql.json, so the driver's gate always includes
+    * them; a cold JVM simply omits the entry (→ the driver records the
+    * weaker rows-only check rather than comparing against a stale oracle).
+    */
+  private def trainedOracles: Map[String, String] =
+    Seq("v_ann_pq", "v_ann_pq_residual", "v_ann_pq_opq", "v_ann_ivfpq", "v_ann_ivfpq_geo")
+      .flatMap(k => Vectors.stashedSql(k).map(k -> _)).toMap
 
   private val languageStatsSql: String =
     s"""WITH ud AS (${EventSemantics.userDataSql})

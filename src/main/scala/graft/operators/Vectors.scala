@@ -450,6 +450,8 @@ object Vectors {
     val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
       (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
     }
+    sqlStash.put("v_ann_pq",
+      annPqOracleSql(qId, k, m, codebookK, rerank, cb, lutDot, lutN2, qNorm))
     val codes = embeddings.filter(col("vec_id") =!= qId)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb).as("codes"))
@@ -496,6 +498,186 @@ object Vectors {
       val s = i / sub; val j = i % sub
       cb((s * k + codes(s)) * sub + j)
     }
+  }
+
+  // ---- trained-model oracles (literal-inlined) -----------------------------
+
+  /** Oracle SQL for the trained PQ family, available once the operator has
+    * run in this JVM — Verify runs every query BEFORE dumping
+    * oracle_sql.json, so the driver's gate always sees these. The
+    * codebooks / rotations / LUT tables are deterministic driver arrays
+    * (seeded md5 sample order, fixed-count Lloyd / Procrustes with
+    * sequential-fold arithmetic): every run rebuilds bit-identical values,
+    * so the operator can inline them as SQL literals and DuckDB
+    * independently re-runs the encode + ADC scoring + re-rank against
+    * them — the [[annLsh]] hyperplane trick extended to trained constants.
+    */
+  def stashedSql(key: String): Option[String] = sqlStash.get(key)
+  private val sqlStash = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Double literal DuckDB types as DOUBLE (the exponent forces it) and
+    * parses back to the identical IEEE value (shortest-round-trip string).
+    */
+  private def dl(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E")) s else s + "E0"
+  }
+  private def dlist(a: Seq[Double]): String = a.map(dl).mkString("[", ", ", "]")
+
+  /** |centroid|² per (subspace, code) — the same ascending-j fold as
+    * [[graft.functions.PqEncode]]'s plan-time cnorm, recomputed here so the
+    * oracle inlines bit-identical values.
+    */
+  private def pqCnorm(cb: Array[Double], m: Int, kk: Int, sub: Int): Array[Double] =
+    Array.tabulate(m * kk) { sc =>
+      var acc = 0d
+      var j = 0
+      while (j < sub) { val x = cb(sc * sub + j); acc += x * x; j += 1 }
+      acc
+    }
+
+  /** CTE chain replicating [[graft.functions.PqEncode]] in DuckDB: for every
+    * row of `src` (vec_id + the vector `elem` reads), the per-subspace
+    * argmin code against the `cbName`/`cnName` literal CTEs via the same
+    * expanded-form distance `cn[s,c] − 2·⟨v_s, c⟩` — ascending-j
+    * `list_reduce` fold, first-min (lowest code) tie-break. Emits
+    * `<out>_d`, `<out>_e` and `<out>` (vec_id, cs = list of m codes).
+    * `elem(i)` must yield the DOUBLE vector element at 1-based index `i`
+    * reading from alias `t`.
+    */
+  private def pqEncodeCtes(src: String, elem: String => String, m: Int, kk: Int,
+                           cbName: String, cnName: String, out: String): String = {
+    val sub = DIM / m
+    val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${sub + 1}), j -> ${elem(s"ss.s * $sub + j")} * $cbName.v[((ss.s * $kk + cc.c) * $sub) + j])), (acc, x) -> acc + x)"
+    s"""${out}_d AS (
+       |  SELECT t.vec_id, ss.s, cc.c,
+       |   $cnName.v[ss.s * $kk + cc.c + 1] - 2 * $dot AS d
+       |  FROM $src t, (SELECT unnest(range(0, $m)) AS s) ss,
+       |   (SELECT unnest(range(0, $kk)) AS c) cc, $cbName, $cnName),
+       | ${out}_e AS (
+       |  SELECT vec_id, s, c FROM (
+       |   SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+       |   FROM ${out}_d) WHERE rn = 1),
+       | $out AS (SELECT vec_id, list(c ORDER BY s) AS cs FROM ${out}_e GROUP BY 1)""".stripMargin
+  }
+
+  /** Shared tail: ADC ranking → rerank cut → exact-cosine top-k, identical
+    * to the Spark plans' orderBy/limit sequence (raw doubles rank, floored
+    * doubles display).
+    */
+  private def pqTailSql(tbl: String, qId: Long, k: Int, rerank: Int): String =
+    s""" cand AS (SELECT * FROM adc ORDER BY adc_cosine DESC, vec_id ASC LIMIT $rerank),
+       | q AS (SELECT embedding AS qv FROM $tbl WHERE vec_id = $qId)
+       | SELECT c.vec_id, c.label, ${flSql("c.adc_cosine", 6)} AS adc_cosine,
+       |  ${flSql(cosToSql("c.embedding", "q.qv"), 6)} AS cosine
+       | FROM cand c CROSS JOIN q
+       | ORDER BY cosine DESC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  private def annPqOracleSql(qId: Long, k: Int, m: Int, kk: Int, rerank: Int,
+      cb: Array[Double], lutDot: Array[Array[Double]], lutN2: Array[Array[Double]],
+      qNorm: Double): String = {
+    val cn = pqCnorm(cb, m, kk, DIM / m)
+    val dSum = (0 until m).map(s => s"(${dlist(lutDot(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
+    val nSum = (0 until m).map(s => s"(${dlist(lutN2(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
+    s"""WITH cb AS (SELECT ${dlist(cb)} AS v),
+       | cn AS (SELECT ${dlist(cn)} AS v),
+       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | ${pqEncodeCtes("src", i => s"CAST(t.embedding[$i] AS DOUBLE)", m, kk, "cb", "cn", "codes")},
+       | adc AS (
+       |  SELECT s.vec_id, s.label, s.embedding,
+       |   ($dSum) / (sqrt($nSum) * ${dl(qNorm)}) AS adc_cosine
+       |  FROM codes t JOIN src s ON s.vec_id = t.vec_id),
+       |${pqTailSql("embeddings", qId, k, rerank)}""".stripMargin.replace("\n", "")
+  }
+
+  private def annPqResidualOracleSql(qId: Long, k: Int, m: Int, kk: Int, rerank: Int,
+      cb1: Array[Double], cb2: Array[Double],
+      d1: Array[Array[Double]], d2: Array[Array[Double]],
+      n1: Array[Array[Double]], n2: Array[Array[Double]],
+      cross: Array[Array[Double]], qNorm: Double): String = {
+    val sub = DIM / m
+    val cn1 = pqCnorm(cb1, m, kk, sub)
+    val cn2 = pqCnorm(cb2, m, kk, sub)
+    val dSum = (0 until m).map(s =>
+      s"((${dlist(d1(s))})[t1.cs[${s + 1}] + 1] + (${dlist(d2(s))})[t2.cs[${s + 1}] + 1])").mkString(" + ")
+    val nSum = (0 until m).map(s =>
+      s"((${dlist(n1(s))})[t1.cs[${s + 1}] + 1] + (${dlist(n2(s))})[t2.cs[${s + 1}] + 1] + (${dlist(cross(s))})[t1.cs[${s + 1}] * $kk + t2.cs[${s + 1}] + 1])").mkString(" + ")
+    // stage-1 reconstruction element at 1-based i: subspace (i-1)//sub,
+    // within-subspace (i-1)%sub — the Spark recon1 index arithmetic
+    val recon = s"cb1.v[((((i - 1) // $sub) * $kk + t.cs[((i - 1) // $sub) + 1]) * $sub) + ((i - 1) % $sub) + 1]"
+    s"""WITH cb1 AS (SELECT ${dlist(cb1)} AS v),
+       | cn1 AS (SELECT ${dlist(cn1)} AS v),
+       | cb2 AS (SELECT ${dlist(cb2)} AS v),
+       | cn2x AS (SELECT ${dlist(cn2)} AS v),
+       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | ${pqEncodeCtes("src", i => s"CAST(t.embedding[$i] AS DOUBLE)", m, kk, "cb1", "cn1", "codes1")},
+       | rsrc AS (
+       |  SELECT s.vec_id, list_transform(range(1, ${DIM + 1}), i ->
+       |   CAST(s.embedding[i] AS DOUBLE) - $recon) AS rv
+       |  FROM codes1 t JOIN src s ON s.vec_id = t.vec_id CROSS JOIN cb1),
+       | ${pqEncodeCtes("rsrc", i => s"t.rv[$i]", m, kk, "cb2", "cn2x", "codes2")},
+       | adc AS (
+       |  SELECT s.vec_id, s.label, s.embedding,
+       |   ($dSum) / (sqrt($nSum) * ${dl(qNorm)}) AS adc_cosine
+       |  FROM codes1 t1 JOIN codes2 t2 ON t1.vec_id = t2.vec_id
+       |   JOIN src s ON s.vec_id = t1.vec_id),
+       |${pqTailSql("embeddings", qId, k, rerank)}""".stripMargin.replace("\n", "")
+  }
+
+  private def annPqOpqOracleSql(qId: Long, k: Int, m: Int, kk: Int, rerank: Int,
+      rot: Array[Double], cb: Array[Double],
+      lutDot: Array[Array[Double]], lutN2: Array[Array[Double]],
+      qNorm: Double): String = {
+    val cn = pqCnorm(cb, m, kk, DIM / m)
+    val dSum = (0 until m).map(s => s"(${dlist(lutDot(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
+    val nSum = (0 until m).map(s => s"(${dlist(lutN2(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
+    // R·v row r (0-based) = ascending fold over 1-based ci of
+    // rot[r*DIM + ci] · v[ci] — the RotateVec kernel's exact sequence
+    s"""WITH rot AS (SELECT ${dlist(rot)} AS v),
+       | cb AS (SELECT ${dlist(cb)} AS v),
+       | cn AS (SELECT ${dlist(cn)} AS v),
+       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | rsrc AS (
+       |  SELECT s.vec_id, list_transform(range(0, $DIM), r ->
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}),
+       |    ci -> rot.v[r * $DIM + ci] * CAST(s.embedding[ci] AS DOUBLE))), (acc, x) -> acc + x)) AS rv
+       |  FROM src s CROSS JOIN rot),
+       | ${pqEncodeCtes("rsrc", i => s"t.rv[$i]", m, kk, "cb", "cn", "codes")},
+       | adc AS (
+       |  SELECT s.vec_id, s.label, s.embedding,
+       |   ($dSum) / (sqrt($nSum) * ${dl(qNorm)}) AS adc_cosine
+       |  FROM codes t JOIN src s ON s.vec_id = t.vec_id),
+       |${pqTailSql("embeddings", qId, k, rerank)}""".stripMargin.replace("\n", "")
+  }
+
+  private def ivfPqOracleSql(withPrefix: String, tbl: String,
+      qId: Long, k: Int, m: Int, kk: Int, rerank: Int,
+      probed: Seq[(Int, Array[Double], Double, Double, Array[Double])],
+      cb: Array[Double], dLut: Array[Array[Double]], n2Lut: Array[Array[Double]],
+      qNorm: Double): String = {
+    val cn = pqCnorm(cb, m, kk, DIM / m)
+    val values = probed.map { case (lbl, cvec, cdotq, cn2v, cross) =>
+      s"($lbl, ${dlist(cvec)}, ${dl(cdotq)}, ${dl(cn2v)}, ${dlist(cross)})"
+    }.mkString(", ")
+    val dSum = (0 until m).map(s => s"(${dlist(dLut(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
+    val nSum = (0 until m).map(s =>
+      s"((${dlist(n2Lut(s))})[t.cs[${s + 1}] + 1] + s.crs[${s * kk} + t.cs[${s + 1}] + 1])").mkString(" + ")
+    s"""WITH ${withPrefix}probed AS (SELECT * FROM (VALUES $values) AS pv(label, cvec, cdotq, cn2, crs)),
+       | cb AS (SELECT ${dlist(cb)} AS v),
+       | cn AS (SELECT ${dlist(cn)} AS v),
+       | src AS (
+       |  SELECT e.vec_id, e.label, e.embedding, p.cvec, p.cdotq, p.cn2, p.crs
+       |  FROM $tbl e JOIN probed p ON e.label = p.label
+       |  WHERE e.vec_id <> $qId AND e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+       |   AND len(e.embedding) = $DIM AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
+       | rsrc AS (SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+       |   CAST(embedding[i] AS DOUBLE) - cvec[i]) AS rv FROM src),
+       | ${pqEncodeCtes("rsrc", i => s"t.rv[$i]", m, kk, "cb", "cn", "codes")},
+       | adc AS (
+       |  SELECT s.vec_id, s.label, s.embedding,
+       |   (s.cdotq + ($dSum)) / (sqrt(s.cn2 + ($nSum)) * ${dl(qNorm)}) AS adc_cosine
+       |  FROM codes t JOIN src s ON s.vec_id = t.vec_id),
+       |${pqTailSql(tbl, qId, k, rerank)}""".stripMargin.replace("\n", "")
   }
 
   /** #98 residual (two-stage) PQ ANN — the refinement seat the plain PQ
@@ -556,6 +738,9 @@ object Vectors {
           cb1((s * codebookK + c1) * sub + j) * cb2((s * codebookK + c2) * sub + j)).sum
       }
     }
+    sqlStash.put("v_ann_pq_residual",
+      annPqResidualOracleSql(qId, k, m, codebookK, rerank, cb1, cb2,
+        d1, d2, n1, n2lut, cross, qNorm))
     // stage-1 reconstruction as an in-row array expression (codebook
     // literal indexed by the runtime code), feeding the stage-2 encode
     val vd = transform(col("embedding"), x => x.cast("double"))
@@ -693,6 +878,8 @@ object Vectors {
     val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
       (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
     }
+    sqlStash.put("v_ann_pq_opq",
+      annPqOpqOracleSql(qId, k, m, codebookK, rerank, rot, cb, lutDot, lutN2, qNorm))
     val codes = embeddings.filter(col("vec_id") =!= qId)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFunctions.pqEncode(
@@ -933,7 +1120,18 @@ object Vectors {
     */
   def annIvfPq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
                nProbe: Int = 3, m: Int = 4, codebookK: Int = 16,
-               rerank: Int = 100, sampleN: Int = 256, iters: Int = 5): DataFrame = {
+               rerank: Int = 100, sampleN: Int = 256, iters: Int = 5): DataFrame =
+    annIvfPqImpl(embeddings, qId, k, nProbe, m, codebookK, rerank, sampleN, iters,
+      oracleKey = "v_ann_ivfpq", oraclePrefix = "", oracleTbl = "embeddings")
+
+  /** Body shared with [[annIvfPqGeo]]; `oracleKey`/`oraclePrefix`/
+    * `oracleTbl` route the literal-inlined oracle ([[stashedSql]]) — geo
+    * prepends the k-means relabel CTEs and reads from that relation.
+    */
+  private def annIvfPqImpl(embeddings: DataFrame, qId: Long, k: Int,
+               nProbe: Int, m: Int, codebookK: Int,
+               rerank: Int, sampleN: Int, iters: Int,
+               oracleKey: String, oraclePrefix: String, oracleTbl: String): DataFrame = {
     val sub = DIM / m
     val empty = embeddings.filter(lit(false))
       .select(col("vec_id"), col("label"), lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
@@ -996,15 +1194,21 @@ object Vectors {
     }
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val probedDf = probed.map { case (lbl, c) =>
+    val probedRows = probed.map { case (lbl, c) =>
       val cdotq = (0 until DIM).map(i => c(i) * q(i)).sum
       val cn2 = (0 until DIM).map(i => c(i) * c(i)).sum
       val cross = Array.tabulate(m * codebookK) { sc =>
         val s = sc / codebookK; val cc = sc % codebookK
         2d * (0 until sub).map(j => c(s * sub + j) * cb((s * codebookK + cc) * sub + j)).sum
       }
-      (lbl, c.toSeq, cdotq, cn2, cross.toSeq)
-    }.toDF("label", "cvec", "cdotq", "cn2", "cross")
+      (lbl, c, cdotq, cn2, cross)
+    }
+    val probedDf = probedRows
+      .map { case (lbl, c, cdotq, cn2, cross) => (lbl, c.toSeq, cdotq, cn2, cross.toSeq) }
+      .toDF("label", "cvec", "cdotq", "cn2", "cross")
+    sqlStash.put(oracleKey,
+      ivfPqOracleSql(oraclePrefix, oracleTbl, qId, k, m, codebookK, rerank,
+        probedRows, cb, dLut, n2Lut, qNorm))
 
     val vd = transform(col("embedding"), x => x.cast("double"))
     val codes = embeddings
@@ -1136,7 +1340,15 @@ object Vectors {
     val asg = clusterKmeans(embeddings, kCells, cellIters)
       .select(col("vec_id"), col("cluster").as("label"))
     val relabeled = embeddings.drop("label").join(asg, "vec_id")
-    annIvfPq(relabeled, qId, k, nProbe, m, codebookK, rerank, sampleN, iters)
+    // oracle: the relabeled relation as CTEs (the already-proven k-means
+    // unroll) feeding the same literal-inlined IVF-PQ body
+    val prefix = s"${kmeansCtes(kCells, cellIters)}, " +
+      s"asg AS (SELECT vec_id, cluster FROM (${kmeansAssignSql(cellIters)})), " +
+      "emb2 AS (SELECT e0.vec_id, a.cluster AS label, e0.embedding " +
+      "FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id), "
+    annIvfPqImpl(relabeled, qId, k, nProbe, m, codebookK, rerank, sampleN, iters,
+      oracleKey = "v_ann_ivfpq_geo", oraclePrefix = prefix.replace("\n", ""),
+      oracleTbl = "emb2")
   }
 
   // ---- #110 cluster-balanced curation sampling -----------------------------
