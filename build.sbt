@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout line-by-line with json.loads; sbt's
+// default logger wraps forked output as "[info] {...}", which breaks that
+// (BENCH_r01-r03 all recorded parsed:null). StdoutOutput passes the forked
+// JVM's stdout through verbatim so the bench JSON line stays parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
