@@ -63,16 +63,22 @@ object Bench {
         spark.catalog.clearCache()
         if (rep == 2) countsBefore = counter.snapshot()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a crashed query records -1, never its elapsed-to-crash time — a
+        // fake fail-fast 0.06s must not be able to read as a speedup
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       // job/stage counts from rep 2 only (steady state, codegen cache warm)
       val after = counter.snapshot()
       (name, times.min, after._1 - countsBefore._1, after._2 - countsBefore._2)
     }
-    // Keep the stdout contract line as short as possible (the driver's
-    // artifact keeps only an output tail): 3-decimal seconds, and the
-    // jobs/stages telemetry goes to bench_detail.json instead of the line.
+    // The driver's artifact keeps only a ~2,000-char stdout TAIL, and the
+    // full 116-entry per-query map does not fit. So: per-query detail
+    // (timings + jobs/stages telemetry + failures) goes to
+    // bench_detail.json, and the LAST stdout line is a short total-only
+    // contract line that always fits the tail buffer.
     def f3(v: Double): String = "%.3f".format(v)
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -80,14 +86,18 @@ object Bench {
       .mkString("{", ",", "}")
     val ss = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, v, _, _) if v < 0 => k }
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"failed":$fs,"sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8")) catch { case _: Throwable => }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size}/${results.size} queries FAILED: ${failed.mkString(", ")}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json"}"""
     println(line)
     spark.stop()
   }

@@ -17,16 +17,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as raw long (legacy conf) and truncate to micros
-    * with integer division — exactly what DuckDB does when it reads the
-    * same file into its microsecond timestamps, so the two engines agree.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in one testdata
+    * generation and TIMESTAMP(MICROS, isAdjustedToUTC=false) in another, so
+    * the reader branches on the type it actually gets:
+    *   - LongType (nanos surfaced via the legacy nanos-as-long conf, which
+    *     is a no-op for non-nanos columns): truncate to micros with integer
+    *     division — exactly what DuckDB does reading the same file.
+    *   - TIMESTAMP_NTZ (micros, no zone): cast to TIMESTAMP; all engine
+    *     sessions run with session timeZone=UTC, so the wall-clock value is
+    *     read as the same UTC instant DuckDB sees.
+    *   - TIMESTAMP: pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -20,16 +20,21 @@ object Verify {
     // sets it, so the recorded gate always covers the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
-    val oracles = only.fold(SparkEntry.oracleSql)(ks => SparkEntry.oracleSql.filter(kv => ks(kv._1)))
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       Caches.release()
       spark.catalog.clearCache()
     }
+    // oracleSql must be materialized AFTER the loop: the trained-model
+    // oracles (Vectors.stashedSql) only exist once their query has run in
+    // this JVM — binding before the loop dumps an empty stash.
+    val oracles = only.fold(SparkEntry.oracleSql)(ks => SparkEntry.oracleSql.filter(kv => ks(kv._1)))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,5 +51,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A crashed query must be LOUD: an unmissable summary line and a
+    // non-zero exit, so a reader/data break can never again produce a
+    // plausible-looking artifact with rows silently missing.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size}/${queries.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
