@@ -97,6 +97,14 @@ object Fixtures {
       .select(col("doc_id"), col("text"),
         when(col("doc_id") % 7 === 0, lit(0d)).otherwise(lit(1d)).as("label"))
 
+  /** DuckDB twin of [[qualityCorpus]]'s text column (for the classifier's
+    * literal-inlined oracle — [[graft.OracleStash]]).
+    */
+  val qualityCorpusTextSql: String =
+    """CASE WHEN doc_id % 7 = 0
+      | THEN concat_ws(' ', coalesce(text, ''), 'click here buy now free offer winner prize claim instant cash bonus')
+      | ELSE text END""".stripMargin.replace("\n", "")
+
   // ---- within-doc repetition injection (repetition-score input) ------------
   /** Docs with doc_id % 9 = 0 get their first six words appended twice —
     * verifiable positives for `Pipeline.repetitionScore` on a corpus that

@@ -189,13 +189,16 @@ object SparkEntry {
     "p_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "p_decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(docs(s, d), Fixtures.evalPrompts(docs(s, d)))),
     "p_perplexity_buckets" -> ((s, d) => Pipeline.perplexityBuckets(docs(s, d))),
-    // rows-only by design: LR training is not SQL-expressible; spec-gated
-    // (planted-spam separation, determinism, neutral empty-sample model)
-    "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(Fixtures.qualityCorpus(docs(s, d)), Fixtures.qualityLabels(docs(s, d)))),
+    // LR training itself is not SQL-expressible, but SCORING is: the
+    // trained (weights, bias) ride into a literal-inlined stashed oracle
+    // (OracleStash) that DuckDB re-runs over the raw table
+    "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(
+      Fixtures.qualityCorpus(docs(s, d)), Fixtures.qualityLabels(docs(s, d)),
+      oracleTextSql = Some(Fixtures.qualityCorpusTextSql))),
     // rows-only by design: iterative BPE training is not SQL-expressible;
     // spec-gated (hand-computed merges, Spark ≡ driver-encoder equality)
     "p_bpe_train" -> ((s, d) => Pipeline.bpeTrain(docs(s, d))),
-    "t_tokenize_bpe" -> ((s, d) => TextOps.tokenizeBpe(docs(s, d))),
+    "t_tokenize_bpe" -> ((s, d) => TextOps.tokenizeBpe(docs(s, d), oracleTextSql = Some("text"))),
     "t_repetition" -> ((s, d) => Pipeline.repetitionScore(Fixtures.repeatedDocs(docs(s, d)))),
     "p_sample_hash" -> ((s, d) => Pipeline.sampleHash(docs(s, d))),
     "p_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
@@ -225,7 +228,11 @@ object SparkEntry {
     }),
     // --- multimodal plumbing (#49, rows-only check) + streaming twin (#50) ---
     "m_multimodal_meta" -> ((s, d) => Multimodal.mediaFeatures(docs(s, d))),
-    "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))),
+    // frame hex-encoded for the gate only: binary columns break the
+    // row-sort of value comparators (unhashable bytes); hex is injective
+    // so the check is just as strong. The operator's output stays binary.
+    "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))
+      .withColumn("frame", org.apache.spark.sql.functions.hex(org.apache.spark.sql.functions.col("frame")))),
     "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
     // real JDK codec round-trips (ImageIO PNG, javax.sound WAV) — no SQL oracle
     "m_image_decode" -> ((s, d) => Multimodal.imageDecode(docs(s, d))),
@@ -340,7 +347,11 @@ object SparkEntry {
     "v_kmeans_incremental" -> Vectors.kmeansStateSql(),
     "v_cluster_sample" -> Vectors.clusterSampleSql(),
     "s_stream_cluster" -> graft.streaming.ClusterStream.clusterCountsSql(),
-    // m_multimodal_meta intentionally has no oracle (stub decode → rows-only check)
+    // the stub decode + frame slicing are deterministic byte math, so
+    // these two ARE oracle-checkable; the real codec round-trips
+    // (m_image_decode/m_audio_decode/m_resize) stay rows-only
+    "m_multimodal_meta" -> operators.Multimodal.mediaFeaturesSql,
+    "m_frame_sample" -> operators.Multimodal.frameSampleSql(),
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
     "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,
@@ -356,8 +367,9 @@ object SparkEntry {
     * weaker rows-only check rather than comparing against a stale oracle).
     */
   private def trainedOracles: Map[String, String] =
-    Seq("v_ann_pq", "v_ann_pq_residual", "v_ann_pq_opq", "v_ann_ivfpq", "v_ann_ivfpq_geo")
-      .flatMap(k => Vectors.stashedSql(k).map(k -> _)).toMap
+    Seq("v_ann_pq", "v_ann_pq_residual", "v_ann_pq_opq", "v_ann_ivfpq", "v_ann_ivfpq_geo",
+        "t_quality_classifier", "t_tokenize_bpe")
+      .flatMap(k => OracleStash.get(k).map(k -> _)).toMap
 
   private val languageStatsSql: String =
     s"""WITH ud AS (${EventSemantics.userDataSql})

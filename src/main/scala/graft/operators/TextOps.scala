@@ -339,8 +339,16 @@ object TextOps {
     * monotonicity.
     */
   def tokenizeBpe(documents: DataFrame, numMerges: Int = 64,
-                  sampleCap: Int = 2048): DataFrame = {
+                  sampleCap: Int = 2048,
+                  oracleTextSql: Option[String] = None): DataFrame = {
     val merges = Pipeline.bpeMerges(documents, numMerges, sampleCap)
+    // literal-inlined trained oracle: DuckDB independently re-runs the
+    // ranked-merge BPE apply against the inlined merge table (recursive
+    // CTE, one leftmost merge of the lowest-rank pair per step — provably
+    // the same fixpoint as encodeWord's mergeAll loop, because any rule
+    // whose symbol was born from merge r necessarily has rank > r)
+    oracleTextSql.foreach(src => graft.OracleStash.put("t_tokenize_bpe",
+      tokenizeBpeOracleSql(merges, src)))
     val toks = graft.functions.TokenizerFunctions.bpeEncode(col("text"), merges)
     documents
       .select(col("doc_id"), col("text"), toks.as("_bpe"))
@@ -371,12 +379,19 @@ object TextOps {
     * audit pins it).
     */
   def qualityClassifier(documents: DataFrame, labeled: DataFrame,
-                        buckets: Int = 1024, sampleCap: Int = 2048): DataFrame = {
+                        buckets: Int = 1024, sampleCap: Int = 2048,
+                        oracleTextSql: Option[String] = None): DataFrame = {
     import graft.ml.QualityClassifier
     val sample = labeled.select("doc_id", "text", "label")
       .orderBy("doc_id").limit(sampleCap)
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
     val (w, b) = QualityClassifier.train(sample, buckets)
+    // literal-inlined trained oracle (the PQ-codebook trick): the caller
+    // supplies the DuckDB twin of `documents`.text over the raw table and
+    // DuckDB independently re-runs tokenize → md5 bucket → weight fold →
+    // sigmoid against the inlined trained weights
+    oracleTextSql.foreach(src => graft.OracleStash.put("t_quality_classifier",
+      qualityClassifierOracleSql(w, b, buckets, src)))
     // coalesce: NULL text must score like the driver's tokens(null) = []
     // (the neutral sigmoid(b)), not propagate NULL past the size guard
     val toks = expr("filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'), t -> length(t) > 0)")
@@ -393,5 +408,77 @@ object TextOps {
       .select(col("doc_id"),
         EventSemantics.fl(lit(1d) / (lit(1d) + exp(-col("_qc_z"))), 4).as("score"))
       .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("is_quality"))
+  }
+
+  /** DuckDB replica of [[tokenizeBpe]] with the trained merge table
+    * inlined: per DISTINCT lowercased word, a recursive CTE re-runs the
+    * ranked BPE apply — each step finds the lowest-rank adjacent pair
+    * (`list_position` against the rank-ordered merge literal) and merges
+    * its LEFTMOST occurrence; a word exits the recursion when no pair has
+    * a rank. Equivalent to [[graft.ml.BpeTokenizer.encodeWord]]'s
+    * merge-all loop (see the call-site note). Token counts join back to
+    * docs on the word.
+    */
+  private def tokenizeBpeOracleSql(merges: Array[String], textSql: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val mv = merges.map(q).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       | bpe_m AS (SELECT $mv AS v),
+       | bpe_d AS (SELECT doc_id, $textSql AS text FROM documents),
+       | bpe_dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(trim(coalesce(text, ''))), '\\S+')) AS w FROM bpe_d),
+       | bpe_uw AS (SELECT DISTINCT w FROM bpe_dw),
+       | bpe_r AS (
+       |  SELECT w, 0 AS it, string_split(w, '') AS syms FROM bpe_uw
+       |  UNION ALL
+       |  SELECT w, it + 1 AS it,
+       |   list_concat(list_concat(syms[1:pj-1], [pa || pb]), syms[pj+2:len(syms)]) AS syms
+       |  FROM (
+       |   SELECT w, it, syms, pa, pb,
+       |    list_min(list_filter(range(1, len(syms)), i -> syms[i] = pa AND syms[i+1] = pb)) AS pj
+       |   FROM (
+       |    SELECT w, it, syms,
+       |     split_part(mv[br], ' ', 1) AS pa, split_part(mv[br], ' ', 2) AS pb
+       |    FROM (
+       |     SELECT r.w, r.it, r.syms, m.v AS mv,
+       |      list_min(list_filter(list_transform(range(1, len(r.syms)),
+       |       i -> list_position(m.v, r.syms[i] || ' ' || r.syms[i+1])), x -> x IS NOT NULL AND x > 0)) AS br
+       |     FROM bpe_r r, bpe_m m)
+       |    WHERE br IS NOT NULL))),
+       | bpe_wc AS (
+       |  SELECT w, len(syms) AS ntok FROM (
+       |   SELECT w, syms, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn FROM bpe_r)
+       |  WHERE rn = 1),
+       | bpe_agg AS (
+       |  SELECT d.doc_id, SUM(c.ntok) AS bpe FROM bpe_dw d JOIN bpe_wc c ON d.w = c.w GROUP BY 1)
+       | SELECT d0.doc_id,
+       |  CAST(coalesce(a.bpe, 0) AS BIGINT) AS bpe_tokens,
+       |  CAST(${graft.functions.TextFunctions.wsTokenCountSql("d0.text")} AS BIGINT) AS ws_words,
+       |  CASE WHEN coalesce(a.bpe, 0) > 0
+       |   THEN ${EventSemantics.flSql("CAST(length(d0.text) AS DOUBLE) / CAST(a.bpe AS DOUBLE)", 4)}
+       |   ELSE CAST(0 AS DOUBLE) END AS chars_per_token
+       | FROM bpe_d d0 LEFT JOIN bpe_agg a ON d0.doc_id = a.doc_id""".stripMargin.replace("\n", "")
+  }
+
+  /** DuckDB replica of [[qualityClassifier]]'s scoring with the trained
+    * (weights, bias) inlined as literals: same whitespace tokens, the same
+    * 60-bit md5 bucket (here an explicit hex fold — DuckDB has no `conv`),
+    * the same sequential weight fold / mean / sigmoid, floored at the same
+    * scale. `textSql` is the raw-table twin of the scored corpus' text.
+    */
+  private def qualityClassifierOracleSql(w: Array[Double], b: Double,
+                                         buckets: Int, textSql: String): String = {
+    import graft.OracleStash.{dl, dlist}
+    // conv(substring(md5(t),1,15),16,10): fold the 15 hex chars to a BIGINT
+    val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+      "(a, h) -> a * 16 + h)"
+    val sumW = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(s.toks, t -> w.v[CAST($hash % $buckets AS INT) + 1])), (a, x) -> a + x)"
+    val z = s"${dl(b)} + (CASE WHEN len(s.toks) <= 0 THEN CAST(0 AS DOUBLE) ELSE $sumW / len(s.toks) END)"
+    val score = EventSemantics.flSql(s"1.0 / (1.0 + exp(-($z)))", 4)
+    s"""WITH qc_w AS (SELECT ${dlist(w.toSeq)} AS v),
+       | qc_src AS (SELECT doc_id, regexp_extract_all(lower(trim(coalesce($textSql, ''))), '\\S+') AS toks FROM documents),
+       | qc_sc AS (SELECT s.doc_id, $score AS score FROM qc_src s, qc_w w)
+       | SELECT doc_id, score, (score >= 0.5) AS is_quality FROM qc_sc""".stripMargin.replace("\n", "")
   }
 }

@@ -512,8 +512,8 @@ object Vectors {
     * independently re-runs the encode + ADC scoring + re-rank against
     * them — the [[annLsh]] hyperplane trick extended to trained constants.
     */
-  def stashedSql(key: String): Option[String] = sqlStash.get(key)
-  private val sqlStash = scala.collection.concurrent.TrieMap.empty[String, String]
+  def stashedSql(key: String): Option[String] = graft.OracleStash.get(key)
+  private def sqlStash = graft.OracleStash
 
   /** Double literal DuckDB types as DOUBLE (the exponent forces it) and
     * parses back to the identical IEEE value (shortest-round-trip string).
