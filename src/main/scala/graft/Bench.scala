@@ -72,7 +72,11 @@ object Bench {
       }
       // job/stage counts from rep 2 only (steady state, codegen cache warm)
       val after = counter.snapshot()
-      (name, times.min, after._1 - countsBefore._1, after._2 - countsBefore._2)
+      // best of the SUCCESSFUL reps — one transient crash must not discard
+      // the other rep's valid measurement; -1 only when every rep failed
+      val ok = times.filter(_ >= 0)
+      (name, if (ok.nonEmpty) ok.min else -1.0,
+        after._1 - countsBefore._1, after._2 - countsBefore._2)
     }
     // The driver's artifact keeps only a ~2,000-char stdout TAIL, and the
     // full 116-entry per-query map does not fit. So: per-query detail
@@ -91,9 +95,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"failed":$fs,"sf":"$sfDir","cpus":"$cpus"}"""
+    // a failed write must be LOUD: the stdout line points at this file and
+    // a stale detail map from a previous run would silently mis-triage
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8")) catch { case _: Throwable => }
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] FAILED to write bench_detail.json: ${e.getMessage}")
+    }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${results.size} queries FAILED: ${failed.mkString(", ")}")
     val line =

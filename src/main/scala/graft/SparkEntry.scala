@@ -360,7 +360,7 @@ object SparkEntry {
   ) ++ trainedOracles
 
   /** Trained-model oracles (literal-inlined codebooks/rotations/LUTs —
-    * [[graft.operators.Vectors.stashedSql]]): present only after the
+    * [[graft.OracleStash]]): present only after the
     * corresponding query has run in this JVM. Verify runs every query
     * BEFORE dumping oracle_sql.json, so the driver's gate always includes
     * them; a cold JVM simply omits the entry (→ the driver records the

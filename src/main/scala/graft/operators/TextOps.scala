@@ -349,7 +349,11 @@ object TextOps {
     // whose symbol was born from merge r necessarily has rank > r)
     oracleTextSql.foreach(src => graft.OracleStash.put("t_tokenize_bpe",
       tokenizeBpeOracleSql(merges, src)))
-    val toks = graft.functions.TokenizerFunctions.bpeEncode(col("text"), merges)
+    // null text = empty doc (0 tokens), matching the oracle's left-join
+    // fallback — without the coalesce, BpeEncode null-propagates and
+    // size(NULL) diverges from the twin's 0
+    val toks = graft.functions.TokenizerFunctions.bpeEncode(
+      coalesce(col("text"), lit("")), merges)
     documents
       .select(col("doc_id"), col("text"), toks.as("_bpe"))
       .select(col("doc_id"),
@@ -425,7 +429,7 @@ object TextOps {
     s"""WITH RECURSIVE
        | bpe_m AS (SELECT $mv AS v),
        | bpe_d AS (SELECT doc_id, $textSql AS text FROM documents),
-       | bpe_dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(trim(coalesce(text, ''))), '\\S+')) AS w FROM bpe_d),
+       | bpe_dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(trim(coalesce(text, ''))), '[^ \\t\\n\\x0B\\f\\r]+')) AS w FROM bpe_d),
        | bpe_uw AS (SELECT DISTINCT w FROM bpe_dw),
        | bpe_r AS (
        |  SELECT w, 0 AS it, string_split(w, '') AS syms FROM bpe_uw
@@ -477,7 +481,7 @@ object TextOps {
     val z = s"${dl(b)} + (CASE WHEN len(s.toks) <= 0 THEN CAST(0 AS DOUBLE) ELSE $sumW / len(s.toks) END)"
     val score = EventSemantics.flSql(s"1.0 / (1.0 + exp(-($z)))", 4)
     s"""WITH qc_w AS (SELECT ${dlist(w.toSeq)} AS v),
-       | qc_src AS (SELECT doc_id, regexp_extract_all(lower(trim(coalesce($textSql, ''))), '\\S+') AS toks FROM documents),
+       | qc_src AS (SELECT doc_id, regexp_extract_all(lower(trim(coalesce($textSql, ''))), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
        | qc_sc AS (SELECT s.doc_id, $score AS score FROM qc_src s, qc_w w)
        | SELECT doc_id, score, (score >= 0.5) AS is_quality FROM qc_sc""".stripMargin.replace("\n", "")
   }

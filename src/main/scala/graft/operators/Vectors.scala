@@ -502,27 +502,18 @@ object Vectors {
 
   // ---- trained-model oracles (literal-inlined) -----------------------------
 
-  /** Oracle SQL for the trained PQ family, available once the operator has
-    * run in this JVM — Verify runs every query BEFORE dumping
-    * oracle_sql.json, so the driver's gate always sees these. The
-    * codebooks / rotations / LUT tables are deterministic driver arrays
-    * (seeded md5 sample order, fixed-count Lloyd / Procrustes with
+  /** Oracle SQL for the trained PQ family goes through [[graft.OracleStash]],
+    * available once the operator has run in this JVM — Verify dumps
+    * oracle_sql.json AFTER its query loop, so the driver's gate always sees
+    * these. The codebooks / rotations / LUT tables are deterministic driver
+    * arrays (seeded md5 sample order, fixed-count Lloyd / Procrustes with
     * sequential-fold arithmetic): every run rebuilds bit-identical values,
     * so the operator can inline them as SQL literals and DuckDB
     * independently re-runs the encode + ADC scoring + re-rank against
     * them — the [[annLsh]] hyperplane trick extended to trained constants.
     */
-  def stashedSql(key: String): Option[String] = graft.OracleStash.get(key)
   private def sqlStash = graft.OracleStash
-
-  /** Double literal DuckDB types as DOUBLE (the exponent forces it) and
-    * parses back to the identical IEEE value (shortest-round-trip string).
-    */
-  private def dl(x: Double): String = {
-    val s = x.toString
-    if (s.contains("E")) s else s + "E0"
-  }
-  private def dlist(a: Seq[Double]): String = a.map(dl).mkString("[", ", ", "]")
+  import graft.OracleStash.{dl, dlist}
 
   /** |centroid|² per (subspace, code) — the same ascending-j fold as
     * [[graft.functions.PqEncode]]'s plan-time cnorm, recomputed here so the
@@ -1125,7 +1116,7 @@ object Vectors {
       oracleKey = "v_ann_ivfpq", oraclePrefix = "", oracleTbl = "embeddings")
 
   /** Body shared with [[annIvfPqGeo]]; `oracleKey`/`oraclePrefix`/
-    * `oracleTbl` route the literal-inlined oracle ([[stashedSql]]) — geo
+    * `oracleTbl` route the literal-inlined oracle ([[graft.OracleStash]]) — geo
     * prepends the k-means relabel CTEs and reads from that relation.
     */
   private def annIvfPqImpl(embeddings: DataFrame, qId: Long, k: Int,

@@ -66,6 +66,47 @@ class BpeSpec extends SparkSpec {
     assert(c128.values.sum < c0.values.sum) // merges actually fired
   }
 
+  test("leftmost-single-merge reaches encodeWord's fixpoint (the DuckDB oracle's loop)") {
+    // The t_tokenize_bpe oracle replays BPE in a recursive CTE that merges
+    // ONE leftmost occurrence of the lowest-rank pair per step, relying on:
+    // any rule whose symbol was born from merge r has rank > r, so the
+    // best rank cannot drop mid-pass and leftmost-single order = mergeAll
+    // order. This pins that equivalence in Scala against the same encoder.
+    def leftmostSingle(w: String, merges: Array[String]): List[String] = {
+      val ranks = merges.zipWithIndex.toMap
+      var syms = w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+      var done = false
+      while (!done) {
+        val best = syms.zip(syms.drop(1)).iterator
+          .flatMap { case (a, b) => ranks.get(a + " " + b).map(r => (r, a, b)) }
+          .minByOption(_._1)
+        best match {
+          case None => done = true
+          case Some((_, a, b)) =>
+            val j = syms.zip(syms.drop(1)).indexWhere { case (x, y) => x == a && y == b }
+            syms = syms.take(j) ::: List(a + b) ::: syms.drop(j + 2)
+        }
+      }
+      syms
+    }
+    // trained table over real docs: every distinct word must agree
+    val sample = docs.select("text").orderBy("doc_id").limit(256)
+      .collect().map(_.getString(0))
+    val merges = BpeTokenizer.train(sample.toSeq, 64)
+    val ranks = BpeTokenizer.ranksOf(merges)
+    val words = sample.flatMap(BpeTokenizer.words).distinct
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(leftmostSingle(w, merges) == BpeTokenizer.encodeWord(w, ranks).toList, s"word '$w'")
+    }
+    // adversarial shapes: repeated runs, chained merges, self-similar pairs
+    val crafted = Array("a a", "aa a", "b c", "a b", "ab c")
+    val cranks = BpeTokenizer.ranksOf(crafted)
+    Seq("aaaa", "aaaaa", "abcabc", "aabbcc", "abababab", "aabcaabc").foreach { w =>
+      assert(leftmostSingle(w, crafted) == BpeTokenizer.encodeWord(w, cranks).toList, s"word '$w'")
+    }
+  }
+
   test("bpeTrain emits the rank-ordered merge table; stops when nothing repeats") {
     val table = Pipeline.bpeTrain(docs, numMerges = 32, sampleCap = 256).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
