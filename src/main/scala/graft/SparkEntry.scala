@@ -218,6 +218,7 @@ object SparkEntry {
     "p_bpe_pairs" -> ((s, d) => Pipeline.bpePairs(docs(s, d))),
     "v_quantize_int8" -> ((s, d) => Vectors.quantizeInt8(emb(s, d))),
     "v_cluster_kmeans" -> ((s, d) => Vectors.clusterKmeans(emb(s, d))),
+    "v_cluster_kmeanspar" -> ((s, d) => Vectors.clusterKmeansPar(emb(s, d), stashOracle = true)),
     "v_cluster_sample" -> ((s, d) => Vectors.clusterSample(emb(s, d))),
     // train-batch / monitor-stream: centroids from the batch corpus, the
     // batch twin of the streaming drift monitor as the oracle-checked form
@@ -368,7 +369,7 @@ object SparkEntry {
     */
   private def trainedOracles: Map[String, String] =
     Seq("v_ann_pq", "v_ann_pq_residual", "v_ann_pq_opq", "v_ann_ivfpq", "v_ann_ivfpq_geo",
-        "t_quality_classifier", "t_tokenize_bpe")
+        "t_quality_classifier", "t_tokenize_bpe", "v_cluster_kmeanspar")
       .flatMap(k => OracleStash.get(k).map(k -> _)).toMap
 
   private val languageStatsSql: String =

@@ -991,8 +991,20 @@ object Vectors {
     // deterministic init: the k lowest-vec_id vectors (a top-k, not a sort)
     val init: Array[Array[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    if (init.isEmpty) { e.unpersist(blocking = false); return Array.empty }
+    val cent = trainCentroidsFrom(e, init, iters)
+    // the centroids are plain driver arrays now — release the training
+    // cache (every action on e has completed; repeated callers, e.g. the
+    // geo-cells ANN in a query loop, must not accumulate corpus copies)
+    e.unpersist(blocking = false)
+    cent
+  }
 
+  /** The Lloyd fixed-point loop from an arbitrary init (caller owns the
+    * persistence of `e`, which must already be kmValid-filtered).
+    */
+  private[graft] def trainCentroidsFrom(e: DataFrame, init: Array[Array[Double]],
+                                        iters: Int): Array[Array[Double]] = {
+    if (init.isEmpty) return Array.empty
     var cent = init
     for (_ <- 1 to iters) {
       // the loop body IS the state build — one definition of the
@@ -1005,10 +1017,6 @@ object Vectors {
         sums.get(j).fold(prev) { case (s, n) => s.map(_ / n.toDouble / KM_QS) }
       }
     }
-    // the centroids are plain driver arrays now — release the training
-    // cache (every action on e has completed; repeated callers, e.g. the
-    // geo-cells ANN in a query loop, must not accumulate corpus copies)
-    e.unpersist(blocking = false)
     cent
   }
 
@@ -1018,6 +1026,114 @@ object Vectors {
     if (cent.isEmpty)
       return e.filter(lit(false))
         .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
+    e.select(col("vec_id"), kmNearest(cent).as("_km_nc"))
+      .select(col("vec_id"), col("_km_nc.cluster").as("cluster"),
+        fl(col("_km_nc.dist"), 6).as("dist"))
+  }
+
+  // ---- k-means‖ initialization (Bahmani et al. VLDB'12) --------------------
+
+  /** Deterministic k-means‖ oversampling init: `rounds` passes, each
+    * hash-sampling points with probability `l · d²(x, C) / ψ` (l = 2k).
+    * Determinism where the paper has randomness:
+    *  - per-point cost is the floored assignment distance re-quantized to
+    *    an exact integer (`d2q`), and ψ is the exact LONG sum of those —
+    *    associative, partitioning-independent (the [[KM_QS]] trick);
+    *  - the coin flip is the engine-wide 60-bit md5 hash of vec_id mapped
+    *    to [0,1), compared as `u · ψq < l · d2q` — per-row IEEE math on
+    *    exact integers, no distributed double sums anywhere;
+    *  - the final reduce-to-k is a driver-side WEIGHTED Lloyd over the
+    *    bounded candidate set (weights = nearest-point counts), fixed
+    *    iterations, sequential folds in candidate order.
+    * Scale: each round is one corpus pass (in-row assignment against
+    * broadcast candidate literals + an exact-integer aggregate); the
+    * candidate set is O(l·rounds) rows collected once — the same
+    * bounded-train-once contract as the PQ codebooks.
+    */
+  private[graft] def kmeansParInit(e: DataFrame, k: Int, rounds: Int = 3,
+                                   oversample: Int = -1): Array[Array[Double]] = {
+    val l = if (oversample > 0) oversample else 2 * k
+    val first = e.orderBy("vec_id").limit(1).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (first.isEmpty) return Array.empty
+    var cand: Array[Array[Double]] = first
+    val u = (expr("conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)")
+      .cast("long").cast("double") / lit(math.pow(2, 60)))
+    for (_ <- 1 to rounds) {
+      val costs = e.select(col("vec_id"), col("embedding"),
+          floor(kmNearest(cand).getField("dist") * KM_QS).cast("long").as("d2q"),
+          u.as("u"))
+      val psiQ = costs.agg(sum("d2q")).collect()(0).getLong(0)
+      if (psiQ > 0) {
+        // cap: E[new] = l per round; 8l bounds a pathological corpus
+        val picked = costs
+          .filter(col("u") * lit(psiQ.toDouble) < col("d2q").cast("double") * l)
+          .orderBy("vec_id").limit(8 * l).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        cand = cand ++ picked
+      }
+    }
+    if (cand.length <= k) return cand
+    // weight candidates by nearest-point counts, then reduce to k on the
+    // driver (bounded: |cand| rows)
+    val wts = e.select(kmNearest(cand).getField("cluster").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weighted = cand.zipWithIndex.map { case (v, i) => (v, wts.getOrElse(i, 0L), i) }
+    // init = k heaviest candidates (ties → earliest), 5 weighted Lloyd steps
+    var cent = weighted.sortBy { case (_, w, i) => (-w, i) }.take(k).map(_._1)
+    for (_ <- 1 to 5) {
+      val sums = Array.fill(k)(new Array[Double](DIM))
+      val ns = new Array[Long](k)
+      weighted.foreach { case (v, w, _) =>
+        if (w > 0) {
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0d; var t = 0
+            while (t < DIM) { val x = v(t) - cent(j)(t); d += x * x; t += 1 }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          var t = 0
+          while (t < DIM) { sums(best)(t) += v(t) * w; t += 1 }
+          ns(best) += w
+        }
+      }
+      cent = cent.zipWithIndex.map { case (prev, j) =>
+        if (ns(j) == 0) prev else sums(j).map(_ / ns(j).toDouble)
+      }
+    }
+    cent
+  }
+
+  /** #117 k-means clustering with k-means‖ initialization — the
+    * production init for balanced IVF cells at corpus scale (the k
+    * lowest-id init of [[clusterKmeans]] can seed adjacent ids into the
+    * same region; oversampling seeds proportionally to cost). Same
+    * fixed-point Lloyd loop and assignment as [[clusterKmeans]]; the
+    * trained init centroids are literal-inlined into a stashed oracle
+    * ([[graft.OracleStash]]) and DuckDB replays the Lloyd iterations +
+    * assignment from them.
+    */
+  def clusterKmeansPar(embeddings: DataFrame, k: Int = 8, rounds: Int = 3,
+                       iters: Int = 3, stashOracle: Boolean = false): DataFrame = {
+    val e = embeddings.filter(kmValid).select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = kmeansParInit(e, k, rounds)
+    val cent = trainCentroidsFrom(e, init, iters)
+    e.unpersist(blocking = false)
+    if (cent.isEmpty)
+      return e.filter(lit(false))
+        .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
+    if (stashOracle) {
+      val c0 = init.zipWithIndex
+        .map { case (v, i) => s"($i, ${dlist(v.toSeq)})" }
+        .mkString("c0 AS (SELECT CAST(cl AS INT) AS cluster, c FROM (VALUES ",
+          ", ", ") AS t(cl, c))")
+      graft.OracleStash.put("v_cluster_kmeanspar",
+        (s"WITH ${kmeansCtesWithInit(c0, iters)}\n " + kmeansAssignSql(iters)).replace("\n", ""))
+    }
     e.select(col("vec_id"), kmNearest(cent).as("_km_nc"))
       .select(col("vec_id"), col("_km_nc.cluster").as("cluster"),
         fl(col("_km_nc.dist"), 6).as("dist"))
@@ -1042,7 +1158,16 @@ object Vectors {
     * iteration assign → exact fixed-point per-dim sums → centroid update
     * with empty-cluster carry-over. Final centroids land in c`iters`.
     */
-  private[graft] def kmeansCtes(k: Int, iters: Int): String = {
+  private[graft] def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtesWithInit(
+      s"""c0 AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+         | FROM e ORDER BY vec_id LIMIT $k)""".stripMargin, iters)
+
+  /** Same chain from an arbitrary `c0` clause (literal init centroids for
+    * the trained k-means‖ oracle, lowest-id top-k for the static one).
+    */
+  private[graft] def kmeansCtesWithInit(c0Sql: String, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""e AS (
@@ -1051,9 +1176,7 @@ object Vectors {
          | WHERE vec_id IS NOT NULL
          |  AND embedding IS NOT NULL AND len(embedding) = $DIM
          |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-         | c0 AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
-         | FROM e ORDER BY vec_id LIMIT $k)""".stripMargin)
+         | $c0Sql""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
         s""",

@@ -130,6 +130,48 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("k-means‖ init: deterministic, same output contract as the static init") {
+    val a = Vectors.clusterKmeansPar(planted, k = 3, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val b = Vectors.clusterKmeansPar(planted, k = 3, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+    assert(a.map(_._2).distinct.length == 3)
+  }
+
+  test("k-means‖ init survives cluster-ordered ids where lowest-id seeding collapses") {
+    // ids BLOCK-ordered by group: ids 0..39 are all in blob 0, so the
+    // static init seeds every centroid inside one blob — the exact
+    // failure k-means‖'s cost-proportional oversampling exists to avoid.
+    val s = spark
+    import s.implicits._
+    val centers = Array.tabulate(4)(g => Array.tabulate(dim)(d => if (d == g) 40f else 0f))
+    val blocked = (0 until 160).map { i =>
+      val g = i / 40
+      val v = centers(g).zipWithIndex.map { case (c, d) => c + 0.01f * ((i * 31 + d * 7) % 11 - 5) }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def cost(df: DataFrame): Double = df.agg(org.apache.spark.sql.functions.sum("dist"))
+      .collect()(0).getDouble(0)
+    val parCost = cost(Vectors.clusterKmeansPar(blocked, k = 4, iters = 5))
+    val idCost = cost(Vectors.clusterKmeans(blocked, k = 4, iters = 5))
+    // par finds all four blobs (cost ~ jitter); lowest-id leaves >= 2 blobs
+    // merged under one centroid (cost ~ blob separation, 1600 per point)
+    assert(parCost < idCost / 10, s"par=$parCost id=$idCost")
+    val parClusters = Vectors.clusterKmeansPar(blocked, k = 4, iters = 5)
+      .select("cluster").distinct().count()
+    assert(parClusters == 4)
+  }
+
+  test("k-means‖ init: empty corpus yields the empty typed result") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = Vectors.clusterKmeansPar(empty, k = 4, iters = 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "dist"))
+  }
+
   test("invalid rows (null / wrong-length / null-element embeddings) are dropped") {
     val s = spark
     import s.implicits._
