@@ -59,7 +59,7 @@ object Fixtures {
     s"""SELECT doc_id, lower(trim(text)) AS text FROM documents
        | UNION ALL
        | SELECT doc_id + $NEAR_OFF AS doc_id, array_to_string(w[1:len(w)-5], ' ') AS text
-       | FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM documents)
+       | FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+') AS w FROM documents)
        | WHERE doc_id % 5 = 0 AND len(w) > 10
        | UNION ALL
        | SELECT doc_id + $EXACT_OFF AS doc_id, lower(trim(text)) AS text FROM documents

@@ -134,6 +134,12 @@ object SparkEntry {
     "d_dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Fixtures.plantedDocs(docs(s, d)))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)))),
+    // the DEPLOY path at corpus scale: candidate generation df-capped at 64
+    // (hot stopword shingles dropped from the inverted index, Jaccard still
+    // exact from the full per-pair intersection) — gated hash-exact so the
+    // scale-safe shape, not only the exhaustive twin, is in the gate
+    "d_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)), maxDf = Some(64L))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Fixtures.plantedDocs(docs(s, d)))),
@@ -234,7 +240,9 @@ object SparkEntry {
     // so the check is just as strong. The operator's output stays binary.
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(docs(s, d))
       .withColumn("frame", org.apache.spark.sql.functions.hex(org.apache.spark.sql.functions.col("frame")))),
-    "m_resize" -> ((s, d) => Multimodal.resizeStub(docs(s, d))),
+    // REAL nearest-neighbor resize through the ImageIO decode seam —
+    // oracle-checked against the closed-form pixel formula (PNG lossless)
+    "m_resize" -> ((s, d) => Multimodal.imageResize(docs(s, d))),
     // real JDK codec round-trips (ImageIO PNG, javax.sound WAV) — no SQL oracle
     "m_image_decode" -> ((s, d) => Multimodal.imageDecode(docs(s, d))),
     "m_audio_decode" -> ((s, d) => Multimodal.audioDecode(docs(s, d))),
@@ -300,6 +308,7 @@ object SparkEntry {
     "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 64L),
     "d_embed_neardup" -> Dedup.embedNearDupSql(),
     "d_dedup_clusters" -> Dedup.dedupClustersSql(),
     "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),
@@ -348,11 +357,13 @@ object SparkEntry {
     "v_kmeans_incremental" -> Vectors.kmeansStateSql(),
     "v_cluster_sample" -> Vectors.clusterSampleSql(),
     "s_stream_cluster" -> graft.streaming.ClusterStream.clusterCountsSql(),
-    // the stub decode + frame slicing are deterministic byte math, so
-    // these two ARE oracle-checkable; the real codec round-trips
-    // (m_image_decode/m_audio_decode/m_resize) stay rows-only
+    // the stub decode + frame slicing are deterministic byte math, and the
+    // resize's source pixels are a closed-form formula through a LOSSLESS
+    // codec, so these three ARE oracle-checkable; the plain codec
+    // round-trips (m_image_decode/m_audio_decode) stay rows-only
     "m_multimodal_meta" -> operators.Multimodal.mediaFeaturesSql,
     "m_frame_sample" -> operators.Multimodal.frameSampleSql(),
+    "m_resize" -> operators.Multimodal.imageResizeSql(),
     "s_stream_sessionize" -> graft.streaming.EventStream.sessionizeExactSql(),
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
     "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Java's default `\s` class spelled explicitly, for DuckDB twins: RE2's
+    * `\s` lacks U+000B (vertical tab), so every oracle regex uses these
+    * classes instead of `\s`/`\S` — otherwise a VT inside text makes the
+    * two engines tokenize differently and fails the gate.
+    */
+  val WS_SQL = "[ \\t\\n\\x0B\\f\\r]"
+  val NWS_SQL = "[^ \\t\\n\\x0B\\f\\r]"
+
   // Java (Spark) vs RE2 (DuckDB) script-class spellings.
   private val jpJ = "[\\p{IsHiragana}\\p{IsKatakana}\\p{IsHan}]"
   private val jpD = "[\\p{Hiragana}\\p{Katakana}\\p{Han}]"
@@ -33,9 +41,9 @@ object TextFunctions {
     remainder === "" && (noShort =!= c || noEmoji =!= noShort)
   }
   private def isPureEmojiSql(e: String): String = {
-    val noShort = s"regexp_replace($e, ':[^:\\s]+:', '', 'g')"
+    val noShort = s"regexp_replace($e, ':[^: \\t\\n\\x0B\\f\\r]+:', '', 'g')"
     val noEmoji = s"regexp_replace($noShort, '[\\p{So}]', '', 'g')"
-    val remainder = s"regexp_replace($noEmoji, '[\\s\\x{200D}\\x{FE0E}\\x{FE0F}]', '', 'g')"
+    val remainder = s"regexp_replace($noEmoji, '[ \\t\\n\\x0B\\f\\r\\x{200D}\\x{FE0E}\\x{FE0F}]', '', 'g')"
     s"($remainder = '' AND ($noShort <> $e OR $noEmoji <> $noShort))"
   }
 
@@ -74,8 +82,8 @@ object TextFunctions {
   }
   def membershipRankSql(e: String): String = {
     val lo = s"lower(trim(coalesce($e, '')))"
-    val num = s"regexp_extract($lo, '(\\d+)\\s*(month|year)', 1)"
-    val unit = s"regexp_extract($lo, '(\\d+)\\s*(month|year)', 2)"
+    val num = s"regexp_extract($lo, '(\\d+)$WS_SQL*(month|year)', 1)"
+    val unit = s"regexp_extract($lo, '(\\d+)$WS_SQL*(month|year)', 2)"
     s"""CASE WHEN $lo = '' THEN -1
        | WHEN contains($lo, 'new member') THEN 0
        | WHEN $num <> '' THEN CASE WHEN $unit = 'year'
@@ -128,12 +136,13 @@ object TextFunctions {
   // ---- token counting (training-data op #47) -------------------------------
   /** Whitespace tokens. */
   def wsTokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
-  def wsTokenCountSql(e: String): String = s"len(regexp_extract_all($e, '\\S+'))"
+  def wsTokenCountSql(e: String): String = s"len(regexp_extract_all($e, '$NWS_SQL+'))"
 
   /** BPE-ish pre-tokenizer: letter runs, single digits, single symbols. */
   private val bpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private val bpePatSql = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePat))
-  def bpeTokenCountSql(e: String): String = s"len(regexp_extract_all($e, '$bpePat'))"
+  def bpeTokenCountSql(e: String): String = s"len(regexp_extract_all($e, '$bpePatSql'))"
 
   // ---- quality score (training-data op #46) --------------------------------
   // Blend of length, stopword-ratio proximity to 0.4, symbol ratio, mean
@@ -151,10 +160,10 @@ object TextFunctions {
       .otherwise(lenScore * 0.25d + stopScore * 0.25d + punctScore * 0.25d + mwlScore * 0.25d)
   }
   def qualityScoreSql(e: String): String = {
-    val words = s"CAST(len(regexp_extract_all($e, '\\S+')) AS DOUBLE)"
+    val words = s"CAST(len(regexp_extract_all($e, '$NWS_SQL+')) AS DOUBLE)"
     val stops = s"CAST(len(regexp_extract_all(lower($e), '\\b(the|a|and|of|to|in|is|it|for|on)\\b')) AS DOUBLE)"
-    val punct = s"CAST(len(regexp_extract_all($e, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
-    val chars = s"CAST(length(regexp_replace($e, '\\s', '', 'g')) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all($e, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS DOUBLE)"
+    val chars = s"CAST(length(regexp_replace($e, '$WS_SQL', '', 'g')) AS DOUBLE)"
     s"""CASE WHEN $words = 0 THEN 0 ELSE
        |  least($words / 100, 1) * 0.25
        |  + (1 - least(abs($stops / $words - 0.4) / 0.4, 1)) * 0.25
@@ -186,13 +195,13 @@ object TextFunctions {
       .reduce[Column](_ + _).cast("long")
 
   def gopherWordsSql(e: String): String =
-    s"CAST(len(regexp_extract_all($e, '\\S+')) AS DOUBLE)"
+    s"CAST(len(regexp_extract_all($e, '$NWS_SQL+')) AS DOUBLE)"
   def gopherMwlSql(e: String): String =
-    s"CAST(length(regexp_replace($e, '\\s', '', 'g')) AS DOUBLE) / ${gopherWordsSql(e)}"
+    s"CAST(length(regexp_replace($e, '$WS_SQL', '', 'g')) AS DOUBLE) / ${gopherWordsSql(e)}"
   def gopherSymbolRatioSql(e: String): String =
     s"CAST(len(regexp_extract_all($e, '#')) + len(regexp_extract_all($e, '\\.\\.\\.')) AS DOUBLE) / ${gopherWordsSql(e)}"
   def gopherAlphaFracSql(e: String): String =
-    s"CAST(len(regexp_extract_all($e, '\\S*[A-Za-z]\\S*')) AS DOUBLE) / ${gopherWordsSql(e)}"
+    s"CAST(len(regexp_extract_all($e, '$NWS_SQL*[A-Za-z]$NWS_SQL*')) AS DOUBLE) / ${gopherWordsSql(e)}"
   def gopherStopCountSql(e: String): String =
     s"CAST(${gopherStops.map(s => s"(CASE WHEN regexp_matches(lower($e), '\\b$s\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)"
 
@@ -201,7 +210,7 @@ object TextFunctions {
   def md5Fingerprint(c: Column): Column =
     md5(concat_ws(" ", split(lower(trim(c)), "\\s+")))
   def md5FingerprintSql(e: String): String =
-    s"md5(array_to_string(regexp_extract_all(lower(trim($e)), '\\S+'), ' '))"
+    s"md5(array_to_string(regexp_extract_all(lower(trim($e)), '$NWS_SQL+'), ' '))"
 
   /** Order-sensitive polynomial rolling hash: left fold
     * acc = (acc * 131 + tokenId) mod 1e9+7 where tokenId is a 24-bit
@@ -213,7 +222,7 @@ object TextFunctions {
     aggregate(ids, lit(0L), (acc, x) => (acc * 131L + x) % 1000000007L)
   }
   def polyFingerprintSql(e: String): String = {
-    val toks = s"regexp_extract_all(lower(trim($e)), '\\S+')"
+    val toks = s"regexp_extract_all(lower(trim($e)), '$NWS_SQL+')"
     val ids = s"list_transform($toks, t -> CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT))"
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $ids), (acc, x) -> (acc * 131 + x) % 1000000007)"
   }

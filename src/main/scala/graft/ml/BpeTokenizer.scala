@@ -25,10 +25,16 @@ object BpeTokenizer {
     * Locale.ROOT so JVM-side tokenization matches Spark SQL's
     * locale-independent `lower()` (tr_TR would map 'I'→'ı' otherwise and
     * break the "identical features" contract with in-row scoring).
+    *
+    * No Java `String.trim` here: trim strips EVERY char <= U+0020 at the
+    * edges (including C0 controls outside the `\s` class, e.g. ),
+    * which the DuckDB oracle's regex word split does not — the
+    * split+nonEmpty filter already absorbs `\s`-class edges on its own,
+    * so both engines see identical edge tokens.
     */
   def words(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** Separator joining a merge pair into one ranks-map key. Symbols are
     * born from whitespace-free words, so a space can never occur in one.

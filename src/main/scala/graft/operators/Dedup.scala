@@ -84,7 +84,7 @@ object Dedup {
        |  SELECT doc_id,
        |    unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
        |      i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
-       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM dd))
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS w FROM dd))
        | WHERE length(sh) > 0""".stripMargin.replace("\n", "")
 
   // ---- #39 MinHash + LSH ---------------------------------------------------
@@ -519,7 +519,7 @@ object Dedup {
        | words AS (
        |  SELECT doc_id, word, COUNT(*) AS c,
        |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS x
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM dd)
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS word FROM dd)
        |  GROUP BY 1, 2),
        | bits AS (
        |  SELECT doc_id, j, SUM((((x >> j) & 1) * 2 - 1) * c) AS s
@@ -601,6 +601,37 @@ object Dedup {
           .select("doc_a", "doc_b", "jaccard")
     }
   }
+
+  /** DuckDB twin of the CAPPED path (`maxDf = Some(cap)`): the df-filter
+    * CTE restricts CANDIDATE GENERATION to shingles with df <= cap, then
+    * the Jaccard is recomputed from the FULL per-pair intersection —
+    * exactly the Spark plan's two-phase shape, so the deploy path (the one
+    * that survives stopword-shingle skew at 100 TB) is gated hash-exact,
+    * not just spec-gated. On this corpus every planted duplicate cluster
+    * is far below the cap, so the output matches the exhaustive path and
+    * the two bench entries are directly comparable.
+    */
+  def ngramJaccardCappedSql(k: Int = 3, minJaccard: Double = 0.3, cap: Long = 64L): String =
+    s"""WITH dd AS ($ddSql),
+       | sh AS (${shinglesSql(k)}),
+       | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       | rare AS (SELECT xsh FROM sh GROUP BY xsh HAVING COUNT(*) <= $cap),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN rare r ON a.xsh = r.xsh
+       |  JOIN sh b ON b.xsh = a.xsh AND a.doc_id < b.doc_id),
+       | inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.xsh = a.xsh
+       |  GROUP BY 1, 2)
+       | SELECT i.doc_a, i.doc_b,
+       |  ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} AS jaccard
+       | FROM inter i
+       | JOIN sizes na ON na.doc_id = i.doc_a
+       | JOIN sizes nb ON nb.doc_id = i.doc_b
+       | WHERE ${flSql("CAST(i.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.inter AS DOUBLE)", 6)} >= $minJaccard""".stripMargin.replace("\n", "")
 
   def ngramJaccardSql(k: Int = 3, minJaccard: Double = 0.3): String =
     s"""WITH dd AS ($ddSql),

@@ -277,21 +277,69 @@ object Multimodal {
     }(Encoders.product[AudioFeat]).toDF()
   }
 
-  /** Resize-shaped stub through the same typed boundary: deterministic
-    * center-crop/pad of the payload to `targetBytes` standing in for a
-    * pixel resize (the batch shape — iterator of typed rows in, iterator
-    * out — is what a JNI/Pandas-batch implementation plugs into).
+  // ---- real image resize (#56) ---------------------------------------------
+  case class ResizedImage(doc_id: Long, width: Int, height: Int, px_hex: String)
+
+  /** REAL nearest-neighbor image resize through the codec seam: decode the
+    * PNG binary column ([[imageTable]]'s real ImageIO encode), resample
+    * with deterministic integer source-index math
+    * (`sx = ox * srcW / outW`, floor division — the classic NN map), and
+    * emit the resized pixels as row-major `RRGGBB` hex (binary would break
+    * the gate's row sort; hex is injective, see the frame_sample note).
+    *
+    * Same partition-preserving typed `mapPartitions` boundary and
+    * once-per-partition reader amortization as [[imageDecode]] — zero
+    * shuffle, and a JNI/TurboJPEG resampler plugs into the identical seam.
+    * Because the source pixels are a closed-form function of
+    * (doc_id, x, y) ([[pixelRgb]]) and PNG is lossless, the full
+    * encode → decode → resample path IS oracle-checkable: the DuckDB twin
+    * recomputes the expected output straight from the formula.
     */
-  def resizeStub(documents: DataFrame, targetBytes: Int = 8): DataFrame = {
-    val ds: Dataset[MediaIn] = mediaTable(documents).as(Encoders.product[MediaIn])
+  def imageResize(documents: DataFrame, outW: Int = 5, outH: Int = 3,
+                  srcW: Int = 8, srcH: Int = 8): DataFrame = {
+    val ds: Dataset[ImageIn] = imageTable(documents, srcW, srcH).as(Encoders.product[ImageIn])
     ds.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       rows.map { m =>
-        val out = new Array[Byte](targetBytes)
-        val off = math.max(0, (m.blob.length - targetBytes) / 2)
-        var i = 0
-        while (i < targetBytes && off + i < m.blob.length) { out(i) = m.blob(off + i); i += 1 }
-        MediaIn(m.doc_id, out, targetBytes, targetBytes, m.format)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.png))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sb = new java.lang.StringBuilder(outW * outH * 6)
+        var oy = 0
+        while (oy < outH) {
+          val sy = oy * h / outH
+          var ox = 0
+          while (ox < outW) {
+            val sx = ox * w / outW
+            sb.append("%06x".format(img.getRGB(sx, sy) & 0xffffff))
+            ox += 1
+          }
+          oy += 1
+        }
+        ResizedImage(m.doc_id, outW, outH, sb.toString)
       }
-    }(Encoders.product[MediaIn]).toDF()
+    }(Encoders.product[ResizedImage]).toDF()
+  }
+
+  /** DuckDB twin of [[imageResize]]: replays the NN source-index floor
+    * math and the [[pixelRgb]] closed form per output pixel — equality
+    * proves the Spark side's real codec round-trip + resample is lossless
+    * and index-exact (the codec itself has no SQL twin; the FORMULA does).
+    */
+  def imageResizeSql(outW: Int = 5, outH: Int = 3,
+                     srcW: Int = 8, srcH: Int = 8): String = {
+    val sx = s"(((i % $outW) * $srcW) // $outW)"
+    val sy = s"(((i // $outW) * $srcH) // $outH)"
+    s"""SELECT doc_id,
+       | CAST($outW AS INTEGER) AS width, CAST($outH AS INTEGER) AS height,
+       | array_to_string(list_transform(range(0, ${outW * outH}), i ->
+       |  printf('%02x%02x%02x',
+       |   (doc_id * 31 + $sx * 7 + $sy * 13) % 256,
+       |   (doc_id * 17 + $sx * 3 + $sy * 5) % 256,
+       |   (doc_id * 29 + $sx * 11 + $sy * 19) % 256)), '') AS px_hex
+       | FROM documents""".stripMargin.replace("\n", "")
   }
 }

@@ -124,14 +124,14 @@ object Pipeline {
 
   def decontaminateSql(k: Int = 5): String =
     s"""WITH wdocs AS (
-       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM documents),
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+') AS w FROM documents),
        | evtext AS (
        |  SELECT doc_id, array_to_string(w[3:22], ' ') AS text FROM wdocs WHERE doc_id % 17 = 0),
        | evgrams AS (
        |  SELECT DISTINCT ${md5IdSql("sh")} AS xsh FROM (
        |   SELECT unnest(list_transform(range(0, greatest(len(w) - $k + 1, 0)),
        |     i -> array_to_string(w[i+1:i+$k], ' '))) AS sh
-       |   FROM (SELECT regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM evtext))
+       |   FROM (SELECT regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+') AS w FROM evtext))
        |  WHERE length(sh) > 0),
        | trsh AS (
        |  SELECT DISTINCT doc_id, ${md5IdSql("sh")} AS xsh FROM (
@@ -177,13 +177,13 @@ object Pipeline {
        |    THEN concat(lower(trim(text)), ' ', rep, ' ', rep)
        |    ELSE lower(trim(text)) END AS msg
        |  FROM (SELECT doc_id, text,
-       |    array_to_string(regexp_extract_all(lower(trim(text)), '\\S+')[1:6], ' ') AS rep
+       |    array_to_string(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+')[1:6], ' ') AS rep
        |   FROM documents)),
        | grams AS (
        |  SELECT doc_id,
        |   list_transform(range(0, greatest(len(w) - $n + 1, 0)),
        |     i -> array_to_string(w[i+1:i+$n], ' ')) AS gr
-       |  FROM (SELECT doc_id, regexp_extract_all(msg, '\\S+') AS w FROM aug))
+       |  FROM (SELECT doc_id, regexp_extract_all(msg, '[^ \\t\\n\\x0B\\f\\r]+') AS w FROM aug))
        | SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_ngrams,
        |  CAST(len(list_distinct(gr)) AS BIGINT) AS n_distinct,
        |  CASE WHEN len(gr) > 0
@@ -320,9 +320,19 @@ object Pipeline {
                 upWeight: Double = 3.0): DataFrame = {
     val HASH_MAX = (1L << 60).toDouble
     val w = when(col("source").isin(upWeighted.toSeq: _*), upWeight).otherwise(1d)
-    val counts = documents.groupBy("source")
-      .agg(count(lit(1)).as("n_src"), max(w).as("w"))
-      .withColumn("w_sum", sum(col("w")).over(Window.partitionBy()))
+    // weight normalization as a scalar-aggregate cross-join, not a
+    // partition-less window: both run over the tiny |sources|-row
+    // aggregate, but `WindowExec: No Partition Defined` would (correctly)
+    // warn on every execution and a single-partition window is the wrong
+    // habit to model — the 1-row aggregate broadcast is the scale shape.
+    // The per-source aggregate is sharedCached because both the w_sum
+    // scalar and the join feed off it — without the persist the corpus
+    // would be scanned twice just to rebuild this |sources|-row relation.
+    import graft.Caches.SharedCacheOps
+    val perSource = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_src"), max(w).as("w")).sharedCache
+    val counts = perSource.crossJoin(
+      broadcast(perSource.agg(sum(col("w")).as("w_sum"))))
     documents
       .join(broadcast(counts), "source")
       .select(col("source"), col("doc_id"),
@@ -389,7 +399,7 @@ object Pipeline {
          | AND ${gopherAlphaFracSql("text")} > 0.8
          | AND ${gopherStopCountSql("text")} >= 2)""".stripMargin.replace("\n", "")
     s"""SELECT source, lang, COUNT(*) AS n_docs,
-       | CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       | CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT) AS n_tokens,
        | ${EventSemantics.flSql(s"AVG(${qualityScoreSql("text")})", 6)} AS mean_quality,
        | ${EventSemantics.flSql(s"CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS gopher_keep_rate
        | FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", "")
@@ -518,7 +528,7 @@ object Pipeline {
 
   def perplexityBucketsSql(): String =
     s"""WITH words AS (
-       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        | dt AS (SELECT doc_id, lang, term, COUNT(*) AS n FROM words WHERE length(term) > 0 GROUP BY 1, 2, 3),
        | vocab AS (SELECT term, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY 1),
@@ -541,7 +551,7 @@ object Pipeline {
 
   val unigramNllSql: String =
     s"""WITH words AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        | dt AS (SELECT doc_id, term, COUNT(*) AS n FROM words WHERE length(term) > 0 GROUP BY 1, 2),
        | vocab AS (SELECT term, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY 1),
@@ -601,7 +611,7 @@ object Pipeline {
 
   val bigramNllSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_extract_all(lower(trim(text)), '\\S+'), t -> length(t) > 0) AS w
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0) AS w
        |  FROM documents),
        | bg AS (
        |  SELECT doc_id, w[i] AS prev, w[i] || ' ' || w[i + 1] AS bigram
@@ -638,7 +648,7 @@ object Pipeline {
 
   def topTermsSql(k: Int = 10): String =
     s"""WITH terms AS (
-       |  SELECT lang, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  SELECT lang, unnest(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        | tf AS (SELECT lang, term, COUNT(*) AS freq FROM terms WHERE length(term) > 0 GROUP BY 1, 2)
        | SELECT lang, pos, term, freq FROM (
@@ -760,7 +770,7 @@ object Pipeline {
 
   def bpePairsSql(k: Int = 20): String =
     s"""WITH words AS (
-       |  SELECT unnest(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+       |  SELECT unnest(list_filter(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+'),
        |   w -> length(w) >= 2)) AS w
        |  FROM documents),
        | pairs AS (

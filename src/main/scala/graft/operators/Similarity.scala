@@ -211,7 +211,7 @@ object Similarity {
 
   val contentSimilaritySql: String =
     s"""WITH terms AS (
-       |  SELECT source, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  SELECT source, unnest(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        | tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
        | dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),

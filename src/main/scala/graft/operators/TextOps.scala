@@ -218,7 +218,7 @@ object TextOps {
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          |regexp_replace(regexp_replace($raw, '$tagPat', ' ', 'g'),
          | '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-         | '&quot;', '"', 'g'), '\\s+', ' ', 'g'))""".stripMargin.replace("\n", "")
+         | '&quot;', '"', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))""".stripMargin.replace("\n", "")
     s"""SELECT doc_id,
        | CAST(len(regexp_extract_all($raw, '$tagPat')) AS BIGINT) AS n_tags,
        | $cleaned AS cleaned
@@ -304,12 +304,12 @@ object TextOps {
     s"""WITH src AS (SELECT doc_id, (${graft.Fixtures.queryTextSql}) AS q FROM documents),
        | ex AS (
        |  SELECT doc_id,
-       |   coalesce(nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:(\\S+)', 1), ''),
-       |            nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:(\\S+)', 2), '')) AS channel_raw,
+       |   coalesce(nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:([^ \\t\\n\\x0B\\f\\r]+)', 1), ''),
+       |            nullif(regexp_extract(q, 'channel:"([^"]+)"|channel:([^ \\t\\n\\x0B\\f\\r]+)', 2), '')) AS channel_raw,
        |   nullif(regexp_extract(q, 'from:(\\d{4}-\\d{2}-\\d{2})', 1), '') AS from_s,
        |   nullif(regexp_extract(q, 'to:(\\d{4}-\\d{2}-\\d{2})', 1), '') AS to_s,
        |   trim(regexp_replace(regexp_replace(regexp_replace(q,
-       |    'channel:"([^"]+)"|channel:(\\S+)', '', 'g'), 'from:\\d{4}-\\d{2}-\\d{2}', '', 'g'),
+       |    'channel:"([^"]+)"|channel:([^ \\t\\n\\x0B\\f\\r]+)', '', 'g'), 'from:\\d{4}-\\d{2}-\\d{2}', '', 'g'),
        |    'to:\\d{4}-\\d{2}-\\d{2}', '', 'g')) AS clean_raw
        |  FROM src),
        | v AS (

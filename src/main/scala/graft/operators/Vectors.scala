@@ -1127,6 +1127,12 @@ object Vectors {
       return e.filter(lit(false))
         .select(col("vec_id"), lit(0).cast("int").as("cluster"), lit(0d).as("dist"))
     if (stashOracle) {
+      // Trained-constant oracle boundary (documented pattern): the oracle
+      // replays Lloyd + assignment from the Spark-computed INIT centroids
+      // inlined as literals, so the k-means|| init itself sits OUTSIDE the
+      // DuckDB check — an init regression would shift both sides
+      // identically and still pass the gate. The init's quality/semantics
+      // guard is KmeansSpec's cost-separation test, not this oracle.
       val c0 = init.zipWithIndex
         .map { case (v, i) => s"($i, ${dlist(v.toSeq)})" }
         .mkString("c0 AS (SELECT CAST(cl AS INT) AS cluster, c FROM (VALUES ",

@@ -533,10 +533,29 @@ class DedupVectorsSpec extends SparkSpec {
     assert(idxs == Seq(0, 2))
   }
 
-  test("multimodal: resize stub yields constant-size payloads, row-preserving") {
-    val out = Multimodal.resizeStub(docs, targetBytes = 8).collect()
-    assert(out.length == docs.count())
-    assert(out.forall(_.getAs[Array[Byte]]("blob").length == 8))
-    assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+  test("multimodal: NN resize through the real codec pins exact source-index pixel math") {
+    // 8x8 -> 5x3: sx = floor(ox*8/5) = 0,1,3,4,6; sy = floor(oy*8/3) = 0,2,5
+    // (non-integer ratios on both axes, so the floor math is exercised)
+    val out = Multimodal.imageResize(docs, outW = 5, outH = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out.size == docs.count())
+    out.foreach { case (id, (w, h, hex)) =>
+      assert(w == 5 && h == 3 && hex.length == 5 * 3 * 6, s"doc $id: shape $w x $h")
+      val expected = (for (oy <- 0 until 3; ox <- 0 until 5) yield
+        "%06x".format(Multimodal.pixelRgb(id, ox * 8 / 5, oy * 8 / 3) & 0xffffff)).mkString
+      assert(hex == expected, s"doc $id: resampled pixels diverge from the NN source-index map")
+    }
+  }
+
+  test("multimodal: NN resize at an integer ratio is pure decimation") {
+    // 8x8 -> 4x4: sx = 2*ox, sy = 2*oy — every output pixel is an exact
+    // source pixel on the even grid
+    val out = Multimodal.imageResize(docs.limit(3), outW = 4, outH = 4).collect()
+    out.foreach { r =>
+      val (id, hex) = (r.getLong(0), r.getString(3))
+      val expected = (for (oy <- 0 until 4; ox <- 0 until 4) yield
+        "%06x".format(Multimodal.pixelRgb(id, 2 * ox, 2 * oy) & 0xffffff)).mkString
+      assert(hex == expected, s"doc $id: 2x decimation diverges")
+    }
   }
 }
