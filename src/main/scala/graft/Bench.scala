@@ -57,7 +57,7 @@ object Bench {
     // so one query's pinned relations never skew the next one's memory budget.
     val counter = new JobCounter(spark.sparkContext)
     val results = ordered.map { case (name, fn) =>
-      var countsBefore = (0L, 0L, 0L)
+      var countsBefore = counter.snapshot()
       val times = (1 to 2).map { rep =>
         Caches.release()
         spark.catalog.clearCache()
@@ -70,13 +70,13 @@ object Bench {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // job/stage counts from rep 2 only (steady state, codegen cache warm)
-      val after = counter.snapshot()
+      // jobs/stages + executor run/CPU time from rep 2 only (steady state,
+      // codegen cache warm) — CPU time is the box-state-independent signal
+      val delta = counter.snapshot() - countsBefore
       // best of the SUCCESSFUL reps — one transient crash must not discard
       // the other rep's valid measurement; -1 only when every rep failed
       val ok = times.filter(_ >= 0)
-      (name, if (ok.nonEmpty) ok.min else -1.0,
-        after._1 - countsBefore._1, after._2 - countsBefore._2)
+      (name, if (ok.nonEmpty) ok.min else -1.0, delta)
     }
     // The driver's artifact keeps only a ~2,000-char stdout TAIL, and the
     // full 116-entry per-query map does not fit. So: per-query detail
@@ -84,17 +84,23 @@ object Bench {
     // bench_detail.json, and the LAST stdout line is a short total-only
     // contract line that always fits the tail buffer.
     def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val js = results.map { case (k, _, j, _) => "\"" + k + "\":" + j }
-      .mkString("{", ",", "}")
-    val ss = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _, _) if v < 0 => k }
+    def jmap(f: ((String, Double, JobCounter.Snapshot)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap { case (_, v, _) => f3(v) }
+    val js = jmap { case (_, _, d) => d.jobs.toString }
+    val ss = jmap { case (_, _, d) => d.stages.toString }
+    val rs = jmap { case (_, _, d) => d.runMs.toString }
+    val cs = jmap { case (_, _, d) => d.cpuMs.toString }
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a round with ANY crashed query has no comparable total: the sum
+    // covers fewer queries, so a naive round-over-round diff would read the
+    // crash as a speedup. value is null in that case; the partial sum stays
+    // available as partial_total for triage.
+    val totalJson = if (failed.isEmpty) f3(total) else "null"
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"failed":$fs,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$totalJson,"partial_total":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"run_ms":$rs,"cpu_ms":$cs,"failed":$fs,"sf":"$sfDir","cpus":"$cpus"}"""
     // a failed write must be LOUD: the stdout line points at this file and
     // a stale detail map from a previous run would silently mis-triage
     try java.nio.file.Files.write(
@@ -106,7 +112,7 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${results.size} queries FAILED: ${failed.mkString(", ")}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json"}"""
     println(line)
     spark.stop()
   }

@@ -32,10 +32,11 @@ object Profile {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        val after = counter.snapshot()
-        (sec, after._1 - before._1, after._2 - before._2)
+        val d = counter.snapshot() - before
+        (sec, d)
       }
-      val cells = runs.map { case (t, j, s) => f"$t%.3f (${j}j/${s}s)" }
+      val cells = runs.map { case (t, d) =>
+        f"$t%.3f (${d.jobs}j/${d.stages}s cpu=${d.cpuMs}ms run=${d.runMs}ms)" }
       println(f"PROFILE $name%-28s ${cells.mkString("  ")}")
     }
     spark.stop()
