@@ -253,7 +253,12 @@ object SparkEntry {
     "s_sessionize_gap" -> ((s, d) => graft.streaming.EventStream.gapSessions(ev(s, d))),
     // streaming sketch-MV maintenance twin — estimates are engine-specific
     // (rows-only); SketchStreamSpec proves streamed state == batch rollup
-    "s_sketch_maintain" -> ((s, d) => graft.streaming.SketchStream.maintained(ev(s, d)))
+    "s_sketch_maintain" -> ((s, d) => graft.streaming.SketchStream.maintained(ev(s, d))),
+    // the reference's ACTUAL on-disk cache layout in the gate: write the
+    // deterministic fixture (chat_logs/{video}.jsonl.gz + videos/*.json +
+    // channels.json), read through the real source module, rollup — the
+    // DuckDB oracle independently re-reads the same files via read_json
+    "src_chatlog_rollup" -> ((s, _) => graft.sources.ChatLogSources.fixtureRollup(s))
   )
 
   /** DuckDB-dialect oracle for each query (same table names, same column
@@ -368,7 +373,8 @@ object SparkEntry {
     "s_stream_membership" -> graft.streaming.MembershipStream.transitionsSql,
     "s_stream_dedup" -> graft.streaming.DedupStream.survivorsSql,
     "s_stream_velocity" -> graft.streaming.VelocityStream.burstsSql(),
-    "s_sessionize_gap" -> graft.streaming.EventStream.gapSessionsSql()
+    "s_sessionize_gap" -> graft.streaming.EventStream.gapSessionsSql(),
+    "src_chatlog_rollup" -> graft.sources.ChatLogSources.fixtureRollupSql
   ) ++ trainedOracles
 
   /** Trained-model oracles (literal-inlined codebooks/rotations/LUTs —

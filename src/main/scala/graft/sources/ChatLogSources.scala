@@ -114,4 +114,97 @@ object ChatLogSources {
       .groupBy(col("channel_id"),
         date_trunc("month", to_timestamp(col("end_time"))).cast("date").as("month"))
       .agg((sum(col("duration_seconds")).cast("double") / 3600d).as("hours"))
+
+  // ---- driver-gate fixture round-trip ---------------------------------------
+  /** Fixed location of the deterministic reference-layout fixture. A FIXED
+    * path (not createTempDirectory) because the DuckDB oracle must
+    * independently re-read the same files after the Spark run — the gate's
+    * compare step runs in a separate process on the same host.
+    */
+  val fixtureDir: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_chatlog_fixture").getPath
+
+  private val fixtureCats = Seq("jp", "kr", "ru", "emoji", "es_en_id")
+  private val fixtureVideos = Seq(("chanX", "vidA"), ("chanX", "vidB"), ("chanY", "vidC"))
+
+  /** Write the exact on-disk cache layout the reference produces
+    * (cache_manager.py:172/:117): gzipped JSON-lines chat logs named by
+    * video, per-channel JSON metadata maps, channels.json — all content a
+    * pure function of (video index, line index), so every run produces
+    * byte-identical files. Covers chat lines across all five categories,
+    * new_member / gift_member events (empty message, null category), a
+    * gift-only user, and fractional epoch timestamps.
+    */
+  def writeCacheFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    val d = fixtureDir
+    Files.createDirectories(Paths.get(s"$d/chat_logs"))
+    Files.createDirectories(Paths.get(s"$d/videos"))
+    fixtureVideos.zipWithIndex.foreach { case ((_, vid), vi) =>
+      val lines = (0 until 12).map { i =>
+        val user = s"u${(i * 7 + vi * 3) % 5 + 1}"
+        val ts = 1700000000d + vi * 100000 + i * 10 + (if (i % 3 == 0) 0.5 else 0d)
+        val rank = (i % 7) - 2
+        if (i % 6 == 5) {
+          val (tpe, gifter) =
+            if (i % 12 == 11) ("gift_member", "\"u9\"") else ("new_member", "null")
+          s"""{"user_id": "$user", "username": "name-$user", "timestamp": $ts, "membership_rank": $rank, "message_category": null, "message": "", "message_type": "$tpe", "gifter": $gifter}"""
+        } else {
+          val cat = fixtureCats(i % 5)
+          s"""{"user_id": "$user", "username": "name-$user", "timestamp": $ts, "membership_rank": $rank, "message_category": "$cat", "message": "msg $i", "message_type": "chat", "gifter": null}"""
+        }
+      }
+      val os = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(Paths.get(s"$d/chat_logs/$vid.jsonl.gz")))
+      os.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      os.close()
+    }
+    fixtureVideos.groupBy(_._1).foreach { case (chan, vids) =>
+      val entries = vids.zipWithIndex.map { case ((_, vid), i) =>
+        s""""$vid": {"title": "stream $vid", "end_time": "2023-11-${14 + i} 22:13:20", "duration": ${3600 + 1800 * i}}"""
+      }
+      Files.writeString(Paths.get(s"$d/videos/$chan.json"),
+        entries.mkString("{", ", ", "}"))
+    }
+    Files.writeString(Paths.get(s"$d/channels.json"),
+      """{"GroupOne": {"Alpha": "chanX"}, "GroupTwo": {"Beta": "chanY"}}""")
+    d
+  }
+
+  /** The driver-gate entry: write the fixture, read it back through the
+    * REAL source readers, and run [[userVideoRollup]] over it — the
+    * reference's actual on-disk format round-trips inside the correctness
+    * gate, not only in the spec suite. `last_ts` is emitted as epoch
+    * seconds (double) so the compare avoids tz-typing skew between
+    * engines; injective, so the check is as strong.
+    */
+  def fixtureRollup(spark: SparkSession): DataFrame = {
+    val dir = writeCacheFixture()
+    userVideoRollup(readChatLogs(spark, dir))
+      .withColumn("last_ts", col("last_ts").cast("double"))
+  }
+
+  /** DuckDB twin: independently re-reads the SAME gzipped JSON-lines files
+    * (read_json over the reference layout, video_id from the file name —
+    * the oracle exercises the format, not just the aggregation) and
+    * re-derives the rollup.
+    */
+  val fixtureRollupSql: String = {
+    val cols = "{user_id: 'VARCHAR', username: 'VARCHAR', timestamp: 'DOUBLE', " +
+      "membership_rank: 'INTEGER', message_category: 'VARCHAR', message: 'VARCHAR', " +
+      "message_type: 'VARCHAR', gifter: 'VARCHAR'}"
+    val catCols = fixtureCats.map(c =>
+      s"CAST(COUNT(CASE WHEN message_type = 'chat' AND message_category = '$c' THEN 1 END) AS BIGINT) AS ${c}_count")
+      .mkString(", ")
+    s"""WITH cl AS (
+       |  SELECT *, regexp_extract(filename, '([^/]+)\\.jsonl\\.gz$$', 1) AS video_id
+       |  FROM read_json('$fixtureDir/chat_logs/*.jsonl.gz',
+       |   format='newline_delimited', filename=true, columns=$cols))
+       | SELECT user_id, video_id, $catCols,
+       |  CAST(COUNT(CASE WHEN message_type = 'chat' THEN 1 END) AS BIGINT) AS total_message_count,
+       |  MAX(CASE WHEN membership_rank >= -1 THEN membership_rank END) AS membership_rank,
+       |  MAX(timestamp) AS last_ts,
+       |  (COUNT(CASE WHEN message_type = 'chat' THEN 1 END) = 0) AS is_gift
+       | FROM cl GROUP BY 1, 2""".stripMargin.replace("\n", "")
+  }
 }
