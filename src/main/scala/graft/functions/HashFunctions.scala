@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -154,6 +154,69 @@ object SimhashBits {
   }
 }
 
+/** Codegen'd |a ∩ b| over two SORTED distinct ARRAY<BIGINT> columns — the
+  * exact-Jaccard/overlap verify kernel of the dedup suite.
+  *
+  * Exists because `size(array_intersect(a, b))` builds a hash set PER ROW;
+  * candidate verification evaluates one intersection per candidate PAIR
+  * (millions at corpus scale), and the allocation-free O(n+m) two-pointer
+  * merge walk inside whole-stage codegen is ~10x cheaper (measured 30s →
+  * 3s task CPU on the capped n-gram verify at sf0.1). Callers guarantee
+  * sortedness by building shingle sets with `array_sort(array_distinct(…))`
+  * — [[graft.operators.Dedup]]'s shared shingling does.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_size requires two ARRAY<BIGINT>, got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (na, nb) = (ctx.freshName("na"), ctx.freshName("nb"))
+      val (i, j, n) = (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("n"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   /** Minhash signature Column over an ARRAY<BIGINT> shingle-id column. */
   def minhashSignature(shingles: Column, aConsts: Seq[Long], bConsts: Seq[Long],
@@ -164,4 +227,9 @@ object HashFunctions {
   /** In-row 60-bit SimHash Column over an ARRAY<STRING> word column. */
   def simhashBits(words: Column): Column =
     ColumnBridge.column(SimhashBits(ColumnBridge.expression(words)))
+
+  /** |a ∩ b| (BIGINT) over two sorted distinct ARRAY<BIGINT> columns. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

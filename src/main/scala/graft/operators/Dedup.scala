@@ -64,17 +64,21 @@ object Dedup {
     // dominates the one raw-text shuffle by orders of magnitude, and the
     // explicit count keeps AQE from coalescing the tiny-bytes/huge-CPU
     // partitions back together
+    // array_sort: the set is ORDER-INSENSITIVE to every consumer (minhash
+    // min-fold, SQL-join oracles), and sortedness lets the pair-verify hot
+    // path use the two-pointer SortedIntersectSize kernel instead of
+    // array_intersect's per-row hash set
     dd.repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), expr(
-        s"""array_distinct(transform(
+        s"""array_sort(array_distinct(transform(
            | filter(
            |  CASE WHEN size(w) >= $k
            |   THEN transform(sequence(1, size(w) - $k + 1),
            |     i -> array_join(slice(w, i, $k), ' '))
            |   ELSE CAST(array() AS ARRAY<STRING>) END,
            |  s -> length(s) > 0),
-           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
+           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))))"""
           .stripMargin.replace("\n", "")).as("shs"))
       .cache()
       .where(size(col("shs")) > 0)
@@ -137,11 +141,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Verify: join the (small) candidate set to the doc→shingle-set relation
-    // and intersect in-row — no inverted-index re-join, no groupBy.
+    // and intersect in-row (two-pointer kernel over the sorted sets) — no
+    // inverted-index re-join, no groupBy.
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.HashFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
         fl(col("inter").cast("double") /
           (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
@@ -425,9 +431,9 @@ object Dedup {
         // the exhaustive path for every pair that shares >= 1 rare run
         val rare = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("xsh")
-        val pruned = inv.join(rare, "xsh")
-        val cand = pruned.as("a")
-          .join(pruned.as("b"),
+        // df-filter one side only: implied for the other by the equi-join
+        val cand = inv.join(rare, "xsh").as("a")
+          .join(inv.as("b"),
             col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
@@ -435,7 +441,8 @@ object Dedup {
           .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
           .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("shared_runs"))
+            graft.functions.HashFunctions.sortedIntersectSize(col("shs_a"), col("shs_b"))
+              .as("shared_runs"))
     }
   }
 
@@ -585,15 +592,19 @@ object Dedup {
         // for a selective candidate list.
         val rare = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("xsh")
+        // df-filter ONE side only: the equi-join on xsh makes the b-side
+        // rare filter implied, and Catalyst does not eliminate the
+        // redundant join on its own (measured: one fewer shuffle join)
         val cand = inv.join(rare, "xsh").as("a")
-          .join(inv.join(rare, "xsh").as("b"),
+          .join(inv.as("b"),
             col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         cand
           .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
           .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-          .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+          .withColumn("inter",
+            graft.functions.HashFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
           .withColumn("jaccard",
             fl(col("inter").cast("double") /
               (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
