@@ -134,6 +134,30 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersectSize matches array_intersect on random sorted distinct sets") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 50)
+      nb <- Gen.chooseNum(0, 50)
+      // small value domain forces real overlap
+      a <- Gen.listOfN(na, Gen.chooseNum(0L, 80L))
+      b <- Gen.listOfN(nb, Gen.chooseNum(0L, 80L))
+    } yield (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    val data = sample(gen, N)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = false)),
+      StructField("b", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (a, b) => Row(a.toSeq, b.toSeq) }, 4), schema)
+    val got = df.select(
+      HashFunctions.sortedIntersectSize(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("m"))
+      .collect()
+    got.zip(data).foreach { case (r, (a, b)) =>
+      assert(r.getLong(0) == r.getLong(1), s"a=${a.toSeq} b=${b.toSeq}")
+      assert(r.getLong(0) == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("PqEncode matches the naive full-distance argmin on random vectors (codegen path)") {
     val dim = 16; val m = 4; val k = 8; val sub = dim / m
     val cbGen = Gen.listOfN(m * k * sub, finiteD)
