@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak dataset generator: replicates the driver's sf0.1 testdata
+  * `factor`x with FK-preserving key shifts, producing an sf1-class corpus
+  * for the soak run (VERDICT r05 item 6). NOT a gate input — the driver's
+  * CORRECTNESS gate always runs on `/root/testdata`; this exists so
+  * Verify+Bench (and the DuckDB checker) can be exercised at 10x the bench
+  * SF to measure growth curves on the skew-traded queries.
+  *
+  * Replica semantics (replica 0 is the original rows, untouched):
+  *  - events: new ids and a 10x user population; channels (= event_type)
+  *    stay fixed — matching the reference's shape (few channels, many
+  *    users, a growing fact table).
+  *  - documents: shifted doc_id; replica texts get a short `r{i} ` prefix
+  *    so cross-replica texts are NOT exact/near duplicates (without it
+  *    every doc gains factor-1 identical twins and the dedup outputs grow
+  *    quadratically in factor by construction, not by plan). n_chars is
+  *    recomputed to stay consistent with the perturbed text.
+  *  - embeddings: shifted vec_id; replica vectors are cyclically shifted
+  *    by i components (norm- and distribution-preserving, but
+  *    near-orthogonal to the original for the synthetic vectors), so ANN
+  *    and near-dup structure scales instead of collapsing into
+  *    cross-replica duplicate clusters.
+  *  - orders/lineitem/customer: orderkey/custkey shifted in lockstep so
+  *    the highlight-query joins keep exactly one match per FK.
+  *  - region/nation/supplier/part: dimension tables, copied as-is.
+  *
+  * Output layout matches the testdata contract: one single-file
+  * `{table}.parquet` per table (coalesce(1) + rename), so DuckDB reads
+  * `'{dir}/{t}.parquet'` identically to the driver's gate.
+  */
+object SoakGen {
+  private val K = 10_000_000L // key-shift stride per replica
+
+  private def replicate(df: DataFrame, factor: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => shift(df, i)).reduce(_.unionAll(_))
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/soak/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String, df: DataFrame): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+      fs.delete(dst, false)
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"[soakgen] $name: ${spark.read.parquet(dst.toString).count()} rows")
+    }
+
+    // fact tables: replicated with key shifts
+    write("events", replicate(Tables.events(spark, src), factor) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 1000L * K))
+        .withColumn("user_id", col("user_id") + lit(i * 100L * K))
+    })
+    write("documents", replicate(Tables.documents(spark, src), factor) { (df, i) =>
+      val t = if (i == 0) col("text") else concat(lit(s"r$i "), col("text"))
+      df.withColumn("doc_id", col("doc_id") + lit(i * K))
+        .withColumn("text", t)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    write("embeddings", replicate(Tables.embeddings(spark, src), factor) { (df, i) =>
+      val dim = 64
+      val rot = (0 until dim).map(j => col("embedding").getItem((j + i) % dim))
+      df.withColumn("vec_id", col("vec_id") + lit(i * K))
+        .withColumn("embedding", array(rot: _*))
+    })
+    write("customer", replicate(spark.read.parquet(s"$src/customer.parquet"), factor) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * K))
+    })
+    write("orders", replicate(spark.read.parquet(s"$src/orders.parquet"), factor) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * K))
+    })
+    write("lineitem", replicate(spark.read.parquet(s"$src/lineitem.parquet"), factor) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+    })
+    // dimensions: copied as-is
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
+    }
+    spark.stop()
+  }
+}

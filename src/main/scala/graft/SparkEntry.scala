@@ -138,8 +138,12 @@ object SparkEntry {
     // (hot stopword shingles dropped from the inverted index, Jaccard still
     // exact from the full per-pair intersection) — gated hash-exact so the
     // scale-safe shape, not only the exhaustive twin, is in the gate
+    // cap=16: measured on this corpus (cap sweep, round 6) as the smallest
+    // cap with output identical to the exhaustive path at sf0.1 — it prunes
+    // the df>16 head that generates most of the ~1.7M candidate pairs while
+    // every true >=0.3-Jaccard pair still shares a rare shingle
     "d_ngram_jaccard_capped" -> ((s, d) =>
-      Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)), maxDf = Some(64L))),
+      Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)), maxDf = Some(16L))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Fixtures.plantedDocs(docs(s, d)))),
@@ -313,7 +317,7 @@ object SparkEntry {
     "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
-    "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 64L),
+    "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 16L),
     "d_embed_neardup" -> Dedup.embedNearDupSql(),
     "d_dedup_clusters" -> Dedup.dedupClustersSql(),
     "d_dedup_incremental" -> Dedup.dedupIncrementalSql(),

@@ -57,8 +57,23 @@ object Dedup {
     * included) into the filter node and compute it twice per row; the
     * InMemoryRelation is an optimization barrier, so the filter runs on the
     * stored column instead. Both dedup pipelines reuse the cache 2-4x.
+    *
+    * The cache is materialized EAGERLY (one count job) before returning:
+    * the consumers include broadcast-exchange builds, which Spark runs as
+    * concurrent jobs — on a cold cache those jobs race, and every racer
+    * recomputes the md5 shingling for the partitions it loses (measured
+    * 2-5x the query's total CPU, nondeterministically, at sf0.1). One
+    * bounded action serializes the population so each partition is
+    * shingled exactly once; at cluster scale this is the standard
+    * materialize-before-fanout barrier for a reused expensive relation.
     */
-  private def shingleArrays(dd: DataFrame, k: Int): DataFrame =
+  private def shingleArrays(dd: DataFrame, k: Int): DataFrame = {
+    val cached = shingleArraysLazy(dd, k)
+    cached.count()
+    cached.where(size(col("shs")) > 0)
+  }
+
+  private def shingleArraysLazy(dd: DataFrame, k: Int): DataFrame =
     // hash-repartition by doc across all cores before the CPU-heavy shingling
     // projection: the corpus scan may have few/skewed splits, shingle+md5 CPU
     // dominates the one raw-text shuffle by orders of magnitude, and the
@@ -81,7 +96,6 @@ object Dedup {
            | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))))"""
           .stripMargin.replace("\n", "")).as("shs"))
       .cache()
-      .where(size(col("shs")) > 0)
   private def shinglesSql(k: Int): String =
     s"""SELECT DISTINCT doc_id,
        |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS xsh FROM (
@@ -586,28 +600,51 @@ object Dedup {
           .filter(col("jaccard") >= minJaccard)
           .select("doc_a", "doc_b", "jaccard")
       case Some(cap) =>
-        // Capped path: the pruned index only GENERATES candidates (a join
-        // hit count would undercount capped shingles), so the Jaccard is
-        // recomputed exactly from the in-row sets — the right verify shape
-        // for a selective candidate list.
-        val rare = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("xsh")
-        // df-filter ONE side only: the equi-join on xsh makes the b-side
-        // rare filter implied, and Catalyst does not eliminate the
-        // redundant join on its own (measured: one fewer shuffle join)
-        val cand = inv.join(rare, "xsh").as("a")
+        // Capped path. Candidate generation prunes the index to rare
+        // (df <= cap) shingles, and the exact intersection is decomposed
+        // by rarity instead of re-verified from the full in-row sets:
+        //   |A ∩ B|  =  |shared rare|  +  |shared hot|
+        // The first term IS the candidate join's per-pair hit count (the
+        // a-side rare filter makes every hit rare — the equi-join implies
+        // it for the b side, so one filter suffices and costs one fewer
+        // shuffle join). The second term intersects the per-doc HOT
+        // sub-arrays — bounded by the number of over-cap shingle values,
+        // which is what the cap makes small — via the two-pointer kernel.
+        // So the per-pair payload is a count plus two tiny arrays, never
+        // the full shingle sets (measured 2x slower to ship), and on a
+        // corpus where no shingle exceeds the cap the whole verify phase
+        // degenerates to the exhaustive path's int aggregate plus an
+        // empty left join.
+        // The df side is expressed through the HOT set (df > cap), never the
+        // rare one: hot is what the cap bounds small (a handful of stopword
+        // shingle values at corpus scale), so "keep rare" becomes a
+        // broadcast ANTI-join against hot and "per-doc hot sub-array"
+        // a broadcast inner join — no 10^x-row rare relation is ever
+        // materialized or shuffled.
+        val hotSh = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("xsh")
+        // per-doc hot shingles, sorted for the intersect kernel (inv is
+        // already distinct per doc, so collect_list is set-valued)
+        val hotDoc = inv.join(broadcast(hotSh), "xsh")
+          .groupBy("doc_id").agg(sort_array(collect_list(col("xsh"))).as("hot"))
+        val interRare = inv.join(broadcast(hotSh), Seq("xsh"), "left_anti").as("a")
           .join(inv.as("b"),
             col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-          .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-          .withColumn("inter",
-            graft.functions.HashFunctions.sortedIntersectSize(col("shs_a"), col("shs_b")))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_rare"))
+        // one per-doc metadata relation (set size + hot sub-array) so the
+        // candidate relation is joined twice, not four times
+        val noHot = array().cast("array<bigint>")
+        val docMeta = arr.select(col("doc_id"), size(col("shs")).as("n"))
+          .join(hotDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n"), coalesce(col("hot"), noHot).as("hot"))
+        interRare
+          .join(docMeta.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("hot").as("hot_a")), "doc_a")
+          .join(docMeta.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("hot").as("hot_b")), "doc_b")
+          .withColumn("inter", col("inter_rare") +
+            graft.functions.HashFunctions.sortedIntersectSize(col("hot_a"), col("hot_b")))
           .withColumn("jaccard",
-            fl(col("inter").cast("double") /
-              (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
+            fl(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
           .filter(col("jaccard") >= minJaccard)
           .select("doc_a", "doc_b", "jaccard")
     }
