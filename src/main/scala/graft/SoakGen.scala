@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   *  - events: new ids and a 10x user population; channels (= event_type)
   *    stay fixed — matching the reference's shape (few channels, many
   *    users, a growing fact table).
-  *  - documents: shifted doc_id; replica texts get a short `r{i} ` prefix
-  *    so cross-replica texts are NOT exact/near duplicates (without it
-  *    every doc gains factor-1 identical twins and the dedup outputs grow
-  *    quadratically in factor by construction, not by plan). n_chars is
-  *    recomputed to stay consistent with the perturbed text.
+  *  - documents: shifted doc_id; replica texts get a per-replica suffix on
+  *    EVERY word (`foo bar` -> `foor3 barr3`) so cross-replica texts share
+  *    NO word n-gram — a mere document prefix only shifts word positions,
+  *    leaving almost all trigrams identical, which hands every doc
+  *    factor-1 near-duplicate twins and grows the dedup outputs
+  *    quadratically in factor by construction, not by plan. The per-word
+  *    transform is position-uniform, so within-replica duplicate/near-dup
+  *    structure (planted clusters, slice overlaps) is preserved exactly.
+  *    n_chars is recomputed to stay consistent with the perturbed text.
   *  - embeddings: shifted vec_id; replica vectors are cyclically shifted
   *    by i components (norm- and distribution-preserving, but
   *    near-orthogonal to the original for the synthetic vectors), so ANN
@@ -33,7 +37,12 @@ import org.apache.spark.sql.functions._
   * `'{dir}/{t}.parquet'` identically to the driver's gate.
   */
 object SoakGen {
-  private val K = 10_000_000L // key-shift stride per replica
+  // Key-shift stride per replica. Must clear Fixtures.plantedDocs's
+  // internal NEAR_OFF/EXACT_OFF (+1e7/+2e7) id shifts: a 1e7 stride makes
+  // replica-1 doc_ids collide with the planted copies of replica 0, which
+  // duplicates doc_id keys downstream (surfaced as a divide-by-zero in the
+  // Jaccard denominator at the first soak run).
+  val stride = 1_000_000_000L
 
   private def replicate(df: DataFrame, factor: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => shift(df, i)).reduce(_.unionAll(_))
@@ -49,7 +58,11 @@ object SoakGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
 
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -65,35 +78,36 @@ object SoakGen {
 
     // fact tables: replicated with key shifts
     write("events", replicate(Tables.events(spark, src), factor) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * 1000L * K))
-        .withColumn("user_id", col("user_id") + lit(i * 100L * K))
+      df.withColumn("event_id", col("event_id") + lit(i * 1000L * stride))
+        .withColumn("user_id", col("user_id") + lit(i * 100L * stride))
     })
     write("documents", replicate(Tables.documents(spark, src), factor) { (df, i) =>
-      val t = if (i == 0) col("text") else concat(lit(s"r$i "), col("text"))
-      df.withColumn("doc_id", col("doc_id") + lit(i * K))
+      // every word gets the replica tag, so no word n-gram crosses replicas
+      val t = if (i == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", s"$$1r$i")
+      df.withColumn("doc_id", col("doc_id") + lit(i * stride))
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
     write("embeddings", replicate(Tables.embeddings(spark, src), factor) { (df, i) =>
       val dim = 64
       val rot = (0 until dim).map(j => col("embedding").getItem((j + i) % dim))
-      df.withColumn("vec_id", col("vec_id") + lit(i * K))
+      df.withColumn("vec_id", col("vec_id") + lit(i * stride))
         .withColumn("embedding", array(rot: _*))
     })
     write("customer", replicate(spark.read.parquet(s"$src/customer.parquet"), factor) { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * K))
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * stride))
     })
     write("orders", replicate(spark.read.parquet(s"$src/orders.parquet"), factor) { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * K))
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * stride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * stride))
     })
     write("lineitem", replicate(spark.read.parquet(s"$src/lineitem.parquet"), factor) { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * stride))
     })
     // dimensions: copied as-is
     Seq("region", "nation", "supplier", "part").foreach { t =>
       write(t, spark.read.parquet(s"$src/$t.parquet"))
     }
-    spark.stop()
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the soak-corpus replication ([[SoakGen]]). These lock the
+  * two construction bugs the first sf1 soak surfaced:
+  *   1. a doc_id stride that collides with Fixtures.plantedDocs's internal
+  *      +1e7/+2e7 planted-copy offsets (duplicate keys downstream), and
+  *   2. a text perturbation that leaves replica docs near-duplicates of
+  *      their originals (a document PREFIX only shifts word positions, so
+  *      nearly all word trigrams survive and the dedup outputs grow
+  *      quadratically in the replication factor by construction).
+  */
+class SoakGenSpec extends SparkSpec {
+  private lazy val out = {
+    val dir = "/tmp/graft-soak-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    SoakGen.generate(spark, sfDir, dir, 3)
+    dir
+  }
+
+  test("every table replicates to factor x rows with unique keys") {
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val src = Tables.events(spark, sfDir)
+    assert(ev.count() === 3 * src.count())
+    assert(ev.select("event_id").distinct().count() === ev.count())
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.count() === 3 * Tables.documents(spark, sfDir).count())
+    assert(docs.select("doc_id").distinct().count() === docs.count())
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(emb.count() === 3 * Tables.embeddings(spark, sfDir).count())
+    assert(emb.select("vec_id").distinct().count() === emb.count())
+  }
+
+  test("replica doc_ids stay clear of the planted-fixture id offsets") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val planted = Fixtures.plantedDocs(docs)
+    // planting on the replicated corpus must still produce unique keys
+    assert(planted.select("doc_id").distinct().count() === planted.count())
+  }
+
+  test("cross-replica docs share no words, within-replica structure intact") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val orig = words.filter(col("doc_id") < SoakGen.stride)
+    val rep1 = words.filter(col("doc_id") >= SoakGen.stride && col("doc_id") < 2 * SoakGen.stride)
+      .select((col("doc_id") - SoakGen.stride).as("doc_id"), col("w").as("w1"))
+    val joined = orig.join(rep1, "doc_id")
+      .select(size(array_intersect(col("w"), col("w1"))).as("shared"),
+        (size(col("w")) === size(col("w1"))).as("same_size"))
+    val agg = joined.agg(max("shared").as("mx"), min(when(col("same_size"), 1).otherwise(0)).as("sz")).head()
+    assert(agg.getInt(0) === 0, "replica words must be disjoint from original words")
+    assert(agg.getInt(1) === 1, "per-word tagging must preserve word counts")
+  }
+
+  test("embedding rotation preserves the norm") {
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    def norms(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") % SoakGen.stride).as("k"),
+        aggregate(col("embedding"), lit(0d), (a, x) => a + x * x).as("n2"))
+    val j = norms(0, SoakGen.stride).as("a")
+      .join(norms(SoakGen.stride, 2 * SoakGen.stride).as("b"), col("a.k") === col("b.k"))
+      .select(abs(col("a.n2") - col("b.n2")).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(j < 1e-3, "cyclic shift must preserve vector norm")
+  }
+}
