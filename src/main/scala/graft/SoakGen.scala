@@ -96,7 +96,14 @@ object SoakGen {
         .withColumn("embedding", array(rot: _*))
     })
     write("customer", replicate(spark.read.parquet(s"$src/customer.parquet"), factor) { (df, i) =>
+      // c_name IS channel identity (videos joins channel = c_name): replica
+      // copies must be NEW channels, not 10 custkeys sharing one name —
+      // duplicate names silently merge in name-keyed rollups and split in
+      // custkey-keyed ones (q_monthly_hours filters c_custkey=1 while its
+      // oracle joins by name; the second soak run failed exactly there)
+      val nm = if (i == 0) col("c_name") else concat(col("c_name"), lit(s"_r$i"))
       df.withColumn("c_custkey", col("c_custkey") + lit(i * stride))
+        .withColumn("c_name", nm)
     })
     write("orders", replicate(spark.read.parquet(s"$src/orders.parquet"), factor) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * stride))

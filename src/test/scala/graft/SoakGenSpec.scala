@@ -32,6 +32,16 @@ class SoakGenSpec extends SparkSpec {
     assert(emb.select("vec_id").distinct().count() === emb.count())
   }
 
+  test("replica customers are NEW channels: c_name stays unique") {
+    // c_name is channel identity (videos joins channel = c_name); replica
+    // copies sharing a name merge in name-keyed rollups but split in
+    // custkey-keyed ones — the second sf1 soak failed q_monthly_hours
+    // exactly this way (Spark filters c_custkey=1, oracle joins by name)
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    assert(c.count() === 3 * spark.read.parquet(s"$sfDir/customer.parquet").count())
+    assert(c.select("c_name").distinct().count() === c.count())
+  }
+
   test("replica doc_ids stay clear of the planted-fixture id offsets") {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     val planted = Fixtures.plantedDocs(docs)
