@@ -621,8 +621,19 @@ object Dedup {
         // broadcast ANTI-join against hot and "per-doc hot sub-array"
         // a broadcast inner join — no 10^x-row rare relation is ever
         // materialized or shuffled.
+        // hotSh and docMeta are broadcast from MULTIPLE sites (anti join,
+        // hotDoc build, both pair-side joins), and every broadcast build is
+        // its own job: un-materialized, each site re-runs the aggregation
+        // above the shingle cache (measured 32 BroadcastExchanges / zero
+        // reuse / 3.6x the exhaustive path's CPU at sf0.1). Both relations
+        // are tiny by construction — hot shingle VALUES are what the cap
+        // bounds small, docMeta is one row per doc — so materialize each
+        // once (eager count = the same materialize-before-fanout barrier as
+        // the shingle cache) and let every broadcast build scan the cache.
+        import graft.Caches.SharedCacheOps
         val hotSh = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("xsh")
+          .filter(col("df") > cap).select("xsh").sharedCache
+        hotSh.count()
         // per-doc hot shingles, sorted for the intersect kernel (inv is
         // already distinct per doc, so collect_list is set-valued)
         val hotDoc = inv.join(broadcast(hotSh), "xsh")
@@ -638,6 +649,8 @@ object Dedup {
         val docMeta = arr.select(col("doc_id"), size(col("shs")).as("n"))
           .join(hotDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n"), coalesce(col("hot"), noHot).as("hot"))
+          .sharedCache
+        docMeta.count()
         interRare
           .join(docMeta.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("hot").as("hot_a")), "doc_a")
           .join(docMeta.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("hot").as("hot_b")), "doc_b")
