@@ -581,6 +581,12 @@ object Pipeline {
     * partial-agg shuffle keyed by doc_id for the final score.
     */
   def bigramNll(documents: DataFrame): DataFrame = {
+    // toks is consumed twice (bigram build + the v_size scalar) and
+    // deliberately NOT cached: a persisted token-array relation was
+    // measured SLOWER at sf0.1 (cache write + array deserialization
+    // exceed the ~1.2 s tokenize, and the cache boundary breaks the
+    // scan→explode codegen fusion) — the duplicated work is one cheap
+    // projection, not the corpus shuffle.
     val toks = documents.select(col("doc_id"),
       expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)").as("w"))
     val bg = toks
