@@ -51,6 +51,7 @@ object SoakGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/soak/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val scaleLabels = args.length > 3 && args(3) == "scaleLabels"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,11 +59,21 @@ object SoakGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor)
+    generate(spark, src, out, factor, scaleLabels)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `scaleLabels`: give each embeddings replica a DISJOINT label space
+    * (label + i * |labels|). The default (false) keeps labels fixed, so
+    * the label-blocked operators (v_knn_join/_mp, d_semdedup,
+    * d_embed_neardup) see 10x blocks and pay ~quadratic pairs — the soak's
+    * designed stress case. Scaled labels model the deploy reality instead:
+    * the block key is an IVF cell / LSH bucket whose cardinality grows
+    * with the corpus, so block SIZE stays flat and those operators scale
+    * linearly. Both runs are recorded in SCALING.md.
+    */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int,
+               scaleLabels: Boolean = false): Unit = {
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -89,11 +100,15 @@ object SoakGen {
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
+    val nLabels: Long = Tables.embeddings(spark, src)
+      .agg(max(col("label"))).head().getInt(0).toLong + 1L
     write("embeddings", replicate(Tables.embeddings(spark, src), factor) { (df, i) =>
       val dim = 64
       val rot = (0 until dim).map(j => col("embedding").getItem((j + i) % dim))
+      val lbl = if (scaleLabels) (col("label") + lit(i * nLabels)).cast("int") else col("label")
       df.withColumn("vec_id", col("vec_id") + lit(i * stride))
         .withColumn("embedding", array(rot: _*))
+        .withColumn("label", lbl)
     })
     write("customer", replicate(spark.read.parquet(s"$src/customer.parquet"), factor) { (df, i) =>
       // c_name IS channel identity (videos joins channel = c_name): replica

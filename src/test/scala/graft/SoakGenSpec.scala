@@ -64,6 +64,26 @@ class SoakGenSpec extends SparkSpec {
     assert(agg.getInt(1) === 1, "per-word tagging must preserve word counts")
   }
 
+  test("scaleLabels gives replicas disjoint label spaces with preserved block sizes") {
+    val dir = "/tmp/graft-soak-spec-labels"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    SoakGen.generate(spark, sfDir, dir, 2, scaleLabels = true)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Tables.embeddings(spark, sfDir)
+    val nLabels = base.agg(max(col("label"))).head().getInt(0) + 1
+    // replica 1's labels sit exactly one label-space above replica 0's
+    val r0 = emb.filter(col("vec_id") < SoakGen.stride)
+    val r1 = emb.filter(col("vec_id") >= SoakGen.stride)
+    assert(r0.select("label").except(base.select("label")).count() === 0)
+    assert(r1.select((col("label") - nLabels).as("label")).except(base.select("label")).count() === 0)
+    assert(r0.select("label").intersect(r1.select("label")).count() === 0,
+      "replica label spaces must be disjoint")
+    // per-label block sizes are preserved, just relocated
+    val sizes0 = r0.groupBy("label").count().select("count")
+    val sizes1 = r1.groupBy("label").count().select("count")
+    assert(sizes0.except(sizes1).count() === 0 && sizes1.except(sizes0).count() === 0)
+  }
+
   test("embedding rotation preserves the norm") {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     def norms(lo: Long, hi: Long) = emb
