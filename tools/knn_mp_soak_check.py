@@ -36,22 +36,31 @@ def fl6(e):  # EventSemantics.flSql(expr, 6): floor(expr * 1e6) / 1e6
     return f"(floor(({e}) * 1000000) / 1000000)"
 
 
-# probe assignment: same cosine-to-centroid ranking as the registered oracle
+# probe assignment: same cosine-to-centroid ranking as the registered
+# oracle, but the scalar scores are MATERIALIZED before the window —
+# DuckDB otherwise carries the 64-float lists through the rank sort and
+# spills (observed at 100 cells x 20k vectors even though the scored
+# relation is only |vectors| x |cells| x 3 scalars).
 con.sql(f"""
-CREATE TEMP TABLE probes AS
+CREATE TEMP TABLE probe_scores AS
 WITH cent AS (
   SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
   FROM embeddings, (SELECT unnest(range(1, {DIM+1})) AS i)
   WHERE label IS NOT NULL GROUP BY 1, 2),
- cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
- ranked AS (
-  SELECT e.vec_id, c.label AS probe_label,
-   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-     ORDER BY (floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        list_transform(range(1, {DIM+1}), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc,x) -> acc + x)
-       / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, {DIM+1}), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))), (acc,x) -> acc + x))
-        * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, {DIM+1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc,x) -> acc + x)))) * 1000000) / 1000000) DESC, c.label ASC) AS pr
-  FROM embeddings e CROSS JOIN cvecs c)
+ cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1)
+ SELECT e.vec_id, c.label,
+  (floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+     list_transform(range(1, {DIM+1}), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc,x) -> acc + x)
+    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, {DIM+1}), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))), (acc,x) -> acc + x))
+     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, {DIM+1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc,x) -> acc + x)))) * 1000000) / 1000000) AS s
+ FROM embeddings e CROSS JOIN cvecs c
+""")
+con.sql(f"""
+CREATE TEMP TABLE probes AS
+WITH ranked AS (
+  SELECT vec_id, label AS probe_label,
+   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS pr
+  FROM probe_scores)
  SELECT vec_id, probe_label FROM ranked WHERE pr <= {NPROBE}
  UNION SELECT vec_id, label AS probe_label FROM embeddings
 """)
