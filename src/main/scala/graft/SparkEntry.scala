@@ -157,6 +157,9 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, d) => Vectors.annLsh(emb(s, d))),
     "v_knn_join" -> ((s, d) => Vectors.knnJoin(emb(s, d))),
     "v_knn_join_mp" -> ((s, d) => Vectors.knnJoinMultiProbe(emb(s, d))),
+    // two-level coarse quantizer for probe assignment (trained-constant
+    // stashed oracle replays the full hierarchy)
+    "v_knn_join_mph" -> ((s, d) => Vectors.knnJoinMultiProbeHier(emb(s, d), stashOracle = true)),
     // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
@@ -390,7 +393,7 @@ object SparkEntry {
     */
   private def trainedOracles: Map[String, String] =
     Seq("v_ann_pq", "v_ann_pq_residual", "v_ann_pq_opq", "v_ann_ivfpq", "v_ann_ivfpq_geo",
-        "t_quality_classifier", "t_tokenize_bpe", "v_cluster_kmeanspar")
+        "t_quality_classifier", "t_tokenize_bpe", "v_cluster_kmeanspar", "v_knn_join_mph")
       .flatMap(k => OracleStash.get(k).map(k -> _)).toMap
 
   private val languageStatsSql: String =

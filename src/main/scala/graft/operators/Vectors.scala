@@ -335,6 +335,133 @@ object Vectors {
        | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
   }
 
+  /** #119 hierarchical multi-probe kNN join: identical join semantics to
+    * [[knnJoinMultiProbe]], but probe ASSIGNMENT goes through a two-level
+    * coarse quantizer — score ceil(sqrt(C)) super-cells first, then only
+    * the member cells of the `superProbe` nearest supers. The flat
+    * ranking's per-row cost is O(C·dim); the scaled-labels soak measured
+    * it as the mp variant's residual super-linearity once blocking
+    * cardinality grows with the corpus (SCALING.md). This bounds it at
+    * O((sqrt(C) + superProbe·C/sqrt(C))·dim) — the standard IVF
+    * coarse-quantizer hierarchy (FAISS-style), at the cost of missing a
+    * cell whose super was pruned (own-label probe always kept, so the
+    * single-block graph is always contained).
+    *
+    * Determinism: super-centroids come from the same driver Lloyd
+    * contract as the PQ codebooks (init = first S cells in label order,
+    * fixed iters, ties to lowest index) on the C cell centroids; both
+    * ranking stages compare 6-floored cosines with index/label ASC
+    * tie-breaks. The trained constants (super-centroids + cell→super
+    * map + cell centroids) literal-inline into a stashed oracle that
+    * replays the full hierarchy in DuckDB.
+    */
+  def knnJoinMultiProbeHier(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
+                            superProbe: Int = 2, stashOracle: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
+    import graft.OracleStash.{dl, dlist}
+    val cents = embeddings.filter(col("label").isNotNull).groupBy("label")
+      .agg(vecSum(col("embedding"), DIM).as("sv"), count(lit(1)).as("nv"))
+      .select(col("label"), transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    if (cents.isEmpty) return knnJoin(embeddings, k)
+    val nSup = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    // driver Lloyd on the C cell-centroid vectors = trainPqCodebook with
+    // one subspace (same init/iteration/tie contract), S supers
+    val supFlat = trainPqCodebook(cents.map(_._2), DIM, m = 1, k = nSup, iters = 3)
+    val supCents = Array.tabulate(nSup)(j => java.util.Arrays.copyOfRange(supFlat, j * DIM, (j + 1) * DIM))
+    def nearestSup(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < nSup) {
+        var d = 0d; var j = 0
+        while (j < DIM) { val t = v(j) - supCents(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cellSup: Array[Int] = cents.map(c => nearestSup(c._2))
+    // stage 1 in-row: rank supers by floored cosine, keep superProbe ids
+    val supScored = supCents.toIndexedSeq.zipWithIndex.map { case (sc, j) =>
+      struct((-fl(cosTo(typedLit(sc.toSeq), col("embedding")), 6)).as("neg"), lit(j).as("sid"))
+    }
+    val topSupers = transform(
+      slice(array_sort(array(supScored: _*)), 1, superProbe), x => x.getField("sid"))
+    // stage 2 in-row: cosine is computed ONLY for member cells of the
+    // chosen supers (filter before transform — lazy per-element), then
+    // ranked like the flat variant
+    val cellsLit = array(cents.toIndexedSeq.zipWithIndex.map { case ((l, cv), ci) =>
+      struct(lit(cellSup(ci)).as("sid"), lit(l).as("lbl"), typedLit(cv.toSeq).as("cvec"))
+    }: _*)
+    val scoredCand = transform(
+      filter(cellsLit, c => array_contains(topSupers, c.getField("sid"))),
+      c => struct((-fl(cosTo(c.getField("cvec"), col("embedding")), 6)).as("neg"),
+        c.getField("lbl").as("lbl")))
+    val topLabels = transform(
+      slice(array_sort(scoredCand), 1, nProbe), x => x.getField("lbl"))
+    val probeLabels = array_distinct(concat(array(col("label")), topLabels))
+    if (stashOracle) {
+      val supVals = supCents.toIndexedSeq.zipWithIndex
+        .map { case (v, j) => s"($j, ${dlist(v.toSeq)})" }.mkString(", ")
+      val cellVals = cents.toIndexedSeq.zipWithIndex
+        .map { case ((l, cv), ci) => s"(${cellSup(ci)}, $l, ${dlist(cv.toSeq)})" }.mkString(", ")
+      graft.OracleStash.put("v_knn_join_mph", knnJoinMphOracleSql(supVals, cellVals, k, nProbe, superProbe))
+    }
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
+    val aSide = embeddings.select(col("vec_id"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
+      explode(probeLabels).as("probe_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
+    aSide.as("a")
+      .join(withNorm.as("b"),
+        col("a.probe_label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
+
+  /** DuckDB twin of the hierarchy, from the literal-inlined trained
+    * constants (supers, cell→super map, cell centroids): replay super
+    * ranking → member-cell ranking → probes → pairs → top-k.
+    */
+  private def knnJoinMphOracleSql(supVals: String, cellVals: String,
+                                  k: Int, nProbe: Int, superProbe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH sup AS (SELECT * FROM (VALUES $supVals) AS t(sid, svec)),
+       | cells AS (SELECT * FROM (VALUES $cellVals) AS t(sid, lbl, cvec)),
+       | sscore AS (
+       |  SELECT e.vec_id, s.sid,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${flSql(cosToSql("s.svec", "e.embedding"), 6)} DESC, s.sid ASC) AS sr
+       |  FROM embeddings e CROSS JOIN sup s),
+       | cscore AS (
+       |  SELECT e.vec_id, c.lbl,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${flSql(cosToSql("c.cvec", "e.embedding"), 6)} DESC, c.lbl ASC) AS cr
+       |  FROM embeddings e
+       |  JOIN sscore t ON t.vec_id = e.vec_id AND t.sr <= $superProbe
+       |  JOIN cells c ON c.sid = t.sid),
+       | probes AS (
+       |  SELECT vec_id, lbl AS probe_label FROM cscore WHERE cr <= $nProbe
+       |  UNION SELECT vec_id, label AS probe_label FROM embeddings),
+       | pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
+       |  FROM probes p
+       |  JOIN embeddings a ON a.vec_id = p.vec_id
+       |  JOIN embeddings b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
+       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
+       |  FROM pairs)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+  }
+
   def knnJoinSql(k: Int = 5): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"

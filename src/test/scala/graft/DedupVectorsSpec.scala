@@ -300,6 +300,66 @@ class DedupVectorsSpec extends SparkSpec {
     (200L to 203L).foreach(id => assert(multi(id) >= 200L && multi(id) <= 203L))
   }
 
+  test("knnJoinMultiProbeHier: identical to the flat variant when superProbe covers all supers") {
+    // with every super probed, stage-2 candidates = ALL cells, so the
+    // hierarchy reduces to knnJoinMultiProbe exactly (same floors, same
+    // tie order) — this pins the whole two-stage ranking path
+    val c = emb.filter(col("label").isNotNull).select("label").distinct().count().toInt
+    val nSup = math.ceil(math.sqrt(c.toDouble)).toInt
+    val flat = Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val hier = Vectors.knnJoinMultiProbeHier(emb, k = 5, nProbe = 2, superProbe = nSup)
+      .collect().map(_.toSeq).toSet
+    assert(hier === flat)
+  }
+
+  test("knnJoinMultiProbeHier: prunes to the right super, keeps full boundary recall") {
+    val s = spark
+    import s.implicits._
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    // labels 0/1 interleave near (1,0) — the boundary case the mp test
+    // uses — and label 2 sits far away at (0,1): 3 cells, 2 supers, so a
+    // pruned (superProbe=1) hierarchy must still group cells 0+1 into the
+    // SAME super for boundary recall to survive pruning
+    val rows =
+      (0 until 4).map(i => (i.toLong, 0, vec(i * 2.0))) ++
+      (0 until 4).map(i => (100L + i, 1, vec(i * 2.0 + 1.0))) ++
+      (0 until 4).map(i => (200L + i, 2, vec(90.0 + i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val mp = Vectors.knnJoinMultiProbe(df, k = 1, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val hier = Vectors.knnJoinMultiProbeHier(df, k = 1, nProbe = 2, superProbe = 1)
+      .collect().map(_.toSeq).toSet
+    assert(hier === mp,
+      "pruned hierarchy must match the flat probe set on a cleanly separated super structure")
+  }
+
+  test("knnJoinMultiProbeHier: own-label probe survives pruning (single-block graph contained)") {
+    val s = spark
+    import s.implicits._
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val rows =
+      (0 until 4).map(i => (i.toLong, 0, vec(i * 2.0))) ++
+      (0 until 4).map(i => (100L + i, 1, vec(i * 2.0 + 1.0))) ++
+      (0 until 4).map(i => (200L + i, 2, vec(90.0 + i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    // k >= block size: every within-block pair must appear regardless of
+    // how aggressively the super stage prunes
+    val single = Vectors.knnJoin(df, k = 10).select("vec_a", "vec_b")
+      .collect().map(_.toSeq).toSet
+    val hier = Vectors.knnJoinMultiProbeHier(df, k = 10, nProbe = 1, superProbe = 1)
+      .select("vec_a", "vec_b").collect().map(_.toSeq).toSet
+    assert(single.subsetOf(hier), "own-block edges must never be pruned away")
+  }
+
   test("residual PQ: lower reconstruction error than plain PQ at equal code size, recall no worse") {
     // equal code budget: plain PQ m=8 × log2(16) = 32 bits; residual PQ
     // two stages of m=4 × log2(16) = 32 bits

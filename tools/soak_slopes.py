@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""One-command scaling-slope measurement (SURVEY §10 item: re-measure the
+three-point scaling record in future rounds).
+
+Generates factor-10 and factor-30 soak corpora with SoakGen (unless they
+already exist), runs graft.Bench at sf0.1 / x10 / x30, fits per-query
+least-squares log-log slopes over x = 1, 10, 30, and writes
+`soak_slopes.json` + a markdown summary to stdout.
+
+Usage: tools/soak_slopes.py [--skip QUERIES] [--fresh]
+  --skip  comma list excluded from the x30 run only (default: the two
+          exact-kNN quadratics, whose x30 cost is ~20 min for a slope
+          already measured at x10 — exclusions are listed in the output,
+          never silent)
+  --fresh regenerate corpora and rerun everything even if files exist
+"""
+import json, math, os, subprocess, sys, argparse
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+CORPORA = [("x10", "target/soak/sf1", 10), ("x30", "target/soak/sf3", 30)]
+DEFAULT_SKIP = "v_knn_join,v_knn_join_mp,v_knn_join_mph"
+
+
+def run(cmd, env=None, log=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    print(f"[slopes] {' '.join(cmd)}" + (f" (env {env})" if env else ""), flush=True)
+    with open(log, "w") if log else open(os.devnull, "w") as out:
+        subprocess.run(cmd, cwd=REPO, env=e, stdout=out, stderr=subprocess.STDOUT, check=True)
+
+
+def bench(sf_dir, tag, only=None):
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir}
+    if only:
+        env["SPARK_GRAFT_ONLY"] = only
+    run(["sbt", "-batch", "runMain graft.Bench"], env=env, log=f"/tmp/slopes_bench_{tag}.log")
+    with open(os.path.join(REPO, "bench_detail.json")) as f:
+        d = json.load(f)
+    if d.get("failed"):
+        sys.exit(f"[slopes] bench at {sf_dir} had failures: {d['failed']}")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default=DEFAULT_SKIP)
+    ap.add_argument("--fresh", action="store_true")
+    a = ap.parse_args()
+    skip = set(filter(None, a.skip.split(",")))
+
+    for _, out, factor in CORPORA:
+        if a.fresh or not os.path.exists(os.path.join(REPO, out, "documents.parquet")):
+            run(["sbt", "-batch", f"runMain graft.SoakGen {SF01} {out} {factor}"],
+                log=f"/tmp/slopes_gen_{factor}.log")
+
+    d1 = bench(SF01, "x1")
+    d10 = bench(os.path.join(REPO, CORPORA[0][1]), "x10")
+    only30 = ",".join(sorted(q for q in d1["queries"] if q not in skip))
+    d30 = bench(os.path.join(REPO, CORPORA[1][1]), "x30", only=only30)
+
+    xs = [math.log(1), math.log(10), math.log(30)]
+
+    def slope(ys):
+        ys = [math.log(max(y, 1e-3)) for y in ys]
+        n, sx, sy = 3, sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    out = {"skipped_at_x30": sorted(skip), "queries": {}}
+    for k in sorted(d30["queries"]):
+        w = [d1["queries"][k], d10["queries"][k], d30["queries"][k]]
+        c = [d1["cpu_ms"][k] / 1000, d10["cpu_ms"][k] / 1000, d30["cpu_ms"][k] / 1000]
+        out["queries"][k] = {
+            "wall_s": [round(v, 3) for v in w], "wall_slope": round(slope(w), 2),
+            "cpu_s": [round(v, 1) for v in c], "cpu_slope": round(slope(c), 2)}
+    with open(os.path.join(REPO, "soak_slopes.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    rows = sorted(out["queries"].items(), key=lambda kv: -kv[1]["wall_slope"])
+    le1 = sum(1 for _, v in rows if v["wall_slope"] <= 1.05)
+    print(f"\n[slopes] {le1}/{len(rows)} wall slopes <= 1.05; "
+          f"skipped at x30: {sorted(skip)}")
+    print(f"{'query':34s} {'wall x1/x10/x30':>22s} {'slopeW':>7s} {'slopeC':>7s}")
+    for k, v in rows[:15]:
+        w = "/".join(f"{x:.2f}" for x in v["wall_s"])
+        print(f"{k:34s} {w:>22s} {v['wall_slope']:7.2f} {v['cpu_slope']:7.2f}")
+    print("[slopes] full table: soak_slopes.json")
+
+
+if __name__ == "__main__":
+    main()
