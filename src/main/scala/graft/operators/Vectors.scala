@@ -388,19 +388,28 @@ object Vectors {
     }
     val topSupers = transform(
       slice(array_sort(array(supScored: _*)), 1, superProbe), x => x.getField("sid"))
-    // stage 2 in-row: cosine is computed ONLY for member cells of the
-    // chosen supers (filter before transform — lazy per-element), then
-    // ranked like the flat variant
-    val cellsLit = array(cents.toIndexedSeq.zipWithIndex.map { case ((l, cv), ci) =>
-      struct(lit(cellSup(ci)).as("sid"), lit(l).as("lbl"), typedLit(cv.toSeq).as("cvec"))
-    }: _*)
-    val scoredCand = transform(
-      filter(cellsLit, c => array_contains(topSupers, c.getField("sid"))),
-      c => struct((-fl(cosTo(c.getField("cvec"), col("embedding")), 6)).as("neg"),
-        c.getField("lbl").as("lbl")))
-    val topLabels = transform(
-      slice(array_sort(scoredCand), 1, nProbe), x => x.getField("lbl"))
-    val probeLabels = array_distinct(concat(array(col("label")), topLabels))
+    // stage 2 in-row: one UNROLLED guarded entry per cell — the cosine
+    // sits behind `when(super chosen)`, so pruned cells cost one int
+    // array_contains, and the intermediate array holds only (neg, lbl)
+    // structs. Two evaluation traps, both measured at 2-3x the FLAT
+    // variant before being designed out: (1) carrying the centroid
+    // VECTORS through a filter/transform HOF pair materializes all C
+    // cell vectors (~50 KB at C=100) into every row's candidate array —
+    // centroids must live inside the expressions, as literals, never in
+    // the data; (2) referencing the topSupers expression from each of
+    // the C guards re-evaluates the whole super ranking per guard (this
+    // projection is interpreted — HOFs have no codegen — so there is no
+    // CSE), so the super choice is materialized ONCE as its own column
+    // and the guards reference the column.
+    def scoredCand(sup: Column) = filter(
+      array(cents.toIndexedSeq.zipWithIndex.map { case ((l, cv), ci) =>
+        when(array_contains(sup, lit(cellSup(ci))),
+          struct((-fl(cosTo(typedLit(cv.toSeq), col("embedding")), 6)).as("neg"),
+            lit(l).as("lbl")))
+      }: _*), c => c.isNotNull)
+    def topLabels(sup: Column) = transform(
+      slice(array_sort(scoredCand(sup)), 1, nProbe), x => x.getField("lbl"))
+    def probeLabels(sup: Column) = array_distinct(concat(array(col("label")), topLabels(sup)))
     if (stashOracle) {
       val supVals = supCents.toIndexedSeq.zipWithIndex
         .map { case (v, j) => s"($j, ${dlist(v.toSeq)})" }.mkString(", ")
@@ -410,9 +419,11 @@ object Vectors {
     }
     val withNorm = embeddings.select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
-    val aSide = embeddings.select(col("vec_id"),
-      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
-      explode(probeLabels).as("probe_label"))
+    val aSide = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"), topSupers.as("_sup"))
+      .select(col("vec_id"),
+        col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
+        explode(probeLabels(col("_sup"))).as("probe_label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
     aSide.as("a")
