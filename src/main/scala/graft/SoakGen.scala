@@ -100,8 +100,14 @@ object SoakGen {
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    val nLabels: Long = Tables.embeddings(spark, src)
-      .agg(max(col("label"))).head().getInt(0).toLong + 1L
+    // lazy: default-mode generate (scaleLabels=false) must not pay an
+    // extra aggregation job — or NPE on an empty/all-null label column
+    lazy val nLabels: Long = {
+      val m = Tables.embeddings(spark, src).agg(max(col("label"))).head().getAs[Integer](0)
+      require(m != null,
+        s"scaleLabels requires at least one non-null label in $src/embeddings.parquet")
+      m.toLong + 1L
+    }
     write("embeddings", replicate(Tables.embeddings(spark, src), factor) { (df, i) =>
       val dim = 64
       val rot = (0 until dim).map(j => col("embedding").getItem((j + i) % dim))

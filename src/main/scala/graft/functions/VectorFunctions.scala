@@ -490,4 +490,20 @@ object VectorFunctions {
     */
   def nearestCentroid(v: Column, dim: Int, cent: Array[Double]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), dim, cent))
+
+  /** `ARRAY<INT>` of the `nProbe` best cell labels by floored cosine —
+    * the fused multi-probe assignment ([[TopProbeLabels]]).
+    */
+  def topProbeLabels(v: Column, dim: Int, labels: Array[Int],
+                     cents: Array[Double], nProbe: Int): Column =
+    ColumnBridge.column(TopProbeLabels(ColumnBridge.expression(v), dim, labels, cents, nProbe))
+
+  /** Two-level variant: super ranking prunes the cell ranking
+    * ([[TopProbeLabelsHier]]).
+    */
+  def topProbeLabelsHier(v: Column, dim: Int, supCents: Array[Double],
+                         cellLabels: Array[Int], cellSup: Array[Int],
+                         cellCents: Array[Double], nProbe: Int, superProbe: Int): Column =
+    ColumnBridge.column(TopProbeLabelsHier(ColumnBridge.expression(v), dim,
+      supCents, cellLabels, cellSup, cellCents, nProbe, superProbe))
 }

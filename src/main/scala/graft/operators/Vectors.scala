@@ -261,7 +261,8 @@ object Vectors {
     * moves keyed by its home label exactly as the single-block join), so
     * cost scales by nProbe × block size, never the corpus.
     */
-  def knnJoinMultiProbe(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2): DataFrame = {
+  def knnJoinMultiProbe(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
+                        unrolled: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
     // null-label vectors can't join any block (SQL null-equality already
     // drops them from the b-side); they must not become a null centroid
@@ -276,18 +277,37 @@ object Vectors {
     // zero-width VOID literal that analysis rejects — and with no rows
     // the multi-probe graph IS the single-block graph (empty)
     if (cents.isEmpty) return knnJoin(embeddings, k)
-    // (-centroid cosine, label) structs sort lexicographically =
-    // score desc, label asc — deterministic probe ranking in-row. The
-    // score is floored at 6 decimals like the final cosine: centroids come
-    // from a distributed double fold here and a per-dim AVG in the oracle,
-    // so an unrounded near-tie could rank probes differently per engine /
-    // partitioning and change the candidate set.
-    val scoredCents = cents.map { case (l, cv) =>
-      struct((-fl(cosTo(typedLit(cv), col("embedding")), 6)).as("neg"), lit(l).as("lbl"))
+    // Probe ranking is (-centroid cosine, label) ascending = score desc,
+    // label asc — deterministic in-row. The score is floored at 6 decimals
+    // like the final cosine: centroids come from a distributed double fold
+    // here and a per-dim AVG in the oracle, so an unrounded near-tie could
+    // rank probes differently per engine / partitioning and change the
+    // candidate set.
+    //
+    // Deploy path: the fused codegen'd TopProbeLabels expression — the
+    // centroid matrix is ONE codegen reference object, so plan size is
+    // O(1) in the cell count C and scoring is a compiled O(C·dim) loop.
+    // `unrolled = true` keeps the original one-literal-struct-per-cell
+    // array_sort formulation alive purely as the spec twin that pins the
+    // expression's bit-exact equivalence (it is O(C) plan nodes and
+    // interpreted per-row HOF eval — a scale-killer at FAISS cell counts).
+    val topLabels = if (unrolled) {
+      val scoredCents = cents.map { case (l, cv) =>
+        struct((-fl(cosTo(typedLit(cv), col("embedding")), 6)).as("neg"), lit(l).as("lbl"))
+      }
+      transform(
+        slice(array_sort(array(scoredCents.toIndexedSeq: _*)), 1, nProbe),
+        x => x.getField("lbl"))
+    } else {
+      val labelArr = cents.map(_._1)
+      val centFlat = cents.flatMap(_._2)
+      // a NULL vector nulls the expression; the unrolled form's all-null
+      // scores degenerate to label-asc ranking, restored here by coalesce
+      coalesce(
+        graft.functions.VectorFunctions.topProbeLabels(
+          col("embedding"), DIM, labelArr, centFlat, nProbe),
+        typedLit(labelArr.take(math.min(nProbe, labelArr.length)).toSeq))
     }
-    val topLabels = transform(
-      slice(array_sort(array(scoredCents.toIndexedSeq: _*)), 1, nProbe),
-      x => x.getField("lbl"))
     val probeLabels = array_distinct(concat(array(col("label")), topLabels))
     val withNorm = embeddings.select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
@@ -356,7 +376,8 @@ object Vectors {
     * replays the full hierarchy in DuckDB.
     */
   def knnJoinMultiProbeHier(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
-                            superProbe: Int = 2, stashOracle: Boolean = false): DataFrame = {
+                            superProbe: Int = 2, stashOracle: Boolean = false,
+                            unrolled: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
     import graft.OracleStash.{dl, dlist}
     val cents = embeddings.filter(col("label").isNotNull).groupBy("label")
@@ -382,34 +403,6 @@ object Vectors {
       best
     }
     val cellSup: Array[Int] = cents.map(c => nearestSup(c._2))
-    // stage 1 in-row: rank supers by floored cosine, keep superProbe ids
-    val supScored = supCents.toIndexedSeq.zipWithIndex.map { case (sc, j) =>
-      struct((-fl(cosTo(typedLit(sc.toSeq), col("embedding")), 6)).as("neg"), lit(j).as("sid"))
-    }
-    val topSupers = transform(
-      slice(array_sort(array(supScored: _*)), 1, superProbe), x => x.getField("sid"))
-    // stage 2 in-row: one UNROLLED guarded entry per cell — the cosine
-    // sits behind `when(super chosen)`, so pruned cells cost one int
-    // array_contains, and the intermediate array holds only (neg, lbl)
-    // structs. Two evaluation traps, both measured at 2-3x the FLAT
-    // variant before being designed out: (1) carrying the centroid
-    // VECTORS through a filter/transform HOF pair materializes all C
-    // cell vectors (~50 KB at C=100) into every row's candidate array —
-    // centroids must live inside the expressions, as literals, never in
-    // the data; (2) referencing the topSupers expression from each of
-    // the C guards re-evaluates the whole super ranking per guard (this
-    // projection is interpreted — HOFs have no codegen — so there is no
-    // CSE), so the super choice is materialized ONCE as its own column
-    // and the guards reference the column.
-    def scoredCand(sup: Column) = filter(
-      array(cents.toIndexedSeq.zipWithIndex.map { case ((l, cv), ci) =>
-        when(array_contains(sup, lit(cellSup(ci))),
-          struct((-fl(cosTo(typedLit(cv.toSeq), col("embedding")), 6)).as("neg"),
-            lit(l).as("lbl")))
-      }: _*), c => c.isNotNull)
-    def topLabels(sup: Column) = transform(
-      slice(array_sort(scoredCand(sup)), 1, nProbe), x => x.getField("lbl"))
-    def probeLabels(sup: Column) = array_distinct(concat(array(col("label")), topLabels(sup)))
     if (stashOracle) {
       val supVals = supCents.toIndexedSeq.zipWithIndex
         .map { case (v, j) => s"($j, ${dlist(v.toSeq)})" }.mkString(", ")
@@ -419,11 +412,55 @@ object Vectors {
     }
     val withNorm = embeddings.select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
-    val aSide = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"), topSupers.as("_sup"))
-      .select(col("vec_id"),
+    // Deploy path: BOTH ranking stages fused into the codegen'd
+    // TopProbeLabelsHier expression — supers, cell→super map and cell
+    // centroids are codegen reference objects, so plan size is O(1) in C
+    // and the per-row cost is the compiled O((S + superProbe·C/S)·dim)
+    // two-stage loop. `unrolled = true` keeps the original formulation
+    // (per-super literal structs + one when-guarded literal entry per
+    // cell) alive as the spec twin pinning bit-exact equivalence; its
+    // design notes — centroids must live in expressions not data, the
+    // super choice must be materialized once as a column because the
+    // interpreted projection has no CSE — are retained in git history
+    // and superseded by the fused expression.
+    val aSide = if (unrolled) {
+      val supScored = supCents.toIndexedSeq.zipWithIndex.map { case (sc, j) =>
+        struct((-fl(cosTo(typedLit(sc.toSeq), col("embedding")), 6)).as("neg"), lit(j).as("sid"))
+      }
+      val topSupers = transform(
+        slice(array_sort(array(supScored: _*)), 1, superProbe), x => x.getField("sid"))
+      def scoredCand(sup: Column) = filter(
+        array(cents.toIndexedSeq.zipWithIndex.map { case ((l, cv), ci) =>
+          when(array_contains(sup, lit(cellSup(ci))),
+            struct((-fl(cosTo(typedLit(cv.toSeq), col("embedding")), 6)).as("neg"),
+              lit(l).as("lbl")))
+        }: _*), c => c.isNotNull)
+      def topLabels(sup: Column) = transform(
+        slice(array_sort(scoredCand(sup)), 1, nProbe), x => x.getField("lbl"))
+      def probeLabels(sup: Column) = array_distinct(concat(array(col("label")), topLabels(sup)))
+      embeddings
+        .select(col("vec_id"), col("label"), col("embedding"), topSupers.as("_sup"))
+        .select(col("vec_id"),
+          col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
+          explode(probeLabels(col("_sup"))).as("probe_label"))
+    } else {
+      val labelArr = cents.map(_._1)
+      val cellFlat = cents.flatMap(_._2)
+      // a NULL vector nulls the expression; the unrolled form's all-null
+      // scores pick supers {0..superProbe-1} (sid asc) then member cells
+      // label-asc — the same list, precomputed here as the coalesce arm
+      val sp = math.min(superProbe, nSup)
+      val nullFallback = cents.indices
+        .filter(ci => cellSup(ci) < sp).take(nProbe).map(ci => cents(ci)._1)
+      val topLabels = coalesce(
+        graft.functions.VectorFunctions.topProbeLabelsHier(
+          col("embedding"), DIM, supFlat, labelArr, cellSup, cellFlat, nProbe, superProbe),
+        typedLit(nullFallback))
+      val probeLabels = array_distinct(concat(array(col("label")), topLabels))
+      embeddings.select(col("vec_id"),
         col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"),
-        explode(probeLabels(col("_sup"))).as("probe_label"))
+        explode(probeLabels).as("probe_label"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
     aSide.as("a")

@@ -360,6 +360,69 @@ class DedupVectorsSpec extends SparkSpec {
     assert(single.subsetOf(hier), "own-block edges must never be pruned away")
   }
 
+  test("fused probe expressions ≡ unrolled formulations on the real corpus (flat + hier)") {
+    // the deploy path (TopProbeLabels / TopProbeLabelsHier codegen'd
+    // expressions, O(1) plan size in C) must reproduce the original
+    // one-literal-per-cell array_sort plans bit-for-bit
+    val flatExpr = Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val flatUnrolled = Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2, unrolled = true)
+      .collect().map(_.toSeq).toSet
+    assert(flatExpr === flatUnrolled)
+    val hierExpr = Vectors.knnJoinMultiProbeHier(emb, k = 5, nProbe = 2, superProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val hierUnrolled = Vectors.knnJoinMultiProbeHier(emb, k = 5, nProbe = 2, superProbe = 2,
+      unrolled = true).collect().map(_.toSeq).toSet
+    assert(hierExpr === hierUnrolled)
+  }
+
+  test("fused probe expressions ≡ unrolled on degenerate vectors (null/null-element/null-label)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // every null/NaN shape the unrolled plan defines behavior for:
+    //  - a NULL vector nulls every cosine → probe ranking degenerates to
+    //    label ASC (the coalesce fallback arm on the expression path)
+    //  - a NULL ELEMENT nulls dot(q,q) → same degeneration, but through
+    //    the expression's own kernel (array non-null)
+    //  - a NULL label keeps its a-side probes but never matches b-side
+    // (zero-NORM vectors are OUTSIDE the operator contract: under ANSI
+    // the downstream join cosine's 0/0 throws DIVIDE_BY_ZERO on either
+    // probe-assignment path)
+    def vec(deg: Double): Seq[java.lang.Float] = {
+      val r = math.toRadians(deg)
+      Seq.tabulate[java.lang.Float](64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val withNullElem: Seq[java.lang.Float] = vec(5.0).updated(3, null: java.lang.Float)
+    val rows = Seq(
+      Row(0L, Integer.valueOf(0), vec(0.0)),
+      Row(1L, Integer.valueOf(0), vec(2.0)),
+      Row(2L, Integer.valueOf(0), null),
+      Row(3L, Integer.valueOf(1), vec(1.0)),
+      Row(4L, Integer.valueOf(1), withNullElem),
+      Row(5L, Integer.valueOf(1), vec(3.0)),
+      Row(6L, Integer.valueOf(2), vec(90.0)),
+      Row(7L, Integer.valueOf(2), vec(91.0)),
+      Row(8L, null, vec(45.0)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("label", IntegerType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    for (np <- Seq(1, 2, 5)) {
+      val fe = Vectors.knnJoinMultiProbe(df, k = 3, nProbe = np)
+        .collect().map(_.toSeq).toSet
+      val fu = Vectors.knnJoinMultiProbe(df, k = 3, nProbe = np, unrolled = true)
+        .collect().map(_.toSeq).toSet
+      assert(fe === fu, s"flat mismatch at nProbe=$np")
+      val he = Vectors.knnJoinMultiProbeHier(df, k = 3, nProbe = np, superProbe = 1)
+        .collect().map(_.toSeq).toSet
+      val hu = Vectors.knnJoinMultiProbeHier(df, k = 3, nProbe = np, superProbe = 1,
+        unrolled = true).collect().map(_.toSeq).toSet
+      assert(he === hu, s"hier mismatch at nProbe=$np")
+    }
+  }
+
   test("residual PQ: lower reconstruction error than plain PQ at equal code size, recall no worse") {
     // equal code budget: plain PQ m=8 × log2(16) = 32 bits; residual PQ
     // two stages of m=4 × log2(16) = 32 bits

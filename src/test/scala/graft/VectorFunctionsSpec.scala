@@ -145,4 +145,36 @@ class VectorFunctionsSpec extends SparkSpec {
       VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
     assert(both.filter(col("n2") =!= col("d")).count() == 0)
   }
+
+  test("top_probe_labels: interpreted eval matches codegen, ties break label-asc") {
+    import graft.functions.TopProbeLabels
+    val dim = 4
+    val labels = Array(3, 7, 11)
+    // c0 = e0, c1 = e1, c2 = e2: vector (1,1,0,0) ties c0 and c1 at
+    // cos = 1/sqrt(2) and scores 0 on c2 → labels [3, 7] at nProbe=2
+    val cents = Array.tabulate(3 * dim)(i => if (i / dim == i % dim) 1.0 else 0.0)
+    val v = Seq(1.0f, 1.0f, 0.0f, 0.0f)
+    val e = TopProbeLabels(
+      Literal.create(v, ArrayType(FloatType)), dim, labels, cents, nProbe = 2)
+    val interpreted = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interpreted.toIntArray().toSeq == Seq(3, 7))
+    val viaDf = spark.range(1).select(
+      VectorFunctions.topProbeLabels(
+        lit(v.toArray).cast(ArrayType(FloatType)), dim, labels, cents, 2).as("p"))
+      .collect()(0).getSeq[Int](0)
+    assert(viaDf == Seq(3, 7))
+    // nProbe above C returns all cells, best-first
+    val all = TopProbeLabels(
+      Literal.create(Seq(0.0f, 0.0f, 1.0f, 0.0f), ArrayType(FloatType)),
+      dim, labels, cents, nProbe = 9)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(all.toIntArray().toSeq == Seq(11, 3, 7))
+    // a null ELEMENT degenerates ranking to label-asc (dot(q,q) is null
+    // in the unrolled plan, nulling every cell's score)
+    val degen = TopProbeLabels(
+      Literal.create(Seq[java.lang.Float](1.0f, null, 0.0f, 0.0f), ArrayType(FloatType)),
+      dim, labels, cents, nProbe = 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(degen.toIntArray().toSeq == Seq(3, 7))
+  }
 }
