@@ -134,10 +134,61 @@ object ChatLogSources {
     * byte-identical files. Covers chat lines across all five categories,
     * new_member / gift_member events (empty message, null category), a
     * gift-only user, and fractional epoch timestamps.
+    *
+    * Concurrency-safe (the BENCH_r06 tail carried one rep crashing on an
+    * empty glob when a concurrent run caught the old non-atomic write
+    * mid-flight): the layout is fully built in a unique staging directory
+    * and atomically renamed into the fixed path, with a `_COMPLETE`
+    * marker INSIDE the staged tree so the fixed path either doesn't
+    * exist, is a half-written legacy corpse (no marker → replaced), or is
+    * complete and byte-identical to what any other writer would produce.
+    * Once-per-JVM idempotent via lazy val; repeat calls don't touch disk.
     */
-  def writeCacheFixture(): String = {
+  def writeCacheFixture(): String = fixtureReady
+
+  private lazy val fixtureReady: String = installFixture()
+
+  /** The install protocol itself, callable repeatedly (spec seam): fast
+    * path on the completeness marker, else stage + atomic swap with
+    * bounded retries against concurrent installers and legacy corpses.
+    */
+  private[graft] def installFixture(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dst = Paths.get(fixtureDir)
+    val marker = dst.resolve("_COMPLETE")
+    if (Files.exists(marker)) return fixtureDir
+    val stage = Paths.get(
+      fixtureDir + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
+    writeFixtureTo(stage.toString)
+    Files.writeString(stage.resolve("_COMPLETE"), "")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      try {
+        Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+        return fixtureDir
+      } catch {
+        case _: java.io.IOException if Files.exists(marker) =>
+          // a concurrent installer won; its files are byte-identical
+          deleteRecursively(stage.toFile)
+          return fixtureDir
+        case _: java.io.IOException =>
+          // half-written corpse (legacy writer or killed process): replace
+          deleteRecursively(dst.toFile)
+      }
+    }
+    deleteRecursively(stage.toFile)
+    throw new IllegalStateException(s"could not install chat-log fixture at $dst")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  private def writeFixtureTo(d: String): Unit = {
     import java.nio.file.{Files, Paths}
-    val d = fixtureDir
     Files.createDirectories(Paths.get(s"$d/chat_logs"))
     Files.createDirectories(Paths.get(s"$d/videos"))
     fixtureVideos.zipWithIndex.foreach { case ((_, vid), vi) =>
@@ -168,7 +219,6 @@ object ChatLogSources {
     }
     Files.writeString(Paths.get(s"$d/channels.json"),
       """{"GroupOne": {"Alpha": "chanX"}, "GroupTwo": {"Beta": "chanY"}}""")
-    d
   }
 
   /** The driver-gate entry: write the fixture, read it back through the

@@ -125,4 +125,52 @@ class ChatLogSourcesSpec extends SparkSpec {
       ChatLogSources.readVideoMetadata(spark, dir)).collect()
     assert(hours.length == 1 && math.abs(hours.head.getAs[Double]("hours") - 3.5) < 1e-9)
   }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree); f.delete()
+  }
+
+  test("fixture install: concurrent installers race safely, readers never see a partial dir") {
+    // the BENCH_r06 failure mode: one process read the fixed fixture path
+    // while another was (re)writing it non-atomically → empty glob. The
+    // install protocol stages + atomically renames, so once ANY installer
+    // succeeds the path is complete and never touched again.
+    val root = new java.io.File(ChatLogSources.fixtureDir)
+    deleteTree(root)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { _ =>
+      new Thread(() =>
+        try ChatLogSources.installFixture()
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent install failed: ${errors.peek()}")
+    assert(Files.exists(Paths.get(ChatLogSources.fixtureDir, "_COMPLETE")))
+    // no staging residue left behind
+    val residue = root.getParentFile.listFiles()
+      .filter(_.getName.startsWith(root.getName + ".stage-"))
+    assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+    // full read works and sees the complete fixture (3 videos x 12 lines)
+    assert(ChatLogSources.readChatLogs(spark, ChatLogSources.fixtureDir).count() == 36L)
+  }
+
+  test("fixture install: replaces a half-written legacy corpse, then idempotent (no rewrite)") {
+    val root = new java.io.File(ChatLogSources.fixtureDir)
+    deleteTree(root)
+    // a legacy/killed writer left a partial dir without the marker
+    Files.createDirectories(Paths.get(ChatLogSources.fixtureDir, "chat_logs"))
+    Files.writeString(Paths.get(ChatLogSources.fixtureDir, "chat_logs", "junk.jsonl.gz"), "")
+    ChatLogSources.installFixture()
+    val marker = Paths.get(ChatLogSources.fixtureDir, "_COMPLETE")
+    assert(Files.exists(marker), "corpse must be replaced by a complete fixture")
+    assert(!Files.exists(Paths.get(ChatLogSources.fixtureDir, "chat_logs", "junk.jsonl.gz")))
+    assert(ChatLogSources.readChatLogs(spark, ChatLogSources.fixtureDir).count() == 36L)
+    // second call takes the fast path: nothing on disk is touched
+    val mtime = Files.getLastModifiedTime(marker)
+    ChatLogSources.installFixture()
+    assert(Files.getLastModifiedTime(marker) == mtime, "repeat install must not rewrite")
+    // and the gate entry end-to-end still produces the rollup
+    assert(ChatLogSources.fixtureRollup(spark).count() > 0)
+  }
 }
