@@ -64,7 +64,11 @@ WITH ranked AS (
  SELECT vec_id, probe_label FROM ranked WHERE pr <= {NPROBE}
  UNION SELECT vec_id, label AS probe_label FROM embeddings
 """)
-labels = [r[0] for r in con.sql("SELECT DISTINCT probe_label FROM probes ORDER BY 1").fetchall()]
+# a NULL-label vector contributes a NULL probe (its own label) which can
+# never match a b-side label — and would interpolate as the SQL keyword
+# None below, a syntax error — so it is dropped here, matching the engine
+labels = [r[0] for r in con.sql(
+    "SELECT DISTINCT probe_label FROM probes WHERE probe_label IS NOT NULL ORDER BY 1").fetchall()]
 print("labels:", labels, flush=True)
 con.sql("CREATE TEMP TABLE cand (vec_a BIGINT, vec_b BIGINT, cosine DOUBLE)")
 for L in labels:

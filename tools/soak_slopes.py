@@ -8,10 +8,12 @@ least-squares log-log slopes over x = 1, 10, 30, and writes
 `soak_slopes.json` + a markdown summary to stdout.
 
 Usage: tools/soak_slopes.py [--skip QUERIES] [--fresh]
-  --skip  comma list excluded from the x30 run only (default: the two
-          exact-kNN quadratics, whose x30 cost is ~20 min for a slope
-          already measured at x10 — exclusions are listed in the output,
-          never silent)
+  --skip  comma list excluded from the x30 run only (default: the three
+          kNN-join variants — the two exact quadratics plus the mph
+          hierarchy that shares their pair join — whose x30 cost is
+          ~20 min for slopes already measured at x10; skipped queries
+          still get a TWO-POINT x1/x10 slope in the output, flagged
+          `two_point`, so nothing is silently omitted)
   --fresh regenerate corpora and rerun everything even if files exist
 """
 import json, math, os, subprocess, sys, argparse
@@ -69,6 +71,9 @@ def main():
         sxy = sum(x * y for x, y in zip(xs, ys))
         return (n * sxy - sx * sy) / (n * sxx - sx * sx)
 
+    def slope2(y1, y10):
+        return (math.log(max(y10, 1e-3)) - math.log(max(y1, 1e-3))) / math.log(10)
+
     out = {"skipped_at_x30": sorted(skip), "queries": {}}
     for k in sorted(d30["queries"]):
         w = [d1["queries"][k], d10["queries"][k], d30["queries"][k]]
@@ -76,6 +81,14 @@ def main():
         out["queries"][k] = {
             "wall_s": [round(v, 3) for v in w], "wall_slope": round(slope(w), 2),
             "cpu_s": [round(v, 1) for v in c], "cpu_slope": round(slope(c), 2)}
+    # skipped queries: two-point x1/x10 slope, flagged — never omitted
+    for k in sorted(skip & set(d1["queries"]) & set(d10["queries"])):
+        w = [d1["queries"][k], d10["queries"][k]]
+        c = [d1["cpu_ms"][k] / 1000, d10["cpu_ms"][k] / 1000]
+        out["queries"][k] = {
+            "wall_s": [round(v, 3) for v in w], "wall_slope": round(slope2(*w), 2),
+            "cpu_s": [round(v, 1) for v in c], "cpu_slope": round(slope2(*c), 2),
+            "two_point": True}
     with open(os.path.join(REPO, "soak_slopes.json"), "w") as f:
         json.dump(out, f, indent=1)
 
