@@ -49,7 +49,14 @@ object Bench {
     // never sets it, so the recorded bench always covers the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
-    val ordered = selected.toSeq.sortBy(_._1)
+    // SEEDED-shuffled run order: three rounds of alphabetical ordering let
+    // environmental spikes land on adjacent family blocks and read as
+    // family regressions (r5 k-means block, r6 q_-block). A deterministic
+    // shuffle decorrelates position from family while keeping runs
+    // reproducible; SPARK_GRAFT_BENCH_SEED overrides for order-invariance
+    // checks (totals across two seeds agree within noise).
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "1").toLong
+    val ordered = new scala.util.Random(seed).shuffle(selected.toSeq.sortBy(_._1))
     // best-of-2 per query with the reps BACK-TO-BACK: rep 2 reuses rep 1's
     // generated classes (the codegen cache holds ~100 plans — separate full
     // passes would evict them between reps and re-measure compilation, which

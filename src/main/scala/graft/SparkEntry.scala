@@ -141,7 +141,12 @@ object SparkEntry {
     // cap=16: measured on this corpus (cap sweep, round 6) as the smallest
     // cap with output identical to the exhaustive path at sf0.1 — it prunes
     // the df>16 head that generates most of the ~1.7M candidate pairs while
-    // every true >=0.3-Jaccard pair still shares a rare shingle
+    // every true >=0.3-Jaccard pair still shares a rare shingle.
+    // FIXED (not Dedup.autoJaccardCap, the r7 provably-zero-loss auto-sizer
+    // deploys use) because the DuckDB twin inlines the same literal cap and
+    // the gate must compare identical constants across SFs; the spec suite
+    // pins autoJaccardCap's zero-loss guarantee and JaccardHotSoak measures
+    // it winning wall+CPU on a genuinely stopword-hot corpus (SCALING.md)
     "d_ngram_jaccard_capped" -> ((s, d) =>
       Dedup.ngramJaccard(Fixtures.plantedDocs(docs(s, d)), maxDf = Some(16L))),
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),

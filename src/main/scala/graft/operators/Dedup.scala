@@ -663,6 +663,64 @@ object Dedup {
     }
   }
 
+  /** One-pass auto-sizing of the [[ngramJaccard]] df cap with a ZERO-LOSS
+    * guarantee at the given threshold — so deploys don't inherit a
+    * corpus-specific constant (the registered gate cap=16 came from a
+    * manual output-identity sweep on the bench corpus).
+    *
+    * The capped path misses a pair only if ALL its shared shingles have
+    * df > cap. For any pair (A, B) with J(A,B) ≥ t: the shared count is
+    * J·|A∪B| ≥ t·|A|, so at most floor((1−t)·|A|) of A's shingles are
+    * NOT shared — among A's floor((1−t)·|A|)+1 rarest shingles at least
+    * one IS shared. Hence the per-doc statistic
+    *   q(A) = the (floor((1−t)·|A|)+1)-th smallest shingle df of A
+    * upper-bounds the pair's min-shared-df through A. Any cap ≥ the
+    * SECOND-largest q over the corpus covers every pair (at most one doc
+    * of a pair attains the max), so capped ≡ exhaustive at threshold t,
+    * proven, in one extra df-join pass (the df aggregate is the same one
+    * the capped path builds its hot set from).
+    *
+    * On clean corpora the statistic sits just above the duplicate-cluster
+    * cardinality (copies inflate every shared shingle's df by the cluster
+    * size); planted stopword shingles (df ≈ corpus size) do NOT drag it
+    * up as long as each doc keeps a (1−t) fraction of rarer shingles —
+    * exactly the regime where capping matters (JaccardHotSoak measures
+    * it). Conservative by design: the guarantee covers the worst pair, so
+    * on corpora with heavy NATURAL phrase sharing the returned cap can
+    * approach the df ceiling and prune little — zero-loss costs that.
+    */
+  def autoJaccardCap(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.3): Long = {
+    val arr = shingleArrays(canon(documents), k)
+    val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
+    val dfRel = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
+    // per-doc q-th smallest df; q = floor((1-t)*n)+1 (double rounding can
+    // only push q UP by one, which loosens the cap — still sound)
+    val stat = inv.join(dfRel, "xsh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("df"))).as("dfs"))
+      .select(element_at(col("dfs"),
+        (floor(size(col("dfs")) * lit(1d - minJaccard)) + 1).cast("int")).as("q"))
+    val top2 = stat.orderBy(col("q").desc).limit(2).collect().map(_.getLong(0))
+    if (top2.length < 2) top2.headOption.getOrElse(1L) else top2(1)
+  }
+
+  /** Shingle-df telemetry for the soak tooling: (max df, candidate pairs
+    * the exhaustive inverted-index join generates = Σ C(df,2), candidate
+    * pairs surviving the cap). Quantifies the quadratic the cap removes.
+    */
+  private[graft] def shingleDfStats(documents: DataFrame, k: Int = 3,
+                                    cap: Long = 16L): (Long, Long, Long) = {
+    val arr = shingleArrays(canon(documents), k)
+    // df*(df-1) stays integral (SQL `/` would widen to double)
+    val r = arr.select(explode(col("shs")).as("xsh"))
+      .groupBy("xsh").agg(count(lit(1)).as("df"))
+      .agg(max(col("df")),
+        sum(col("df") * (col("df") - 1)),
+        sum(when(col("df") <= cap, col("df") * (col("df") - 1)).otherwise(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1) / 2, r.getLong(2) / 2)
+  }
+
   /** DuckDB twin of the CAPPED path (`maxDf = Some(cap)`): the df-filter
     * CTE restricts CANDIDATE GENERATION to shingles with df <= cap, then
     * the Jaccard is recomputed from the FULL per-pair intersection —

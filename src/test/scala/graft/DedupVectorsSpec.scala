@@ -57,6 +57,46 @@ class DedupVectorsSpec extends SparkSpec {
     strong.foreach(p => assert(capped.contains(p), s"capped path lost strong pair $p"))
   }
 
+  test("autoJaccardCap: zero-loss by construction — capped output ≡ exhaustive at the auto cap") {
+    val cap = Dedup.autoJaccardCap(docs)
+    info(s"auto cap on the planted bench corpus: $cap")
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccard(docs, minJaccard = 0.3, maxDf = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == exact, s"auto cap $cap lost/changed pairs: " +
+      s"${(exact.keySet -- capped.keySet).take(5)} / ${(capped.keySet -- exact.keySet).take(5)}")
+  }
+
+  test("autoJaccardCap: corpus-hot stopword shingles don't drag the cap up") {
+    val s = spark
+    import s.implicits._
+    // every doc shares a hot stopword prefix (df = corpus size) but keeps
+    // a majority of unique tail shingles; one planted near-dup pair. The
+    // per-doc statistic reads the RARE end of each doc's df distribution,
+    // so the cap stays far below the hot df — the hot shingles get pruned
+    // from candidate generation, yet the pair survives via its rare ones.
+    val n = 30
+    val hot = "in the of and to"
+    val rows = (0 until n).map { i =>
+      val tail = (0 until 12).map(w => s"w${i}x$w").mkString(" ")
+      (i.toLong, s"$hot $tail")
+    } :+ (100L, {
+      // near-dup of doc 0: same tail minus last word
+      val tail = (0 until 11).map(w => s"w0x$w").mkString(" ")
+      s"$hot $tail"
+    })
+    val df = rows.toDF("doc_id", "text")
+    val cap = Dedup.autoJaccardCap(df)
+    assert(cap < n, s"cap $cap should sit far below the hot df $n")
+    val exact = Dedup.ngramJaccard(df, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccard(df, minJaccard = 0.3, maxDf = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == exact)
+    assert(capped.contains((0L, 100L)), "planted near-dup pair must survive the cap")
+  }
+
   test("dedup clusters: distributed loop and driver union-find paths agree exactly") {
     val small = Dedup.dedupClusters(docs) // small-graph path at this SF
     val dist = Dedup.dedupClusters(docs, smallGraphEdges = 0L) // force the loop
