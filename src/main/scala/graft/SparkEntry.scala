@@ -165,6 +165,10 @@ object SparkEntry {
     // two-level coarse quantizer for probe assignment (trained-constant
     // stashed oracle replays the full hierarchy)
     "v_knn_join_mph" -> ((s, d) => Vectors.knnJoinMultiProbeHier(emb(s, d), stashOracle = true)),
+    // blocks = LEARNED k-means cells instead of the label column (the geo
+    // upgrade of the graph build); oracle replays train -> assign -> probe
+    // -> graph end-to-end through the unrolled-Lloyd CTE chain, no stash
+    "v_knn_join_geo" -> ((s, d) => Vectors.knnJoinGeo(emb(s, d))),
     // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
@@ -338,6 +342,7 @@ object SparkEntry {
     "v_ann_lsh" -> Vectors.annLshSql(),
     "v_knn_join" -> Vectors.knnJoinSql(),
     "v_knn_join_mp" -> Vectors.knnJoinMultiProbeSql(),
+    "v_knn_join_geo" -> Vectors.knnJoinGeoSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

@@ -325,12 +325,17 @@ object Vectors {
       .filter(col("nn_rank") <= k)
   }
 
-  def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2): String = {
+  /** `src` / `prefixCtes` parameterize the replay over a derived source
+    * relation (the geo variant feeds the k-means-relabeled corpus through
+    * the identical probe/pair/top-k chain).
+    */
+  def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2, src: String = "embeddings",
+                           prefixCtes: String = ""): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
-    s"""WITH cent AS (
+    s"""WITH ${prefixCtes}cent AS (
        |  SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
-       |  FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i)
+       |  FROM $src, (SELECT unnest(range(1, ${DIM + 1})) AS i)
        |  WHERE label IS NOT NULL
        |  GROUP BY 1, 2),
        | cvecs AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
@@ -338,22 +343,66 @@ object Vectors {
        |  SELECT e.vec_id, c.label AS probe_label,
        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${flSql(cosToSql("c.cvec", "e.embedding"), 6)} DESC, c.label ASC) AS pr
-       |  FROM embeddings e CROSS JOIN cvecs c),
+       |  FROM $src e CROSS JOIN cvecs c),
        | probes AS (
        |  SELECT vec_id, probe_label FROM ranked WHERE pr <= $nProbe
-       |  UNION SELECT vec_id, label AS probe_label FROM embeddings),
+       |  UNION SELECT vec_id, label AS probe_label FROM $src),
        | pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        |  FROM probes p
-       |  JOIN embeddings a ON a.vec_id = p.vec_id
-       |  JOIN embeddings b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
+       |  JOIN $src a ON a.vec_id = p.vec_id
+       |  JOIN $src b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
        | SELECT vec_a, vec_b, cosine, nn_rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
        |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
        |  FROM pairs)
        | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
   }
+
+  /** #122 geometry-blocked kNN join — the deploy reality of the blocked
+    * kNN graph: the block key is a LEARNED IVF cell ([[clusterKmeans]]'s
+    * Voronoi partition), not a given label column (the same label→geometry
+    * upgrade [[annIvfPqGeo]] makes for single-query ANN, applied to the
+    * graph build). Boundary-straddling near neighbors that arbitrary
+    * labels separate land in the SAME learned cell, and the multi-probe
+    * stage then covers the residual cell boundaries — probe assignment
+    * through the fused [[graft.functions.TopProbeLabels]] expression
+    * against the CELL-MEAN centroids of the relabeled corpus.
+    *
+    * ORACLE-EXACT with zero stashing: the assignment is the deterministic
+    * fixed-point Lloyd the unrolled CTE chain replays (kmeansCtes →
+    * kmeansAssignSql), and the probe/pair/top-k chain is the mp oracle
+    * parameterized over the relabeled relation — the whole composition
+    * (train → assign → probe → graph) is replayed end-to-end in DuckDB.
+    *
+    * Scale: training is the k-means train-once contract; assignment is an
+    * in-row codegen'd projection (no join — the centroids ride the
+    * expression); the graph join is the mp join keyed by cell id, cost
+    * nProbe × cell size. At 100 TB the cell id is the partition column
+    * (one-off relabel materialization), exactly as the geo ANN documents.
+    */
+  def knnJoinGeo(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
+                 kCells: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddings.filter(kmValid).select(col("vec_id"), col("embedding"))
+    val cent = trainCentroids(embeddings, kCells, iters)
+    if (cent.isEmpty)
+      return e.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(0d).as("cosine"), lit(0L).as("nn_rank")).filter(lit(false))
+    knnJoinMultiProbe(
+      e.select(col("vec_id"),
+        kmNearest(cent).getField("cluster").as("label"), col("embedding")),
+      k, nProbe)
+  }
+
+  def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =
+    knnJoinMultiProbeSql(k, nProbe, src = "geo",
+      prefixCtes = s"""${kmeansCtes(kCells, iters)},
+        | asg AS (${kmeansAssignSql(iters)}),
+        | geo AS (
+        |  SELECT e.vec_id, a.cluster AS label, e.embedding
+        |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        | """.stripMargin.replace("\n", ""))
 
   /** #119 hierarchical multi-probe kNN join: identical join semantics to
     * [[knnJoinMultiProbe]], but probe ASSIGNMENT goes through a two-level

@@ -400,6 +400,57 @@ class DedupVectorsSpec extends SparkSpec {
     assert(single.subsetOf(hier), "own-block edges must never be pruned away")
   }
 
+  test("knnJoinGeo: learned cells reunite boundary neighbors that label blocks separate") {
+    val s = spark
+    import s.implicits._
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    // labels 0/1 interleave near (1,0) (every true nearest neighbor is
+    // cross-label), label 2 sits at (0,1). vec_ids 0 and 1 anchor the two
+    // GEOMETRIC clusters so the deterministic lowest-id k-means init
+    // starts one centroid in each — the learned 2-cell partition then
+    // puts ALL interleaved vectors in one cell, and even nProbe=1
+    // (own-cell only) recovers every boundary neighbor the label-blocked
+    // join misses.
+    val rows = Seq((0L, 0, vec(0.0)), (1L, 2, vec(90.0))) ++
+      (1 until 4).map(i => (i + 1L, 0, vec(i * 2.0))) ++
+      (0 until 4).map(i => (100L + i, 1, vec(i * 2.0 + 1.0))) ++
+      (1 until 3).map(i => (200L + i, 2, vec(90.0 + i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val truth = rows.map { case (id, _, v) =>
+      id -> rows.filter(_._1 != id).maxBy { case (oid, _, ov) =>
+        (math.floor(cos(v, ov) * 1e6), -oid)
+      }._1
+    }.toMap
+    def top1(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.filter(col("nn_rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelBlocked = top1(Vectors.knnJoin(df, k = 1))
+    val geo = top1(Vectors.knnJoinGeo(df, k = 1, nProbe = 1, kCells = 2))
+    def recall(got: Map[Long, Long]) = rows.count { case (id, _, _) => got.get(id).contains(truth(id)) }
+    assert(recall(labelBlocked) < rows.size, s"label blocking unexpectedly perfect: $labelBlocked")
+    assert(recall(geo) == rows.size, s"geo blocking missed true neighbors: $geo vs $truth")
+    // deterministic end to end (trained init is lowest-id, Lloyd is exact)
+    val again = top1(Vectors.knnJoinGeo(df, k = 1, nProbe = 1, kCells = 2))
+    assert(again == geo)
+  }
+
+  test("knnJoinGeo: empty and all-invalid corpora yield empty graphs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(Vectors.knnJoinGeo(empty).count() == 0)
+    val invalid = Seq((1L, 0, Array.fill(3)(1.0f))).toDF("vec_id", "label", "embedding")
+    assert(Vectors.knnJoinGeo(invalid).count() == 0) // wrong dim -> kmValid drops it
+  }
+
   test("fused probe expressions ≡ unrolled formulations on the real corpus (flat + hier)") {
     // the deploy path (TopProbeLabels / TopProbeLabelsHier codegen'd
     // expressions, O(1) plan size in C) must reproduce the original
