@@ -169,6 +169,17 @@ object SparkEntry {
     // upgrade of the graph build); oracle replays train -> assign -> probe
     // -> graph end-to-end through the unrolled-Lloyd CTE chain, no stash
     "v_knn_join_geo" -> ((s, d) => Vectors.knnJoinGeo(emb(s, d))),
+    // graph-MV maintenance: stored graph + delta vectors, untouched blocks
+    // pass through verbatim (broadcast anti-join), touched blocks rejoin;
+    // the oracle is the MONOLITHIC full-corpus graph, so hash equality is
+    // itself the proof the maintenance is exact (v_kmeans_incremental shape)
+    "v_knn_join_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d)
+      val old = e.filter(col("vec_id") % 10 < 8)
+      Vectors.knnGraphIncrement(
+        Vectors.knnGraph(old), old, e.filter(col("vec_id") % 10 >= 8))
+    }),
     // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
@@ -343,6 +354,7 @@ object SparkEntry {
     "v_knn_join" -> Vectors.knnJoinSql(),
     "v_knn_join_mp" -> Vectors.knnJoinMultiProbeSql(),
     "v_knn_join_geo" -> Vectors.knnJoinGeoSql(),
+    "v_knn_join_incremental" -> Vectors.knnGraphSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

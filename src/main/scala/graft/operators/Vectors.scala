@@ -574,6 +574,68 @@ object Vectors {
        | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
   }
 
+  /** The blocked kNN graph WITH its block key — the stored-MV form of
+    * [[knnJoin]] (at deploy the graph is partitioned by `label`, which is
+    * exactly what makes [[knnGraphIncrement]]'s surgical maintenance a
+    * partition overwrite). Same join/rank contract as knnJoin; `label`
+    * rides along from the a-side (functionally determined by vec_a).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val withNorm = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
+    withNorm.as("a")
+      .join(withNorm.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
+
+  def knnGraphSql(k: Int = 5): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH pairs AS (
+       | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
+       | FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id <> b.vec_id)
+       | SELECT label, vec_a, vec_b, cosine, nn_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
+       |  FROM pairs)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+  }
+
+  /** #123 incremental maintenance of the blocked kNN graph — the
+    * incremental-MV discipline ([[mergeKmeansState]],
+    * EventSemantics.incrementRollup) applied to the graph build: a delta
+    * of new vectors must not trigger
+    * a full-graph recompute. Blocked edges depend ONLY on their block's
+    * members, so the delta's label set is the exact invalidation set:
+    * edges of untouched blocks pass through from the stored graph
+    * VERBATIM (a broadcast anti-join — the stored graph never reshuffles)
+    * and only the touched blocks' members (old ∪ delta, broadcast
+    * semi-join) re-run the pair join. Result ≡ the monolithic graph over
+    * the full corpus — the gate's oracle IS the full-graph SQL, so hash
+    * equality is itself the proof the maintenance is exact (the
+    * v_kmeans_incremental shape). At deploy: touched labels = overwrite
+    * of those graph partitions; cost scales with delta's block footprint,
+    * never the corpus.
+    */
+  def knnGraphIncrement(oldGraph: DataFrame, oldVectors: DataFrame,
+                        delta: DataFrame, k: Int = 5): DataFrame = {
+    val touched = delta.filter(col("label").isNotNull).select("label").distinct()
+    val kept = oldGraph.join(broadcast(touched), Seq("label"), "left_anti")
+    val affected = oldVectors.unionByName(delta)
+      .join(broadcast(touched), Seq("label"), "left_semi")
+    kept.unionByName(knnGraph(affected, k))
+  }
+
   // ---- #89 product-quantization ANN ----------------------------------------
   /** Deterministic Lloyd-iteration codebook: per subspace, k centroids
     * trained on a driver-bounded sample (init = the sample's first k

@@ -442,6 +442,62 @@ class DedupVectorsSpec extends SparkSpec {
     assert(again == geo)
   }
 
+  test("knnGraphIncrement: untouched blocks pass through verbatim, touched blocks recompute") {
+    val s = spark
+    import s.implicits._
+    // sentinel proof of SURGICAL maintenance: perturb the stored graph's
+    // cosines in the untouched block — the incremental result must carry
+    // the perturbation (pass-through, not recompute) there, and must be
+    // freshly correct in the touched block
+    val old = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val touchedLabels = delta.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val untouched = emb.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet -- touchedLabels
+    assume(untouched.nonEmpty || touchedLabels.nonEmpty)
+    // full equality first (the gate's merged ≡ monolithic shape)
+    val inc = Vectors.knnGraphIncrement(Vectors.knnGraph(old), old, delta)
+      .collect().map(_.toSeq).toSet
+    val full = Vectors.knnGraph(emb).collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // sentinel: corrupt every stored cosine; only touched blocks recover
+    val corrupted = Vectors.knnGraph(old).withColumn("cosine", lit(-9.0))
+    val inc2 = Vectors.knnGraphIncrement(corrupted, old, delta).collect()
+    inc2.foreach { r =>
+      val lbl = r.getInt(0)
+      if (touchedLabels(lbl))
+        assert(r.getDouble(3) != -9.0, s"touched block $lbl must be recomputed")
+      else
+        assert(r.getDouble(3) == -9.0, s"untouched block $lbl must pass through verbatim")
+    }
+  }
+
+  test("knnGraphIncrement: single-block delta leaves every other block untouched") {
+    val s = spark
+    import s.implicits._
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val oldRows = (0 until 4).map(i => (i.toLong, 0, vec(i * 2.0))) ++
+      (0 until 4).map(i => (100L + i, 1, vec(90.0 + i)))
+    val deltaRows = Seq((200L, 1, vec(94.0)))
+    val old = oldRows.toDF("vec_id", "label", "embedding")
+    val delta = deltaRows.toDF("vec_id", "label", "embedding")
+    val inc = Vectors.knnGraphIncrement(
+      Vectors.knnGraph(old).withColumn("cosine", lit(-9.0)), old, delta)
+      .collect()
+    // block 0 untouched: the sentinel survives; block 1 recomputed and
+    // includes the new vector's edges
+    assert(inc.filter(_.getInt(0) == 0).forall(_.getDouble(3) == -9.0))
+    assert(inc.filter(_.getInt(0) == 1).forall(_.getDouble(3) != -9.0))
+    assert(inc.exists(r => r.getLong(1) == 200L), "new vector must have edges")
+    assert(inc.exists(r => r.getInt(0) == 1 && r.getLong(2) == 200L),
+      "old vectors in the touched block must see the new neighbor")
+  }
+
   test("knnJoinGeo: empty and all-invalid corpora yield empty graphs") {
     val s = spark
     import s.implicits._
