@@ -618,21 +618,31 @@ object Vectors {
     * a full-graph recompute. Blocked edges depend ONLY on their block's
     * members, so the delta's label set is the exact invalidation set:
     * edges of untouched blocks pass through from the stored graph
-    * VERBATIM (a broadcast anti-join — the stored graph never reshuffles)
-    * and only the touched blocks' members (old ∪ delta, broadcast
-    * semi-join) re-run the pair join. Result ≡ the monolithic graph over
-    * the full corpus — the gate's oracle IS the full-graph SQL, so hash
-    * equality is itself the proof the maintenance is exact (the
-    * v_kmeans_incremental shape). At deploy: touched labels = overwrite
-    * of those graph partitions; cost scales with delta's block footprint,
-    * never the corpus.
+    * VERBATIM, and only the touched blocks' members (old ∪ delta) re-run
+    * the pair join. Result ≡ the monolithic graph over the full corpus —
+    * the gate's oracle IS the full-graph SQL, so hash equality is itself
+    * the proof the maintenance is exact (the v_kmeans_incremental shape).
+    *
+    * The touched label set is COLLECTED once (bounded by the blocking
+    * cardinality — the same train-once contract as the probe centroids)
+    * and applied as an in-row `isin` literal filter on both sides: the
+    * stored graph is never joined or reshuffled, and because `label` is
+    * the graph MV's partition column at deploy, the kept-edge filter is
+    * PARTITION PRUNING — untouched partitions are not even read, and the
+    * maintenance write is an overwrite of exactly the touched ones. Cost
+    * scales with the delta's block footprint, never the corpus. (The
+    * join-based formulation re-ran the delta's distinct-label aggregate
+    * once per broadcast site — five exchanges where zero are needed.)
     */
   def knnGraphIncrement(oldGraph: DataFrame, oldVectors: DataFrame,
                         delta: DataFrame, k: Int = 5): DataFrame = {
-    val touched = delta.filter(col("label").isNotNull).select("label").distinct()
-    val kept = oldGraph.join(broadcast(touched), Seq("label"), "left_anti")
+    val touched: Seq[Int] = delta.filter(col("label").isNotNull)
+      .select("label").distinct().collect().toIndexedSeq.map(_.getInt(0))
+    // a delta with no labeled vectors invalidates nothing
+    if (touched.isEmpty) return oldGraph
+    val kept = oldGraph.filter(!col("label").isInCollection(touched))
     val affected = oldVectors.unionByName(delta)
-      .join(broadcast(touched), Seq("label"), "left_semi")
+      .filter(col("label").isInCollection(touched))
     kept.unionByName(knnGraph(affected, k))
   }
 

@@ -92,4 +92,43 @@ class PlanAuditSpec extends SparkSpec {
       assert(plans(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dim join")
     }
   }
+
+  test("kNN graph maintenance: both invalidation joins broadcast, stored graph not reshuffled") {
+    // audit the DEPLOY shape: the stored graph is a materialized relation
+    // (at deploy, a label-partitioned table), not the inline rebuild the
+    // gate entry uses for its merged-vs-monolithic proof
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val old = e.filter(col("vec_id") % 10 < 8)
+    val delta = e.filter(col("vec_id") % 10 >= 8)
+    val built = graft.operators.Vectors.knnGraph(old)
+    val stored = spark.createDataFrame(
+      spark.sparkContext.parallelize(built.collect().toIndexedSeq), built.schema)
+    val p = graft.operators.Vectors.knnGraphIncrement(stored, old, delta)
+      .queryExecution.executedPlan.toString
+    // both invalidation filters are in-row isin literals (the touched
+    // label set is a bounded collect) — no join against the stored graph,
+    // no label exchange anywhere; at deploy the kept-edge filter is
+    // partition pruning on the graph MV's label partition column
+    assert(p.contains(" IN ") || p.contains("isin") || p.contains("In("),
+      s"invalidation must be an in-row label filter:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      s"maintenance must not join the stored graph:\n$p")
+    // the only data exchanges belong to the recomputed blocks' own pair
+    // join + top-k window — what the monolithic graph pays on that subset;
+    // the stored side contributes none
+    assert(dataExchanges(p) <= 2, s"graph maintenance gained shuffles:\n$p")
+  }
+
+  test("multi-probe family: probe assignment is ONE expression node, not per-cell literals") {
+    // the r7 fused TopProbeLabels/-Hier expressions: plan SIZE must not
+    // scale with the cell count (the unrolled twin had one dim-length
+    // literal struct per cell)
+    Seq("v_knn_join_mp", "v_knn_join_mph", "v_knn_join_geo").foreach { q =>
+      val hits = "top_probe_labels".r.findAllIn(plans(q)).size
+      assert(hits >= 1, s"$q lost the fused probe expression")
+      assert(!plans(q).contains("array_sort"),
+        s"$q regressed to the unrolled array_sort probe ranking:\n${plans(q).take(2000)}")
+    }
+  }
 }

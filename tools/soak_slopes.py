@@ -8,9 +8,10 @@ least-squares log-log slopes over x = 1, 10, 30, and writes
 `soak_slopes.json` + a markdown summary to stdout.
 
 Usage: tools/soak_slopes.py [--skip QUERIES] [--fresh]
-  --skip  comma list excluded from the x30 run only (default: the three
-          kNN-join variants — the two exact quadratics plus the mph
-          hierarchy that shares their pair join — whose x30 cost is
+  --skip  comma list excluded from the x30 run only (default: the five
+          kNN-join/graph variants, which share the exact blocked pair
+          join that goes quadratic on the fixed-label soak corpus and
+          whose x30 cost is
           ~20 min for slopes already measured at x10; skipped queries
           still get a TWO-POINT x1/x10 slope in the output, flagged
           `two_point`, so nothing is silently omitted)
@@ -21,7 +22,7 @@ import json, math, os, subprocess, sys, argparse
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 CORPORA = [("x10", "target/soak/sf1", 10), ("x30", "target/soak/sf3", 30)]
-DEFAULT_SKIP = "v_knn_join,v_knn_join_mp,v_knn_join_mph"
+DEFAULT_SKIP = "v_knn_join,v_knn_join_mp,v_knn_join_mph,v_knn_join_geo,v_knn_join_incremental"
 
 
 def run(cmd, env=None, log=None):
