@@ -395,6 +395,20 @@ object Vectors {
       k, nProbe)
   }
 
+  /** One-count auto-sizing of the geometry cell count — the analog of
+    * [[graft.operators.Dedup.autoJaccardCap]] for the graph family's last
+    * corpus-specific constant. Per-row graph cost with the fused flat
+    * probe assignment is O(C·dim) (assignment) + O(nProbe·(N/C)·dim)
+    * (pair join at block size N/C), minimized at C = √(nProbe·N) — the
+    * FAISS √N-cells regime. Deploys call this; the GATE keeps the fixed
+    * kCells=8 because the DuckDB twin's unrolled-Lloyd CTE chain must
+    * inline the identical literal.
+    */
+  def autoGeoCells(embeddings: DataFrame, nProbe: Int = 2): Int = {
+    val n = embeddings.filter(kmValid).count()
+    math.max(1, math.ceil(math.sqrt(nProbe.toDouble * n)).toInt)
+  }
+
   def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =
     knnJoinMultiProbeSql(k, nProbe, src = "geo",
       prefixCtes = s"""${kmeansCtes(kCells, iters)},
