@@ -278,4 +278,92 @@ class ExpressionPropertySpec extends SparkSpec {
         s"k=$k i=$i got=${g(i)} exp=${exp(i)}"))
     }
   }
+
+  // ---- probe-assignment kernels vs an independent driver model -------------
+
+  /** The documented TopProbeLabels contract, re-implemented independently:
+    * strict-fold dots, cos = dvq/(sqrt(cc)*sqrt(qq)), Spark's DoubleType
+    * floor (through a long cast: NaN→0, ±Inf→±Long.Max), negation, SQL
+    * double ordering (-0.0 == +0.0, NaN last), label-asc ties.
+    */
+  private def fl6Model(x: Double): Double = math.floor(x * 1e6).toLong / 1e6
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+  private def strictDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0d; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def negScores(q: Array[Double], cents: Array[Array[Double]]): Array[Double] = {
+    val sq = math.sqrt(strictDot(q, q))
+    cents.map(c => -fl6Model(strictDot(c, q) / (math.sqrt(strictDot(c, c)) * sq)))
+  }
+  private def rankedSlice(neg: Array[Double], idx: Seq[Int], labels: Array[Int], p: Int): Seq[Int] =
+    idx.sortWith { (a, b) =>
+      val c = cmpD(neg(a), neg(b)); if (c != 0) c < 0 else a < b
+    }.take(p).map(labels)
+
+  test("TopProbeLabels matches the driver model on random vectors incl. zero/NaN (codegen path)") {
+    val dim = 8
+    val cfgGen = for {
+      nC <- Gen.chooseNum(1, 10)
+      cents <- Gen.listOfN(nC, Gen.listOfN(dim, finiteD))
+      np <- Gen.chooseNum(1, 12)
+    } yield (cents.map(_.toArray).toArray, np)
+    val vecGen = Gen.frequency(
+      7 -> Gen.listOfN(dim, Gen.chooseNum(-100f, 100f)),
+      1 -> Gen.const(List.fill(dim)(0f))) // zero vector -> NaN cosines -> label-asc ties
+    sample(cfgGen, 6).zipWithIndex.foreach { case ((cents, np), cfgI) =>
+      val labels = cents.indices.map(i => i * 3 + 1).toArray // sorted, non-contiguous
+      val vecs = sample(vecGen, 60).map(_.toArray)
+      val schema = StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = false))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs.map(v => Row(v.toSeq)), 3), schema)
+      val got = df.select(VectorFunctions.topProbeLabels(
+        col("v"), dim, labels, cents.flatten, np).as("p"))
+        .collect().map(_.getSeq[Int](0))
+      got.zip(vecs).foreach { case (g, vf) =>
+        val q = vf.map(_.toDouble)
+        val exp = rankedSlice(negScores(q, cents), cents.indices, labels, math.min(np, cents.length))
+        assert(g == exp, s"cfg=$cfgI np=$np v=${vf.toSeq} got=$g exp=$exp")
+      }
+    }
+  }
+
+  test("TopProbeLabelsHier matches the two-stage driver model on random hierarchies") {
+    val dim = 8
+    val cfgGen = for {
+      nC <- Gen.chooseNum(1, 10)
+      cents <- Gen.listOfN(nC, Gen.listOfN(dim, finiteD))
+      nS <- Gen.chooseNum(1, 4)
+      sups <- Gen.listOfN(nS, Gen.listOfN(dim, finiteD))
+      cellSup <- Gen.listOfN(nC, Gen.chooseNum(0, nS - 1))
+      np <- Gen.chooseNum(1, 6)
+      sp <- Gen.chooseNum(1, 3)
+    } yield (cents.map(_.toArray).toArray, sups.map(_.toArray).toArray,
+      cellSup.toArray, np, sp)
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-100f, 100f))
+    sample(cfgGen, 6).zipWithIndex.foreach { case ((cents, sups, cellSup, np, sp), cfgI) =>
+      val labels = cents.indices.map(i => i * 2 + 5).toArray
+      val vecs = sample(vecGen, 40).map(_.toArray)
+      val schema = StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = false))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs.map(v => Row(v.toSeq)), 3), schema)
+      val got = df.select(VectorFunctions.topProbeLabelsHier(
+        col("v"), dim, sups.flatten, labels, cellSup, cents.flatten, np, sp).as("p"))
+        .collect().map(_.getSeq[Int](0))
+      got.zip(vecs).foreach { case (g, vf) =>
+        val q = vf.map(_.toDouble)
+        val negS = negScores(q, sups)
+        val chosen = sups.indices.sortWith { (a, b) =>
+          val c = cmpD(negS(a), negS(b)); if (c != 0) c < 0 else a < b
+        }.take(math.min(sp, sups.length)).toSet
+        val member = cents.indices.filter(ci => chosen(cellSup(ci)))
+        val negC = negScores(q, cents)
+        val exp = rankedSlice(negC, member, labels, math.min(np, member.length))
+        assert(g == exp, s"cfg=$cfgI np=$np sp=$sp v=${vf.toSeq} got=$g exp=$exp")
+      }
+    }
+  }
 }
