@@ -128,6 +128,42 @@ object Dedup {
     java.lang.Long.parseLong(hex.substring(0, 7), 16)
   }
 
+  /** (bands, rows) auto-tuning for the LSH banding at a target Jaccard
+    * threshold — closes the banding's corpus/threshold-specific constant
+    * the way [[autoJaccardCap]] closes the df cap. Over the divisor
+    * pairs b·r = perms, minimizes the weighted S-curve error
+    * `fpWeight·∫₀ᵗ P(s) ds + (1−fpWeight)·∫ᵗ¹ (1−P(s)) ds` with
+    * P(candidate | J=s) = 1−(1−sʳ)ᵇ — the standard MMDS/LSH tuning
+    * criterion, numerically integrated (deterministic midpoint rule).
+    * The default weight is RECALL-LEANING (0.25, not the symmetric 0.5)
+    * because in this operator a false-positive candidate costs only one
+    * exactly-verified pair compare while a false negative silently loses
+    * a true near-duplicate — and at that weight the optimum at the
+    * operator's own t=0.7 / perms=32 is exactly the registered 8×4
+    * (spec-pinned; the symmetric weight would pick 4×8). Deploys at
+    * other thresholds call this instead of inheriting the constant.
+    */
+  def minhashBanding(threshold: Double, perms: Int = 32,
+                     fpWeight: Double = 0.25): (Int, Int) = {
+    require(perms > 0 && threshold > 0 && threshold < 1,
+      s"need perms > 0 and threshold in (0,1), got $perms / $threshold")
+    val pairs = (1 to perms).filter(perms % _ == 0).map(b => (b, perms / b))
+    def err(b: Int, r: Int): Double = {
+      val steps = 1000
+      var fp = 0d
+      var fn = 0d
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1d - math.pow(1d - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1d - p
+        i += 1
+      }
+      (fpWeight * fp + (1d - fpWeight) * fn) / steps
+    }
+    pairs.minBy { case (b, r) => (err(b, r), b) }
+  }
+
   def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     val p = 2147483647L
     // the per-doc shingle-set relation (cached inside shingleArrays) feeds

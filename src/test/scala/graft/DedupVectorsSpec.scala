@@ -57,6 +57,30 @@ class DedupVectorsSpec extends SparkSpec {
     strong.foreach(p => assert(capped.contains(p), s"capped path lost strong pair $p"))
   }
 
+  test("minhashBanding: registered 8x4 is the recall-leaning optimum at t=0.7; tuning tracks the threshold") {
+    // the operator's own default threshold reproduces its registered shape
+    assert(Dedup.minhashBanding(0.7) == (8, 4))
+    // the symmetric weighting would trade recall for precision — but the
+    // exact verify already removes every false positive, so the operator
+    // registers the recall-leaning shape
+    assert(Dedup.minhashBanding(0.7, fpWeight = 0.5) == (4, 8))
+    // rows per band grow with the threshold (steeper S-curve, later midpoint)
+    val rowsAt = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.minhashBanding(t)._2)
+    assert(rowsAt == rowsAt.sorted, s"rows must be monotone in threshold: $rowsAt")
+    // the S-curve midpoint (1/b)^(1/r) brackets the target reasonably on
+    // every divisor count
+    for (t <- Seq(0.4, 0.6, 0.8); perms <- Seq(16, 32, 64)) {
+      val (b, r) = Dedup.minhashBanding(t, perms)
+      assert(b * r == perms)
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.25, s"t=$t perms=$perms got ($b,$r) midpoint $mid")
+    }
+    // fp-averse weighting never picks MORE bands than the recall-leaning one
+    val (bRec, _) = Dedup.minhashBanding(0.7)
+    val (bFp, _) = Dedup.minhashBanding(0.7, fpWeight = 0.9)
+    assert(bFp <= bRec)
+  }
+
   test("autoJaccardCap: zero-loss by construction — capped output ≡ exhaustive at the auto cap") {
     val cap = Dedup.autoJaccardCap(docs)
     info(s"auto cap on the planted bench corpus: $cap")
