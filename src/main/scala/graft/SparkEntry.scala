@@ -152,6 +152,17 @@ object SparkEntry {
     "d_embed_neardup" -> ((s, d) => Dedup.embedNearDup(emb(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Fixtures.plantedDocs(docs(s, d)))),
+    // near-dup-MV maintenance: stored LSH index + pair set, delta probes
+    // the index; oracle = the MONOLITHIC minhash SQL, so hash equality is
+    // the proof the maintenance is exact
+    "d_minhash_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = Fixtures.plantedDocs(docs(s, d))
+      val old = all.filter(col("doc_id") % 10 < 8)
+      Dedup.dedupMinhashIncrement(
+        Dedup.minhashIndex(old), Dedup.dedupMinhash(old),
+        all, all.filter(col("doc_id") % 10 >= 8))
+    }),
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(Fixtures.plantedDocs(docs(s, d)))),
     "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
@@ -338,6 +349,7 @@ object SparkEntry {
     "q_forecast_hours" -> Forecast.forecastHoursSql(),
     "d_dedup_exact" -> Dedup.dedupExactSql,
     "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
+    "d_minhash_incremental" -> Dedup.dedupMinhashSql(),
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 16L),

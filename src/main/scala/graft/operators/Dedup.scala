@@ -164,14 +164,17 @@ object Dedup {
     pairs.minBy { case (b, r) => (err(b, r), b) }
   }
 
-  def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+  /** The persisted LSH index — one (doc_id, band, sig) row per band: the
+    * state a deploy stores so near-dup dedup of a new ingest partition
+    * never re-signatures the corpus ([[dedupMinhashIncrement]]). All 32
+    * minhashes are computed in ONE codegen'd pass over the in-row shingle
+    * set (graft.functions.MinhashSignature — zero shuffles, no
+    * interpreted per-perm lambda passes); the skinny relation is cached
+    * so a self-join doesn't compute the signature once per side.
+    */
+  def minhashIndex(documents: DataFrame, k: Int = 3): DataFrame = {
     val p = 2147483647L
-    // the per-doc shingle-set relation (cached inside shingleArrays) feeds
-    // the signature build and both sides of the candidate verify
     val arr = shingleArrays(canon(documents), k)
-    // All 32 minhashes in ONE codegen'd pass over the shingle set
-    // (graft.functions.MinhashSignature): the signature build has ZERO
-    // shuffles and no interpreted per-perm lambda passes.
     val aConsts = (0 until 32).map(i => md5Const(s"a$i") + 1L)
     val bConsts = (0 until 32).map(i => md5Const(s"b$i"))
     val minsig = arr.select(col("doc_id"),
@@ -179,20 +182,16 @@ object Dedup {
     val bandSigs = (0 until 8).map { bnd =>
       concat_ws("-", (0 until 4).map(r => element_at(col("mh"), bnd * 4 + r + 1).cast("string")): _*)
     }
-    // pin the skinny (doc, band, sig) relation so the self-join doesn't
-    // compute the 32-hash signature once per side
-    val bandSig = minsig
+    minsig
       .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
       .cache()
-    val cand = bandSig.as("a")
-      .join(bandSig.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Verify: join the (small) candidate set to the doc→shingle-set relation
-    // and intersect in-row (two-pointer kernel over the sorted sets) — no
-    // inverted-index re-join, no groupBy.
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * corpus's in-row shingle sets (two-pointer kernel over the sorted
+    * arrays — no inverted-index re-join, no groupBy).
+    */
+  private def verifyPairs(cand: DataFrame, arr: DataFrame, minJaccard: Double): DataFrame =
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -203,6 +202,52 @@ object Dedup {
           (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+
+  def dedupMinhash(documents: DataFrame, k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    // the per-doc shingle-set relation (cached inside shingleArrays) feeds
+    // the signature build and both sides of the candidate verify
+    val arr = shingleArrays(canon(documents), k)
+    val bandSig = minhashIndex(documents, k)
+    val cand = bandSig.as("a")
+      .join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, arr, minJaccard)
+  }
+
+  /** #124 incremental near-dup maintenance — the ingest-time reality of
+    * MinHash dedup at 100 TB/day: the corpus's LSH index
+    * ([[minhashIndex]]) and verified pair set are STORED; a new partition
+    * is signatured ALONE and its bands probe the stored index, so the
+    * only new candidates are pairs touching the delta (a doc's signature
+    * depends on nothing but its own text, so old–old pairs cannot
+    * change). Verification touches only the candidate docs' shingle
+    * sets. Result ≡ the monolithic [[dedupMinhash]] over the full corpus
+    * — the gate's oracle IS the monolithic SQL, so hash equality proves
+    * the maintenance exact (the v_kmeans_incremental /
+    * v_knn_join_incremental proof shape). Cost per ingest:
+    * O(|delta| · bands) probe rows against an index keyed by (band, sig)
+    * — never a corpus re-signature, never an old–old re-verify.
+    */
+  def dedupMinhashIncrement(oldIndex: DataFrame, oldPairs: DataFrame,
+                            documents: DataFrame, delta: DataFrame,
+                            k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val deltaIdx = minhashIndex(delta, k)
+    val fullIdx = oldIndex.unionByName(deltaIdx)
+    // delta side probes the full index; least/greatest canonicalizes the
+    // pair order (a delta doc's id may sort either side of an old one)
+    val cand = deltaIdx.as("a")
+      .join(fullIdx.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val arr = shingleArrays(canon(documents), k)
+    // new pairs always touch the delta; stored pairs are old–old — disjoint
+    oldPairs.unionByName(verifyPairs(cand, arr, minJaccard))
   }
 
   def dedupMinhashSql(k: Int = 3, minJaccard: Double = 0.7): String =

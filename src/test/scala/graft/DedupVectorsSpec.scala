@@ -57,6 +57,37 @@ class DedupVectorsSpec extends SparkSpec {
     strong.foreach(p => assert(capped.contains(p), s"capped path lost strong pair $p"))
   }
 
+  test("dedupMinhashIncrement: merged ≡ monolithic; stored pairs pass through, delta probes find cross pairs") {
+    val s = spark
+    import s.implicits._
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val mono = Dedup.dedupMinhash(docs).collect().map(_.toSeq).toSet
+    val inc = Dedup.dedupMinhashIncrement(
+      Dedup.minhashIndex(old), Dedup.dedupMinhash(old), docs, delta)
+      .collect().map(_.toSeq).toSet
+    assert(inc === mono)
+    // sentinel: corrupt every stored pair's jaccard — old–old pairs must
+    // pass through verbatim (never re-verified), delta-touching pairs fresh
+    val corrupted = Dedup.dedupMinhash(old).withColumn("jaccard", lit(-9.0))
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.dedupMinhashIncrement(Dedup.minhashIndex(old), corrupted, docs, delta)
+      .collect().foreach { r =>
+        val touches = deltaIds(r.getLong(0)) || deltaIds(r.getLong(1))
+        if (touches) assert(r.getDouble(2) != -9.0, s"delta pair $r must be fresh")
+        else assert(r.getDouble(2) == -9.0, s"old pair $r must pass through")
+      }
+    // a delta near-copy of an old doc is found through the stored index
+    val oldDoc = (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    val tiny = Seq(oldDoc, (2L, "completely different words in this other document entirely now")).toDF("doc_id", "text")
+    val newCopy = Seq((50L, oldDoc._2)).toDF("doc_id", "text")
+    val found = Dedup.dedupMinhashIncrement(
+      Dedup.minhashIndex(tiny), Dedup.dedupMinhash(tiny),
+      tiny.unionByName(newCopy), newCopy).collect()
+    assert(found.exists(r => r.getLong(0) == 1L && r.getLong(1) == 50L && r.getDouble(2) == 1.0),
+      s"cross old-delta duplicate must be found: ${found.toSeq}")
+  }
+
   test("minhashBanding: registered 8x4 is the recall-leaning optimum at t=0.7; tuning tracks the threshold") {
     // the operator's own default threshold reproduces its registered shape
     assert(Dedup.minhashBanding(0.7) == (8, 4))
