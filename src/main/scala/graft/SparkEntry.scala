@@ -163,6 +163,19 @@ object SparkEntry {
         Dedup.minhashIndex(old), Dedup.dedupMinhash(old),
         all, all.filter(col("doc_id") % 10 >= 8))
     }),
+    // cluster-MV maintenance: stored labels as a star forest + the
+    // delta-touching pairs through the components machinery; oracle =
+    // the MONOLITHIC clusters SQL (new edges may merge old clusters)
+    "d_clusters_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = Fixtures.plantedDocs(docs(s, d))
+      val old = all.filter(col("doc_id") % 10 < 8)
+      val delta = all.filter(col("doc_id") % 10 >= 8)
+      Dedup.dedupClustersIncrement(
+        Dedup.dedupClusters(old).select("doc_id", "cluster_id"),
+        Dedup.minhashDeltaPairs(Dedup.minhashIndex(old), all, delta),
+        all.select("doc_id"))
+    }),
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(Fixtures.plantedDocs(docs(s, d)))),
     "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
@@ -350,6 +363,7 @@ object SparkEntry {
     "d_dedup_exact" -> Dedup.dedupExactSql,
     "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
     "d_minhash_incremental" -> Dedup.dedupMinhashSql(),
+    "d_clusters_incremental" -> Dedup.dedupClustersSql(),
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 16L),

@@ -233,7 +233,16 @@ object Dedup {
     */
   def dedupMinhashIncrement(oldIndex: DataFrame, oldPairs: DataFrame,
                             documents: DataFrame, delta: DataFrame,
-                            k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+                            k: Int = 3, minJaccard: Double = 0.7): DataFrame =
+    // new pairs always touch the delta; stored pairs are old–old — disjoint
+    oldPairs.unionByName(minhashDeltaPairs(oldIndex, documents, delta, k, minJaccard))
+
+  /** The probe step of [[dedupMinhashIncrement]] alone: the verified
+    * near-dup pairs TOUCHING the delta (also the edge feed of
+    * [[dedupClustersIncrement]]).
+    */
+  def minhashDeltaPairs(oldIndex: DataFrame, documents: DataFrame, delta: DataFrame,
+                        k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     val deltaIdx = minhashIndex(delta, k)
     val fullIdx = oldIndex.unionByName(deltaIdx)
     // delta side probes the full index; least/greatest canonicalizes the
@@ -245,9 +254,31 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    val arr = shingleArrays(canon(documents), k)
-    // new pairs always touch the delta; stored pairs are old–old — disjoint
-    oldPairs.unionByName(verifyPairs(cand, arr, minJaccard))
+    verifyPairs(cand, shingleArrays(canon(documents), k), minJaccard)
+  }
+
+  /** #125 incremental cluster maintenance — the last stage of the dedup
+    * MV kept fresh at ingest: stored (doc_id, cluster_id) labels encode
+    * the old graph's connectivity EXACTLY as a star forest (one
+    * cluster→member edge per non-singleton member), so components over
+    * that compressed forest ∪ the delta-touching pairs
+    * ([[minhashDeltaPairs]]) ≡ components over the full pair graph — new
+    * edges may MERGE old clusters, and the min-label machinery re-derives
+    * the global minimum per merged component. Together with
+    * [[minhashIndex]]/[[dedupMinhashIncrement]] this closes the whole
+    * index → pairs → clusters dedup pipeline under incremental
+    * maintenance: per ingest, work scales with the delta's probe volume
+    * plus the (tiny, near-clique) dup graph, never the corpus. Oracle =
+    * the MONOLITHIC clusters SQL: hash equality proves the maintenance
+    * exact.
+    */
+  def dedupClustersIncrement(oldLabels: DataFrame, newPairs: DataFrame,
+                             nodes: DataFrame, maxIterations: Int = 50,
+                             smallGraphEdges: Long = 500000L): DataFrame = {
+    val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = oldEdges.unionByName(newPairs.select("doc_a", "doc_b")).cache()
+    assignClusters(pairs, nodes.select("doc_id"), maxIterations, smallGraphEdges)
   }
 
   def dedupMinhashSql(k: Int = 3, minJaccard: Double = 0.7): String =

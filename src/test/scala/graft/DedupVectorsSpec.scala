@@ -88,6 +88,31 @@ class DedupVectorsSpec extends SparkSpec {
       s"cross old-delta duplicate must be found: ${found.toSeq}")
   }
 
+  test("dedupClustersIncrement: merged ≡ monolithic; a delta edge merges two old clusters") {
+    val s = spark
+    import s.implicits._
+    // gate shape: stored labels + delta pairs ≡ monolithic clusters
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val inc = Dedup.dedupClustersIncrement(
+      Dedup.dedupClusters(old).select("doc_id", "cluster_id"),
+      Dedup.minhashDeltaPairs(Dedup.minhashIndex(old), docs, delta),
+      docs.select("doc_id")).collect().map(_.toSeq).toSet
+    val mono = Dedup.dedupClusters(docs).collect().map(_.toSeq).toSet
+    assert(inc === mono)
+    // the merge case directly: stored clusters {1,2} and {5,6}, a new
+    // edge 2-5 must fuse them under the GLOBAL min (1), and survivors
+    // re-derive accordingly
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)).toDF("doc_id", "cluster_id")
+    val newEdge = Seq((2L, 5L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id")
+    val merged = Dedup.dedupClustersIncrement(stored, newEdge, nodes)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 5L, 6L).forall(merged(_)._1 == 1L), s"clusters must fuse under min: $merged")
+    assert(merged(1L)._2 && !merged(5L)._2, "only the global min survives the merge")
+    assert(merged(9L) == (9L, true), "untouched singleton keeps its own cluster")
+  }
+
   test("minhashBanding: registered 8x4 is the recall-leaning optimum at t=0.7; tuning tracks the threshold") {
     // the operator's own default threshold reproduces its registered shape
     assert(Dedup.minhashBanding(0.7) == (8, 4))
