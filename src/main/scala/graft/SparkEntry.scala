@@ -155,13 +155,17 @@ object SparkEntry {
     // near-dup-MV maintenance: stored LSH index + pair set, delta probes
     // the index; oracle = the MONOLITHIC minhash SQL, so hash equality is
     // the proof the maintenance is exact
+    // split by % 7, not % 10: the planted copy offsets (1e7/2e7) are
+    // ≡ 3/6 mod 7 but ≡ 0 mod 10 — a %10 split would keep every copy on
+    // its source's side and the gate would never exercise CROSS old/delta
+    // pairs through the stored index
     "d_minhash_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val all = Fixtures.plantedDocs(docs(s, d))
-      val old = all.filter(col("doc_id") % 10 < 8)
+      val old = all.filter(col("doc_id") % 7 < 5)
       Dedup.dedupMinhashIncrement(
         Dedup.minhashIndex(old), Dedup.dedupMinhash(old),
-        all, all.filter(col("doc_id") % 10 >= 8))
+        all, all.filter(col("doc_id") % 7 >= 5))
     }),
     // cluster-MV maintenance: stored labels as a star forest + the
     // delta-touching pairs through the components machinery; oracle =
@@ -169,8 +173,8 @@ object SparkEntry {
     "d_clusters_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val all = Fixtures.plantedDocs(docs(s, d))
-      val old = all.filter(col("doc_id") % 10 < 8)
-      val delta = all.filter(col("doc_id") % 10 >= 8)
+      val old = all.filter(col("doc_id") % 7 < 5)
+      val delta = all.filter(col("doc_id") % 7 >= 5)
       Dedup.dedupClustersIncrement(
         Dedup.dedupClusters(old).select("doc_id", "cluster_id"),
         Dedup.minhashDeltaPairs(Dedup.minhashIndex(old), all, delta),

@@ -60,13 +60,20 @@ class DedupVectorsSpec extends SparkSpec {
   test("dedupMinhashIncrement: merged ≡ monolithic; stored pairs pass through, delta probes find cross pairs") {
     val s = spark
     import s.implicits._
-    val old = docs.filter(col("doc_id") % 10 < 8)
-    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    // % 7: the planted copy offsets are ≡ 3/6 mod 7, so the split has
+    // genuine CROSS old/delta near-dup pairs (a %10 split would not)
+    val old = docs.filter(col("doc_id") % 7 < 5)
+    val delta = docs.filter(col("doc_id") % 7 >= 5)
     val mono = Dedup.dedupMinhash(docs).collect().map(_.toSeq).toSet
     val inc = Dedup.dedupMinhashIncrement(
       Dedup.minhashIndex(old), Dedup.dedupMinhash(old), docs, delta)
       .collect().map(_.toSeq).toSet
     assert(inc === mono)
+    // the split genuinely exercises the cross path
+    assert(mono.exists { p =>
+      val (a, b) = (p(0).asInstanceOf[Long], p(1).asInstanceOf[Long])
+      (a % 7 < 5) != (b % 7 < 5)
+    }, "corpus must contain cross old/delta pairs for this test to bite")
     // sentinel: corrupt every stored pair's jaccard — old–old pairs must
     // pass through verbatim (never re-verified), delta-touching pairs fresh
     val corrupted = Dedup.dedupMinhash(old).withColumn("jaccard", lit(-9.0))
@@ -92,8 +99,8 @@ class DedupVectorsSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // gate shape: stored labels + delta pairs ≡ monolithic clusters
-    val old = docs.filter(col("doc_id") % 10 < 8)
-    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val old = docs.filter(col("doc_id") % 7 < 5)
+    val delta = docs.filter(col("doc_id") % 7 >= 5)
     val inc = Dedup.dedupClustersIncrement(
       Dedup.dedupClusters(old).select("doc_id", "cluster_id"),
       Dedup.minhashDeltaPairs(Dedup.minhashIndex(old), docs, delta),
