@@ -54,16 +54,20 @@ object JaccardHotSoak {
     val counter = new JobCounter(spark.sparkContext)
     def measure(df: => DataFrame): (Long, Double, JobCounter.Snapshot, Long) = {
       Caches.release()
-      spark.catalog.clearCache()
-      docs.count() // re-pin the input after the cache sweep
+      spark.catalog.clearCache() // drops docs' registration too —
+      docs.cache()               // re-REGISTER, then re-pin
+      docs.count()
       val before = counter.snapshot()
       val t0 = System.nanoTime()
       val d = df
       val rows = d.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      val h = d.agg(sum(hash(col("doc_a"), col("doc_b"), col("jaccard"))).cast("long"))
-        .head().getLong(0)
-      (rows, wall, counter.snapshot() - before, h)
+      // snapshot BEFORE the verification hash: its re-execution of the
+      // pipeline must be excluded from cpu/run exactly as it is from wall
+      val snap = counter.snapshot() - before
+      val h = Option(d.agg(sum(hash(col("doc_a"), col("doc_b"), col("jaccard"))).cast("long"))
+        .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+      (rows, wall, snap, h)
     }
 
     val cap = Dedup.autoJaccardCap(docs)

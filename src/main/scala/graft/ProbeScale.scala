@@ -66,9 +66,11 @@ object ProbeScale {
     val lines = cellCounts.map { c =>
       val emb = gen(spark, c, blockSize).cache()
       val rows = emb.count()
-      // warm the centroid path once so JIT/page-cache noise doesn't land
-      // on the first timed build
+      // warm EVERY variant once so one-time analyzer/codegen/classloading
+      // cost never lands in any variant's first timed build
       Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2).queryExecution.executedPlan
+      Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2, unrolled = true).queryExecution.executedPlan
+      Vectors.knnJoinMultiProbeHier(emb, k = 5, nProbe = 2, superProbe = 2).queryExecution.executedPlan
       val (bExpr, pExpr) = timePlan(Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2))
       val (bUnr, pUnr) = timePlan(Vectors.knnJoinMultiProbe(emb, k = 5, nProbe = 2, unrolled = true))
       val (bHier, pHier) = timePlan(Vectors.knnJoinMultiProbeHier(emb, k = 5, nProbe = 2, superProbe = 2))

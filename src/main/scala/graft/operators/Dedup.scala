@@ -184,7 +184,7 @@ object Dedup {
     }
     minsig
       .select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-      .cache()
+      .sharedCache
   }
 
   /** Exact-Jaccard verification of a candidate pair set against the
@@ -254,7 +254,14 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(cand, shingleArrays(canon(documents), k), minJaccard)
+      .sharedCache
+    // verification shingles ONLY the candidate docs (broadcast semi-join
+    // prune) — re-shingling the whole corpus per ingest would be the
+    // O(corpus) signature cost the stored index exists to avoid
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val needed = documents.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    verifyPairs(cand, shingleArrays(canon(needed), k), minJaccard)
   }
 
   /** #125 incremental cluster maintenance — the last stage of the dedup
@@ -277,7 +284,9 @@ object Dedup {
                              smallGraphEdges: Long = 500000L): DataFrame = {
     val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = oldEdges.unionByName(newPairs.select("doc_a", "doc_b")).cache()
+    // sharedCache, not a bare cache(): this is the per-ingest maintenance
+    // path — repeated calls in a long-lived session must stay releasable
+    val pairs = oldEdges.unionByName(newPairs.select("doc_a", "doc_b")).sharedCache
     assignClusters(pairs, nodes.select("doc_id"), maxIterations, smallGraphEdges)
   }
 

@@ -148,37 +148,76 @@ object ChatLogSources {
 
   private lazy val fixtureReady: String = installFixture()
 
-  /** The install protocol itself, callable repeatedly (spec seam): fast
-    * path on the completeness marker, else stage + atomic swap with
-    * bounded retries against concurrent installers and legacy corpses.
+  /** Content-version stamp carried INSIDE the marker: the fast path only
+    * accepts a fixture whose marker matches the current generator, so a
+    * later edit to the fixture content self-heals instead of every
+    * machine with a pre-existing /tmp install silently serving stale data
+    * forever. Bump `fmt` on any change to the line-generation logic.
+    */
+  private[graft] val fixtureVersion: String = {
+    val fmt = 1
+    s"graft-fixture:$fmt:${fixtureCats.mkString(",")}:${fixtureVideos.mkString(",")}"
+  }
+
+  private def markerOk(marker: java.nio.file.Path): Boolean =
+    try java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == fixtureVersion
+    catch { case _: java.io.IOException => false }
+
+  /** The install protocol itself, callable repeatedly (spec seam).
+    *
+    * Readers take only the marker fast path; anything that DELETES goes
+    * through an exclusive lock file, closing the r7-review race where one
+    * installer's corpse-replacement delete could land on another
+    * installer's just-completed fixture (marker checked before the other
+    * move, delete after it). Under the lock the marker is re-checked, and
+    * the marker is deleted FIRST so a kill mid-delete can never leave a
+    * marker over missing data files. A stale lock (killed holder) is
+    * broken after 10 s; the whole install gives up loudly after ~30 s.
     */
   private[graft] def installFixture(): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dst = Paths.get(fixtureDir)
     val marker = dst.resolve("_COMPLETE")
-    if (Files.exists(marker)) return fixtureDir
+    if (markerOk(marker)) return fixtureDir
     val stage = Paths.get(
       fixtureDir + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
     writeFixtureTo(stage.toString)
-    Files.writeString(stage.resolve("_COMPLETE"), "")
+    Files.writeString(stage.resolve("_COMPLETE"), fixtureVersion)
+    val lock = Paths.get(fixtureDir + ".lock")
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < 300) {
       attempts += 1
-      try {
-        Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
-        return fixtureDir
-      } catch {
-        case _: java.io.IOException if Files.exists(marker) =>
-          // a concurrent installer won; its files are byte-identical
-          deleteRecursively(stage.toFile)
+      val locked =
+        try { Files.createFile(lock); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            try {
+              if (Files.getLastModifiedTime(lock).toMillis <
+                  System.currentTimeMillis() - 10000) Files.deleteIfExists(lock)
+            } catch { case _: java.io.IOException => }
+            false
+          case _: java.io.IOException => false
+        }
+      if (locked) {
+        try {
+          if (markerOk(marker)) {
+            // a concurrent installer won; its files are byte-identical
+            deleteRecursively(stage.toFile)
+            return fixtureDir
+          }
+          if (Files.exists(dst)) {
+            // markerless/stale corpse: marker FIRST, then the tree
+            Files.deleteIfExists(marker)
+            deleteRecursively(dst.toFile)
+          }
+          Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
           return fixtureDir
-        case _: java.io.IOException =>
-          // half-written corpse (legacy writer or killed process): replace
-          deleteRecursively(dst.toFile)
-      }
+        } finally Files.deleteIfExists(lock)
+      } else Thread.sleep(100)
     }
     deleteRecursively(stage.toFile)
-    throw new IllegalStateException(s"could not install chat-log fixture at $dst")
+    throw new IllegalStateException(s"could not install chat-log fixture at $dst (lock busy)")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

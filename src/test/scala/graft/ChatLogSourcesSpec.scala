@@ -155,6 +155,22 @@ class ChatLogSourcesSpec extends SparkSpec {
     assert(ChatLogSources.readChatLogs(spark, ChatLogSources.fixtureDir).count() == 36L)
   }
 
+  test("fixture install: a stale-VERSION marker is replaced, not served") {
+    val root = new java.io.File(ChatLogSources.fixtureDir)
+    deleteTree(root)
+    // an install from an older generator: complete layout, wrong version
+    Files.createDirectories(Paths.get(ChatLogSources.fixtureDir, "chat_logs"))
+    Files.writeString(Paths.get(ChatLogSources.fixtureDir, "chat_logs", "stale.jsonl.gz"), "")
+    Files.writeString(Paths.get(ChatLogSources.fixtureDir, "_COMPLETE"), "graft-fixture:0:old")
+    ChatLogSources.installFixture()
+    assert(Files.readString(Paths.get(ChatLogSources.fixtureDir, "_COMPLETE"))
+      == ChatLogSources.fixtureVersion)
+    assert(!Files.exists(Paths.get(ChatLogSources.fixtureDir, "chat_logs", "stale.jsonl.gz")))
+    assert(ChatLogSources.readChatLogs(spark, ChatLogSources.fixtureDir).count() == 36L)
+    // no lock residue
+    assert(!Files.exists(Paths.get(ChatLogSources.fixtureDir + ".lock")))
+  }
+
   test("fixture install: replaces a half-written legacy corpse, then idempotent (no rewrite)") {
     val root = new java.io.File(ChatLogSources.fixtureDir)
     deleteTree(root)
