@@ -109,7 +109,12 @@ object SparkEntry {
     "q_date_ranges" -> ((s, d) => StreamingHours.dateRanges(ord(s, d))),
     // --- similarity + forecast (#31-34, 37) ---
     "q_channel_similarity" -> ((s, d) => Similarity.channelSimilarity(ev(s, d))),
-    "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d))),
+    // exclThreshold=12 sits inside user 3's per-channel weight range at
+    // every SF (weights ~8-18), so the gate exercises BOTH branches of the
+    // exclusion filter AND the scoring/top-k path on non-empty output
+    // (threshold 3 excluded all 5 synthetic channels -> 0 rows, a vacuous
+    // gate in rounds 1-7)
+    "q_recommend" -> ((s, d) => Similarity.recommend(ev(s, d), exclThreshold = 12L)),
     "q_content_similarity" -> ((s, d) => Similarity.contentSimilarity(docs(s, d))),
     "q_clustering_communities" -> ((s, d) => Similarity.clusteringCommunities(ev(s, d))),
     // Leiden partition semantics (api.py:478) — modularity optimization is
@@ -360,7 +365,7 @@ object SparkEntry {
     "q_channel_names" -> StreamingHours.channelNamesSql,
     "q_date_ranges" -> StreamingHours.dateRangesSql,
     "q_channel_similarity" -> Similarity.channelSimilaritySql,
-    "q_recommend" -> Similarity.recommendSql(),
+    "q_recommend" -> Similarity.recommendSql(exclThreshold = 12L),
     "q_content_similarity" -> Similarity.contentSimilaritySql,
     "q_clustering_communities" -> Similarity.clusteringCommunitiesSql,
     "q_forecast_hours" -> Forecast.forecastHoursSql(),

@@ -137,4 +137,54 @@ class SimilaritySpec extends SparkSpec {
     recs.foreach(ch => assert(!heavy.contains(ch), s"recommended already-heavy channel $ch"))
     assert(recs.length <= 10)
   }
+
+  // The round-1..7 gate registration (threshold 3) excluded every channel
+  // for user 3, so the scoring path returned 0 rows in BOTH engines and
+  // the hash match was vacuous. This test pins the registered (user 3,
+  // threshold 12) configuration on non-empty output and re-derives the
+  // cosine-sum / log-dampened scores with an independent Scala model.
+  test("recommend (registered gate config) is non-empty and matches an independent scoring model") {
+    val userId = 3L
+    val thr = 12L
+    val w = EventSemantics.userWeeklyActivity(events)
+      .groupBy("user_id", "channel").agg(sum("messages").as("weight"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // cosine sims between channels over the user-weight vectors (self-pairs
+    // included, matching the operator's unconstrained a x b dot join)
+    val channels = w.keys.map(_._2).toSeq.distinct.sorted
+    val byChannel = channels.map(c => c -> w.collect { case ((u, ch), wt) if ch == c => u -> wt }.toMap).toMap
+    def sim(a: String, b: String): Double = {
+      val va = byChannel(a); val vb = byChannel(b)
+      val dot = va.collect { case (u, x) if vb.contains(u) => x * vb(u) }.sum
+      val na = math.sqrt(va.values.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(vb.values.map(x => x * x).sum.toDouble)
+      dot.toDouble / (na * nb)
+    }
+    val mine = channels.filter(c => w.getOrElse((userId, c), 0L) > 0L)
+    val excl = mine.filter(c => w((userId, c)) > thr).toSet
+    assert(excl.nonEmpty && excl.size < channels.size,
+      "fixture must exercise both branches of the exclusion filter")
+    // a candidate only appears in the operator's output if it shares >= 1
+    // user with some of the user's channels (the dots relation is sparse)
+    def sharesUser(a: String, b: String): Boolean =
+      byChannel(a).keys.exists(byChannel(b).contains)
+    val expected = channels
+      .filter(a => !excl.contains(a) && mine.exists(b => sharesUser(a, b)))
+      .map(a => a -> mine.map(b => sim(a, b)).sum)
+      .sortBy { case (a, raw) => (-raw, a) }
+      .take(10)
+      .map { case (a, raw) =>
+        val s = math.log(1d + raw / mine.size.toDouble * 100d) / math.log(101d) * 100d
+        a -> math.floor(s * 1e4) / 1e4
+      }
+    val recs = Similarity.recommend(events, userId, exclThreshold = thr).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(recs.nonEmpty, "registered gate config must produce rows")
+    assert(recs.map(_._1).toSeq == expected.map(_._1),
+      s"channel order mismatch: got ${recs.toSeq} expected $expected")
+    recs.zip(expected).foreach { case ((c, got), (_, want)) =>
+      assert(math.abs(got - want) < 1e-9, s"score mismatch for $c: $got vs $want")
+    }
+  }
 }
