@@ -59,8 +59,13 @@ object ChatLogSources {
     * recovered from the file name and `ts` as a proper timestamp.
     */
   def readChatLogs(spark: SparkSession, cacheDir: String): DataFrame =
+    // directory + pathGlobFilter, NOT a glob in the path: a glob path makes
+    // FileStreamSink.hasMetadata stat the literal pattern and log a WARN
+    // with a full FileNotFoundException stack on every analysis — noise
+    // that reads as a crash in any captured stderr tail
     spark.read.schema(chatLogSchema)
-      .json(s"$cacheDir/chat_logs/*.jsonl.gz")
+      .option("pathGlobFilter", "*.jsonl.gz")
+      .json(s"$cacheDir/chat_logs")
       .withColumn("video_id", fileStem(".jsonl.gz"))
       .withColumn("ts", timestamp_seconds(col("timestamp")))
 
@@ -69,7 +74,8 @@ object ChatLogSources {
     */
   def readVideoMetadata(spark: SparkSession, cacheDir: String): DataFrame =
     spark.read.option("wholetext", "true")
-      .text(s"$cacheDir/videos/*.json")
+      .option("pathGlobFilter", "*.json")
+      .text(s"$cacheDir/videos")
       .select(fileStem(".json").as("channel_id"),
         explode(from_json(col("value"), videoMetaValueSchema)).as(Seq("video_id", "m")))
       .select(col("channel_id"), col("video_id"),
@@ -148,6 +154,26 @@ object ChatLogSources {
 
   private lazy val fixtureReady: String = installFixture()
 
+  /** Process-PRIVATE fixture copy for this JVM's Spark reads. The shared
+    * fixed path exists for the DuckDB oracle (a separate process that
+    * re-reads the same layout after the run), but Spark reading the
+    * SHARED path is the one step of the round-6/7 protocol that stayed
+    * outside the lock: analysis-time globbing could land inside another
+    * process's corpse-replacement delete+move window and fail on an empty
+    * glob (the BENCH_r06/r07 tail crashes). A directory only this JVM
+    * ever writes (unique suffix, no locks, removed on exit) makes the
+    * read path race-free BY CONSTRUCTION instead of by retry; the
+    * generator is deterministic, so the private bytes are identical to
+    * the shared ones the oracle reads.
+    */
+  private[graft] lazy val privateFixtureReady: String = {
+    val d = fixtureDir + ".jvm-" + java.util.UUID.randomUUID().toString.take(8)
+    writeFixtureTo(d)
+    val f = new java.io.File(d)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(f)))
+    d
+  }
+
   /** Content-version stamp carried INSIDE the marker: the fast path only
     * accepts a fixture whose marker matches the current generator, so a
     * later edit to the fixture content self-heals instead of every
@@ -192,9 +218,22 @@ object ChatLogSources {
         try { Files.createFile(lock); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
+            // Stale-lock break must be ATOMIC: the r7 form (read mtime →
+            // deleteIfExists) let two waiters observe the same stale lock,
+            // the first delete+recreate, and the second then delete the
+            // FRESH lock — two holders in the critical section. Renaming
+            // the stale lock aside first means exactly one breaker wins
+            // the rename; everyone else's move throws and they keep
+            // waiting on the next iteration.
             try {
               if (Files.getLastModifiedTime(lock).toMillis <
-                  System.currentTimeMillis() - 10000) Files.deleteIfExists(lock)
+                  System.currentTimeMillis() - 10000) {
+                val aside = Paths.get(
+                  lock.toString + ".breaking-" + java.util.UUID.randomUUID().toString.take(8))
+                Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(aside)
+                logFixture(s"broke stale lock $lock")
+              }
             } catch { case _: java.io.IOException => }
             false
           case _: java.io.IOException => false
@@ -208,10 +247,20 @@ object ChatLogSources {
           }
           if (Files.exists(dst)) {
             // markerless/stale corpse: marker FIRST, then the tree
+            logFixture(s"replacing corpse at $dst")
             Files.deleteIfExists(marker)
             deleteRecursively(dst.toFile)
           }
-          Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+          try Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // belt over the lock's suspenders: if dst (re)appeared anyway,
+            // a complete concurrent install is a win, anything else is a
+            // real error — but never exit leaving the stage dir behind
+            case e: java.nio.file.FileAlreadyExistsException =>
+              deleteRecursively(stage.toFile)
+              if (!markerOk(marker)) throw e
+              logFixture(s"lost move race to a complete install at $dst")
+          }
           return fixtureDir
         } finally Files.deleteIfExists(lock)
       } else Thread.sleep(100)
@@ -219,6 +268,12 @@ object ChatLogSources {
     deleteRecursively(stage.toFile)
     throw new IllegalStateException(s"could not install chat-log fixture at $dst (lock busy)")
   }
+
+  /** Fixture-protocol audit line naming the acting process — if a crash
+    * ever recurs in a shared environment, the stderr tail identifies WHO
+    * deleted/replaced WHAT instead of leaving it to forensics. */
+  private def logFixture(msg: String): Unit =
+    System.err.println(s"[graft-fixture pid=${ProcessHandle.current().pid()}] $msg")
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
@@ -268,8 +323,10 @@ object ChatLogSources {
     * engines; injective, so the check is as strong.
     */
   def fixtureRollup(spark: SparkSession): DataFrame = {
-    val dir = writeCacheFixture()
-    userVideoRollup(readChatLogs(spark, dir))
+    writeCacheFixture() // the shared path the ORACLE reads must exist
+    // Spark reads this JVM's private copy — byte-identical, never shared,
+    // so no other process's install/replace can race the glob
+    userVideoRollup(readChatLogs(spark, privateFixtureReady))
       .withColumn("last_ts", col("last_ts").cast("double"))
   }
 

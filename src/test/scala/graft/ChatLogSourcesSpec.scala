@@ -189,4 +189,52 @@ class ChatLogSourcesSpec extends SparkSpec {
     // and the gate entry end-to-end still produces the rollup
     assert(ChatLogSources.fixtureRollup(spark).count() > 0)
   }
+
+  test("private read copy is byte-identical to the shared fixture the oracle reads") {
+    ChatLogSources.installFixture()
+    val priv = new java.io.File(ChatLogSources.privateFixtureReady)
+    val shared = new java.io.File(ChatLogSources.fixtureDir)
+    def files(root: java.io.File): Map[String, Array[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map { f =>
+        root.toPath.relativize(f.toPath).toString ->
+          Files.readAllBytes(f.toPath)
+      }.toMap
+    }
+    val p = files(priv)
+    // the shared dir additionally carries the _COMPLETE marker
+    val s = files(shared) - "_COMPLETE"
+    assert(p.keySet == s.keySet, s"layout mismatch: ${p.keySet} vs ${s.keySet}")
+    p.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(bytes, s(name)), s"content mismatch in $name")
+    }
+  }
+
+  test("fixtureRollup survives continuous replacement of the SHARED dir (the bench-crash race)") {
+    // the r6/r7 tail crash: another process deleting/reinstalling the
+    // shared fixture while THIS process's Spark analysis globs it. The
+    // read path now uses a process-private copy, so shared-dir chaos at
+    // any moment must be invisible to the gate entry.
+    ChatLogSources.fixtureRollup(spark).count() // force both installs once
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val chaos = new Thread(() => {
+      val root = new java.io.File(ChatLogSources.fixtureDir)
+      while (!stop.get()) {
+        deleteTree(root) // mid-replacement window: dir absent entirely
+        Files.createDirectories(Paths.get(ChatLogSources.fixtureDir, "chat_logs"))
+        Thread.sleep(1)
+      }
+    })
+    chaos.start()
+    try {
+      (0 until 5).foreach { _ =>
+        assert(ChatLogSources.fixtureRollup(spark).count() > 0)
+      }
+    } finally { stop.set(true); chaos.join() }
+    // restore a complete shared fixture for later tests / the oracle
+    deleteTree(new java.io.File(ChatLogSources.fixtureDir))
+    ChatLogSources.installFixture()
+    assert(Files.exists(Paths.get(ChatLogSources.fixtureDir, "_COMPLETE")))
+  }
 }
