@@ -13,6 +13,7 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
@@ -24,6 +25,15 @@ object Profile {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val counter = new JobCounter(spark.sparkContext)
+    // SPARK_GRAFT_STAGE_DETAIL=1: per-stage task counts, to see where a
+    // query's task volume (contended-host idle exposure) concentrates
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          println(f"  stage ${sc.stageInfo.stageId}%4d tasks=${sc.stageInfo.numTasks}%4d " +
+            sc.stageInfo.name.linesIterator.next().take(90))
+      })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ =>
@@ -36,7 +46,7 @@ object Profile {
         (sec, d)
       }
       val cells = runs.map { case (t, d) =>
-        f"$t%.3f (${d.jobs}j/${d.stages}s cpu=${d.cpuMs}ms run=${d.runMs}ms)" }
+        f"$t%.3f (${d.jobs}j/${d.stages}s/${d.tasks}t cpu=${d.cpuMs}ms run=${d.runMs}ms)" }
       println(f"PROFILE $name%-28s ${cells.mkString("  ")}")
     }
     spark.stop()

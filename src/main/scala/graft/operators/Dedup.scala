@@ -230,12 +230,24 @@ object Dedup {
     * v_knn_join_incremental proof shape). Cost per ingest:
     * O(|delta| · bands) probe rows against an index keyed by (band, sig)
     * — never a corpus re-signature, never an old–old re-verify.
+    *
+    * CONTRACT — insert-only delta: `delta`'s doc_ids must be DISJOINT
+    * from the stored index's (new documents, not re-ingested edits). For
+    * an UPDATED doc the stored old–old pairs involving it would pass
+    * through verbatim while its new text produced fresh pairs — a mix of
+    * stale and fresh edges. Updates are an upsert: drop the doc's rows
+    * from the stored index/pairs first, then ingest it as a new doc.
+    * `graft.spark.debug.checks=true` (spec suites set it) asserts the
+    * precondition with one delta-bounded semi-join count.
     */
   def dedupMinhashIncrement(oldIndex: DataFrame, oldPairs: DataFrame,
                             documents: DataFrame, delta: DataFrame,
-                            k: Int = 3, minJaccard: Double = 0.7): DataFrame =
+                            k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    Checks.requireDisjoint(oldIndex.select("doc_id").distinct(), delta, "doc_id",
+      "dedupMinhashIncrement")
     // new pairs always touch the delta; stored pairs are old–old — disjoint
     oldPairs.unionByName(minhashDeltaPairs(oldIndex, documents, delta, k, minJaccard))
+  }
 
   /** The probe step of [[dedupMinhashIncrement]] alone: the verified
     * near-dup pairs TOUCHING the delta (also the edge feed of
@@ -822,13 +834,18 @@ object Dedup {
     val arr = shingleArrays(canon(documents), k)
     val inv = arr.select(col("doc_id"), explode(col("shs")).as("xsh"))
     val dfRel = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
-    // per-doc q-th smallest df; q = floor((1-t)*n)+1 (double rounding can
-    // only push q UP by one, which loosens the cap — still sound)
+    // per-doc q-th smallest df; q = floor((1-t)*n + eps)+1. The eps guards
+    // the exact-integer boundary: when (1-t)*n is truly integral but the
+    // DOUBLE for (1-t) rounded below the real value (e.g. t=0.3 → 0.7 is
+    // not representable), a bare floor lands one SHORT and the cap gets
+    // tighter than the zero-loss proof covers. n·ulp(1) << 1e-9 for any
+    // real shingle count, and an accidental cross UP only loosens the cap
+    // — the proof direction that stays sound.
     val stat = inv.join(dfRel, "xsh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("df"))).as("dfs"))
       .select(element_at(col("dfs"),
-        (floor(size(col("dfs")) * lit(1d - minJaccard)) + 1).cast("int")).as("q"))
+        (floor(size(col("dfs")) * lit(1d - minJaccard) + lit(1e-9)) + 1).cast("int")).as("q"))
     val top2 = stat.orderBy(col("q").desc).limit(2).collect().map(_.getLong(0))
     if (top2.length < 2) top2.headOption.getOrElse(1L) else top2(1)
   }

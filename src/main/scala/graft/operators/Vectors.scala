@@ -647,9 +647,18 @@ object Vectors {
     * scales with the delta's block footprint, never the corpus. (The
     * join-based formulation re-ran the delta's distinct-label aggregate
     * once per broadcast site — five exchanges where zero are needed.)
+    *
+    * CONTRACT — insert-only delta: `delta`'s vec_ids must be DISJOINT
+    * from `oldVectors`' (new vectors, not re-ingested updates). A
+    * reappearing id would be unioned twice into the touched-block rebuild
+    * and emit self-pairs/duplicate edges. Updates are an upsert: anti-join
+    * the stored state on vec_id first, then pass the survivors here.
+    * `graft.spark.debug.checks=true` (spec suites set it) asserts the
+    * precondition with one bounded count over the (small) delta.
     */
   def knnGraphIncrement(oldGraph: DataFrame, oldVectors: DataFrame,
                         delta: DataFrame, k: Int = 5): DataFrame = {
+    Checks.requireDisjoint(oldVectors, delta, "vec_id", "knnGraphIncrement")
     val touched: Seq[Int] = delta.filter(col("label").isNotNull)
       .select("label").distinct().collect().toIndexedSeq.map(_.getInt(0))
     // a delta with no labeled vectors invalidates nothing

@@ -95,6 +95,27 @@ class DedupVectorsSpec extends SparkSpec {
       s"cross old-delta duplicate must be found: ${found.toSeq}")
   }
 
+  test("increment operators reject a delta that re-ingests stored ids (insert-only contract)") {
+    // the contract violation the operators cannot absorb: an id present in
+    // the stored state reappearing in the delta (an update, not an
+    // insert). With graft.spark.debug.checks armed (SparkSpec sets it),
+    // the precondition fails loudly instead of emitting self-pairs /
+    // stale-plus-fresh edge mixes.
+    val oldDocs = docs.filter(col("doc_id") % 7 < 5)
+    val badDelta = docs.filter(col("doc_id") % 7 < 1) // overlaps oldDocs
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupMinhashIncrement(
+        Dedup.minhashIndex(oldDocs), Dedup.dedupMinhash(oldDocs), docs, badDelta)
+    }
+    assert(e1.getMessage.contains("insert-only"))
+    val oldVecs = emb.filter(col("vec_id") % 10 < 8)
+    val badVecs = emb.filter(col("vec_id") % 10 < 2) // overlaps oldVecs
+    val e2 = intercept[IllegalArgumentException] {
+      Vectors.knnGraphIncrement(Vectors.knnGraph(oldVecs), oldVecs, badVecs)
+    }
+    assert(e2.getMessage.contains("insert-only"))
+  }
+
   test("dedupClustersIncrement: merged ≡ monolithic; a delta edge merges two old clusters") {
     val s = spark
     import s.implicits._

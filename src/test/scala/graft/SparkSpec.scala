@@ -20,6 +20,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // every spec runs with the increment operators' insert-only
+    // precondition assertions armed (operators.Checks) — contract
+    // violations fail tests loudly, production pays nothing
+    System.setProperty("graft.spark.debug.checks", "true")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
