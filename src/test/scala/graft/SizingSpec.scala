@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sizing, Vectors}
+
+/** Composes the one-call deploy sizing (operators.Sizing) with the
+  * operators it feeds, on the spec corpus — the "sizing at deploy"
+  * recipe SCALING.md documents, exercised end to end instead of each
+  * tuner in isolation.
+  */
+class SizingSpec extends SparkSpec {
+
+  private lazy val docs = Fixtures.plantedDocs(Tables.documents(spark, sfDir))
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("Sizing.forCorpus agrees with the individual tuners") {
+    val sized = Sizing.forCorpus(docs, emb)
+    assert(sized.jaccardCap == Dedup.autoJaccardCap(docs, minJaccard = 0.3))
+    assert((sized.bands, sized.rows) == Dedup.minhashBanding(0.7))
+    assert(sized.geoCells == Vectors.autoGeoCells(emb, nProbe = 2))
+    // the registered gate constants are inside what the sizing derives:
+    // banding at the operator's own threshold reproduces the 8x4 literal
+    assert((sized.bands, sized.rows) == (8, 4))
+    assert(sized.jaccardCap >= 1L && sized.geoCells >= 1)
+  }
+
+  test("sized Jaccard cap composes with ngramJaccard at zero loss on this corpus") {
+    val sized = Sizing.forCorpus(docs, emb)
+    val exhaustive = Dedup.ngramJaccard(docs).collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramJaccard(docs, maxDf = Some(sized.jaccardCap))
+      .collect().map(_.toSeq).toSet
+    // autoJaccardCap's guarantee: at the computed cap, candidate pruning
+    // loses NO pair at or above the threshold — full output identity
+    assert(capped == exhaustive,
+      s"capped output diverged at cap=${sized.jaccardCap}: " +
+        s"${(exhaustive -- capped).take(3)} lost, ${(capped -- exhaustive).take(3)} gained")
+    assert(exhaustive.nonEmpty, "corpus must have near-dup pairs for this test to bite")
+  }
+
+  test("sized geo cell count composes with knnJoinGeo: complete, deterministic graph") {
+    val sized = Sizing.forCorpus(docs, emb)
+    val g1 = Vectors.knnJoinGeo(emb, kCells = sized.geoCells).collect()
+    val g2 = Vectors.knnJoinGeo(emb, kCells = sized.geoCells).collect()
+    assert(g1.map(_.toSeq).toSet == g2.map(_.toSeq).toSet, "geo graph must be deterministic")
+    assert(g1.nonEmpty)
+    // per-vector contract: nn_rank dense from 1, at most k edges
+    g1.groupBy(_.getLong(0)).foreach { case (a, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"vec $a ranks not dense: $ranks")
+      assert(ranks.length <= 5, s"vec $a has ${ranks.length} > k edges")
+    }
+  }
+}
