@@ -243,8 +243,9 @@ object Dedup {
   def dedupMinhashIncrement(oldIndex: DataFrame, oldPairs: DataFrame,
                             documents: DataFrame, delta: DataFrame,
                             k: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    Checks.requireDisjoint(oldIndex.select("doc_id").distinct(), delta, "doc_id",
-      "dedupMinhashIncrement")
+    // raw index relation: left_semi inside the check is insensitive to
+    // the stored side's per-band duplicate doc_ids, so no distinct needed
+    Checks.requireDisjoint(oldIndex, delta, "doc_id", "dedupMinhashIncrement")
     // new pairs always touch the delta; stored pairs are old–old — disjoint
     oldPairs.unionByName(minhashDeltaPairs(oldIndex, documents, delta, k, minJaccard))
   }

@@ -167,12 +167,46 @@ object ChatLogSources {
     * the shared ones the oracle reads.
     */
   private[graft] lazy val privateFixtureReady: String = {
-    val d = fixtureDir + ".jvm-" + java.util.UUID.randomUUID().toString.take(8)
+    sweepOrphans()
+    // pid in the name so a sweeper can prove the owner dead — a shutdown
+    // hook alone never runs under SIGKILL/OOM and the copies would
+    // accumulate unboundedly in tmpdir
+    val d = fixtureDir + ".jvm-" + ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
     writeFixtureTo(d)
     val f = new java.io.File(d)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(f)))
     d
   }
+
+  /** Best-effort cleanup of siblings orphaned by killed processes:
+    * `.jvm-<pid>-*` copies whose owning pid is provably dead (never
+    * age-based — a long-lived session re-scans its private copy on every
+    * action), and `.stage-*` trees older than 10 minutes (always
+    * transient; only a kill inside installFixture leaves one).
+    */
+  private def sweepOrphans(): Unit =
+    try {
+      val base = new java.io.File(fixtureDir)
+      val name = base.getName
+      val siblings = Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
+      siblings.foreach { f =>
+        val n = f.getName
+        if (n.startsWith(name + ".jvm-")) {
+          val pid = n.stripPrefix(name + ".jvm-").takeWhile(_.isDigit)
+          val dead = pid.nonEmpty &&
+            (pid != ProcessHandle.current().pid().toString) &&
+            ProcessHandle.of(pid.toLong).map[java.lang.Boolean](h => !h.isAlive)
+              .orElse(java.lang.Boolean.TRUE).booleanValue()
+          // legacy uuid-only names (no pid digits) are unprovable — skip
+          if (dead) { logFixture(s"sweeping dead-owner copy $n"); deleteRecursively(f) }
+        } else if (n.startsWith(name + ".stage-") &&
+            f.lastModified() < System.currentTimeMillis() - 600000) {
+          logFixture(s"sweeping stale stage $n")
+          deleteRecursively(f)
+        }
+      }
+    } catch { case _: Exception => } // cleanup must never fail an install
 
   /** Content-version stamp carried INSIDE the marker: the fast path only
     * accepts a fixture whose marker matches the current generator, so a
@@ -222,17 +256,32 @@ object ChatLogSources {
             // deleteIfExists) let two waiters observe the same stale lock,
             // the first delete+recreate, and the second then delete the
             // FRESH lock — two holders in the critical section. Renaming
-            // the stale lock aside first means exactly one breaker wins
-            // the rename; everyone else's move throws and they keep
-            // waiting on the next iteration.
+            // the stale lock aside means exactly one breaker wins the
+            // rename. The pre-rename mtime read is itself a TOCTOU (the
+            // lock at this path may have been replaced since), so
+            // staleness is RE-CHECKED on the renamed file — the aside is
+            // exclusively ours, its mtime is stable — and a fresh lock
+            // grabbed by mistake is moved back (restore failing only if
+            // its holder already released and someone re-locked, in which
+            // case the aside copy is just deleted). Residual exposure is
+            // bounded by construction anyway: installs are byte-identical
+            // and readers use process-private copies, so even two holders
+            // in the critical section converge to a complete fixture.
             try {
               if (Files.getLastModifiedTime(lock).toMillis <
                   System.currentTimeMillis() - 10000) {
                 val aside = Paths.get(
                   lock.toString + ".breaking-" + java.util.UUID.randomUUID().toString.take(8))
                 Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
-                Files.deleteIfExists(aside)
-                logFixture(s"broke stale lock $lock")
+                if (Files.getLastModifiedTime(aside).toMillis <
+                    System.currentTimeMillis() - 10000) {
+                  Files.deleteIfExists(aside)
+                  logFixture(s"broke stale lock $lock")
+                } else {
+                  try Files.move(aside, lock, StandardCopyOption.ATOMIC_MOVE)
+                  catch { case _: java.io.IOException => Files.deleteIfExists(aside) }
+                  logFixture(s"displaced a FRESH lock at $lock; restored")
+                }
               }
             } catch { case _: java.io.IOException => }
             false
@@ -255,8 +304,12 @@ object ChatLogSources {
           catch {
             // belt over the lock's suspenders: if dst (re)appeared anyway,
             // a complete concurrent install is a win, anything else is a
-            // real error — but never exit leaving the stage dir behind
-            case e: java.nio.file.FileAlreadyExistsException =>
+            // real error — but never exit leaving the stage dir behind.
+            // On Linux a rename onto an existing NON-empty dir surfaces as
+            // ENOTEMPTY (DirectoryNotEmptyException), an empty one as
+            // EEXIST — both mean "dst reappeared", so both are handled.
+            case e @ (_: java.nio.file.FileAlreadyExistsException |
+                      _: java.nio.file.DirectoryNotEmptyException) =>
               deleteRecursively(stage.toFile)
               if (!markerOk(marker)) throw e
               logFixture(s"lost move race to a complete install at $dst")

@@ -27,7 +27,7 @@ class NonEmptyOutputSpec extends SparkSpec {
     test(s"$name emits rows on the standard corpus (non-vacuous gate)") {
       val empty = fn(spark, sfDir).isEmpty
       if (emptyOk.contains(name))
-        assert(empty || true) // documented-empty entries may grow rows at larger SFs
+        succeed // documented-empty at this SF; the run itself (no crash) is the check
       else
         assert(!empty,
           s"$name returned 0 rows on the spec corpus — a hash-exact gate over empty " +
