@@ -205,6 +205,41 @@ object TextFunctions {
   def gopherStopCountSql(e: String): String =
     s"CAST(${gopherStops.map(s => s"(CASE WHEN regexp_matches(lower($e), '\\b$s\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)"
 
+  /** The five Gopher-rule predicates at the canonical thresholds
+    * (50–100k words, mean word length 3–10, symbol ratio < 0.1, alpha
+    * fraction > 0.8, ≥ 2 distinct stopwords) — the SINGLE definition of
+    * the thresholds, consumed by both `TextOps.gopherRulesDocs` (per-rule
+    * flags) and `Pipeline.datasetCard` (keep rate); a threshold change
+    * here moves both surfaces in step. Zero-word docs fail every
+    * word-derived rule (the ratios are NULL-div there otherwise).
+    */
+  def gopherRuleCols(t: Column): Seq[Column] = {
+    val words = gopherWords(t)
+    val zero = words === 0d
+    Seq(
+      !zero && words >= 50d && words <= 100000d,
+      !zero && gopherMwl(t) >= 3d && gopherMwl(t) <= 10d,
+      !zero && gopherSymbolRatio(t) < 0.1d,
+      !zero && gopherAlphaFrac(t) > 0.8d,
+      gopherStopCount(t) >= 2L)
+  }
+
+  /** All five rules ANDed — the Gopher keep decision. */
+  def gopherKeep(t: Column): Column = gopherRuleCols(t).reduce(_ && _)
+
+  def gopherRuleSqls(e: String): Seq[String] = {
+    val w = gopherWordsSql(e)
+    Seq(
+      s"($w > 0 AND $w >= 50 AND $w <= 100000)",
+      s"($w > 0 AND ${gopherMwlSql(e)} >= 3 AND ${gopherMwlSql(e)} <= 10)",
+      s"($w > 0 AND ${gopherSymbolRatioSql(e)} < 0.1)",
+      s"($w > 0 AND ${gopherAlphaFracSql(e)} > 0.8)",
+      s"(${gopherStopCountSql(e)} >= 2)")
+  }
+
+  def gopherKeepSql(e: String): String =
+    gopherRuleSqls(e).mkString("(", " AND ", ")")
+
   // ---- document fingerprint (training-data op #48) -------------------------
   /** Canonical-token md5 fingerprint (whitespace-normalization invariant). */
   def md5Fingerprint(c: Column): Column =

@@ -370,12 +370,9 @@ object Pipeline {
   def datasetCard(documents: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
     val t = col("text")
-    val zero = gopherWords(t) === 0d
-    val keep = !zero &&
-      gopherWords(t) >= 50d && gopherWords(t) <= 100000d &&
-      gopherMwl(t) >= 3d && gopherMwl(t) <= 10d &&
-      gopherSymbolRatio(t) < 0.1d && gopherAlphaFrac(t) > 0.8d &&
-      gopherStopCount(t) >= 2L
+    // single-source thresholds: TextFunctions.gopherKeep, shared with
+    // TextOps.gopherRulesDocs' keep flag
+    val keep = gopherKeep(t)
     documents
       .select(col("source"), col("lang"),
         wsTokenCount(t).cast("long").as("toks"),
@@ -391,13 +388,7 @@ object Pipeline {
 
   val datasetCardSql: String = {
     import graft.functions.TextFunctions._
-    val w = gopherWordsSql("text")
-    val keep =
-      s"""($w > 0 AND $w >= 50 AND $w <= 100000
-         | AND ${gopherMwlSql("text")} >= 3 AND ${gopherMwlSql("text")} <= 10
-         | AND ${gopherSymbolRatioSql("text")} < 0.1
-         | AND ${gopherAlphaFracSql("text")} > 0.8
-         | AND ${gopherStopCountSql("text")} >= 2)""".stripMargin.replace("\n", "")
+    val keep = gopherKeepSql("text")
     s"""SELECT source, lang, COUNT(*) AS n_docs,
        | CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT) AS n_tokens,
        | ${EventSemantics.flSql(s"AVG(${qualityScoreSql("text")})", 6)} AS mean_quality,

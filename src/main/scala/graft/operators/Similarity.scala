@@ -168,6 +168,11 @@ object Similarity {
   def contentSimilarity(documents: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val terms = documents
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      // Spark split("") is [""], DuckDB regexp_extract_all("") is [] —
+      // without this filter an empty/whitespace-only doc injects "" into
+      // the vocabulary (two blank docs would score similarity 1.0) and
+      // diverges from the oracle; same guard as every other tokenizer here
+      .filter(length(col("term")) > 0)
     // ONE corpus scan: tf's partial agg absorbs the exploded token stream
     // map-side, then the pinned term-partitioned aggregate feeds every
     // term-keyed consumer — df_, the idf join, the pairwise self-join —
@@ -176,7 +181,7 @@ object Similarity {
     // scan+aggregate subtree under each consumer.
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
       .repartition(col("term"))
-      .cache()
+      .sharedCache
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // the corpus-size idf scalar: counted over raw documents, not the
     // tokenized aggregate — sklearn (the reference's vectorizer) counts
@@ -196,7 +201,9 @@ object Similarity {
         (col("tf").cast("double") *
           (log((lit(1d) + col("n_src").cast("double")) / (lit(1d) + col("df").cast("double"))) + lit(1d)))
           .as("wt"))
-      .cache()
+      // sharedCache, not bare cache(): Caches.release() must be able to
+      // free these corpus-scale relations between queries in a long session
+      .sharedCache
     val dots = weighted.as("a")
       .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

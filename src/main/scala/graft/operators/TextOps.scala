@@ -71,11 +71,9 @@ object TextOps {
     val alpha = gopherAlphaFrac(t)
     val stops = gopherStopCount(t)
     val zero = words === 0d
-    val rLen = !zero && words >= 50d && words <= 100000d
-    val rMwl = !zero && mwl >= 3d && mwl <= 10d
-    val rSym = !zero && sym < 0.1d
-    val rAlpha = !zero && alpha > 0.8d
-    val rStop = stops >= 2L
+    // thresholds live in ONE place (TextFunctions.gopherRuleCols), shared
+    // with Pipeline.datasetCard's keep rate
+    val Seq(rLen, rMwl, rSym, rAlpha, rStop) = gopherRuleCols(t)
     documents.select(
       col("doc_id"),
       words.cast("long").as("n_words"),
@@ -93,11 +91,7 @@ object TextOps {
     val sym = gopherSymbolRatioSql("text")
     val alpha = gopherAlphaFracSql("text")
     val stops = gopherStopCountSql("text")
-    val rLen = s"($w > 0 AND $w >= 50 AND $w <= 100000)"
-    val rMwl = s"($w > 0 AND $mwl >= 3 AND $mwl <= 10)"
-    val rSym = s"($w > 0 AND $sym < 0.1)"
-    val rAlpha = s"($w > 0 AND $alpha > 0.8)"
-    val rStop = s"($stops >= 2)"
+    val Seq(rLen, rMwl, rSym, rAlpha, rStop) = gopherRuleSqls("text")
     s"""SELECT doc_id,
        | CAST($w AS BIGINT) AS n_words,
        | CASE WHEN $w = 0 THEN 0 ELSE ${EventSemantics.flSql(mwl, 6)} END AS mean_word_len,
@@ -147,10 +141,14 @@ object TextOps {
     */
   def charEntropyDocs(documents: DataFrame): DataFrame =
     documents
-      // Java "".split("") is [""], not [] — guard so an empty doc scores
-      // (0, 0.0) like the oracle's left join does
+      // Degenerate-text contract, pinned IDENTICALLY in the oracle: empty
+      // AND null text score (0, 0.0). Java "".split("") is [""] (so the
+      // empty case needs the explicit empty-array branch), split(NULL) is
+      // NULL whose size() is -1 (so null text is coalesced to '' first);
+      // the oracle's chars CTE drops DuckDB's [''] split artifact with
+      // c <> '' and its LEFT JOIN + COALESCE covers both cases.
       .select(col("doc_id"),
-        when(length(col("text")) === 0, array().cast("array<string>"))
+        when(length(coalesce(col("text"), lit(""))) === 0, array().cast("array<string>"))
           .otherwise(split(col("text"), "")).as("cs"))
       .select(col("doc_id"),
         size(col("cs")).cast("long").as("n_chars"),
@@ -165,7 +163,9 @@ object TextOps {
 
   val charEntropyDocsSql: String =
     s"""WITH chars AS (
-       |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+       |  SELECT doc_id, c FROM (
+       |   SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+       |  WHERE c <> ''),
        | freq AS (SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY 1, 2),
        | tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM freq GROUP BY 1),
        | h AS (

@@ -735,52 +735,57 @@ object Vectors {
     * At 100 TB: the codes relation is 8 bytes/vector (64-byte floats →
     * 8-byte codes, 32× smaller than the raw scan IVF/LSH still read for
     * verification); the ADC scan is pure in-row lookups; only `rerank`
-    * rows ever touch raw vectors. No SQL oracle — the Lloyd codebook is
-    * not SQL-expressible — so the driver records a rows-only check; the
-    * spec pins exact-path equality (rerank ≥ corpus reproduces brute-force
-    * top-k bit-for-bit) and determinism.
+    * rows ever touch raw vectors. Oracle: the trained codebook/LUTs are
+    * deterministic driver arrays, literal-inlined into a STASHED
+    * hash-exact DuckDB replay (see the trained-model-oracles block below)
+    * — changing the ADC formula must change [[annPqOracleSql]] in step;
+    * the spec additionally pins exact-path equality (rerank ≥ corpus
+    * reproduces brute-force top-k bit-for-bit) and determinism.
     */
-  def annPq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
-            m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
-            sampleN: Int = 256, iters: Int = 5): DataFrame = {
-    val sub = DIM / m
-    // deterministic bounded sample: md5-shuffled order, vec_id tiebreak
-    val sample = embeddings
+  // ---- shared PQ-family machinery (annPq / annPqResidual / annPqOpq) -----
+  /** Deterministic bounded training sample (md5-shuffled order, vec_id
+    * tiebreak), drawn from VALID vectors only — a NULL/wrong-dim row would
+    * NPE the driver-side collect before any codebook existed.
+    */
+  private def pqSample(embeddings: DataFrame, sampleN: Int): Array[Array[Double]] =
+    embeddings.filter(kmValid)
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val qRow = embeddings.filter(col("vec_id") === qId)
+
+  private def pqQueryRow(embeddings: DataFrame, qId: Long): Option[Array[Double]] =
+    embeddings.filter(col("vec_id") === qId && kmValid)
       .select("embedding").limit(1).collect().headOption
-    // degenerate corpus (nothing to train on / query vector absent):
-    // the top-k of nothing is the empty result, not a crash
-    if (sample.isEmpty || qRow.isEmpty)
-      return embeddings.filter(lit(false))
-        .select(col("vec_id"), col("label"),
-          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
-    val cb = trainPqCodebook(sample, DIM, m, codebookK, iters)
-    val q = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    // query LUTs: dot(q_s, centroid) and |centroid|^2 per (subspace, code)
-    val lutDot = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
-    }
-    val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
-    }
-    sqlStash.put("v_ann_pq",
-      annPqOracleSql(qId, k, m, codebookK, rerank, cb, lutDot, lutN2, qNorm))
-    val codes = embeddings.filter(col("vec_id") =!= qId)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb).as("codes"))
-    val adcDot = (0 until m).map(s =>
-      element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
-    val adcN2 = (0 until m).map(s =>
-      element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
-    codes
-      .select(col("vec_id"), col("label"), col("embedding"),
-        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Degenerate corpus (nothing to train on / query vector absent): the
+    * top-k of nothing is the empty result, not a crash.
+    */
+  private def pqEmpty(embeddings: DataFrame): DataFrame =
+    embeddings.filter(lit(false))
+      .select(col("vec_id"), col("label"),
+        lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
+
+  /** Query LUTs per (subspace, code): dot(q_s, centroid) and |centroid|². */
+  private def pqLuts(q: Array[Double], cb: Array[Double], m: Int, kk: Int)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val sub = DIM / m
+    (Array.tabulate(m, kk) { (s, c) =>
+      (0 until sub).map(j => q(s * sub + j) * cb((s * kk + c) * sub + j)).sum
+    }, Array.tabulate(m, kk) { (s, c) =>
+      (0 until sub).map(j => { val x = cb((s * kk + c) * sub + j); x * x }).sum
+    })
+  }
+
+  /** Shared ADC tail: raw-double ADC ranking → rerank cut → exact-cosine
+    * top-k — the Spark twin of [[pqTailSql]]. `scored` must carry
+    * (vec_id, label, embedding, adc_cosine).
+    */
+  private def adcTopK(scored: DataFrame, embeddings: DataFrame, qId: Long,
+                      k: Int, rerank: Int): DataFrame =
+    scored
       .orderBy(col("adc_cosine").desc, col("vec_id").asc)
       .limit(rerank)
       .crossJoin(broadcast(queryVec(embeddings, qId)))
@@ -789,6 +794,38 @@ object Vectors {
         fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+
+  /** The scorable corpus: everything but the query row, validity-filtered
+    * exactly like [[pqSrcSql]]'s oracle CTE (an invalid row would
+    * NULL-propagate through pqEncode on this side but receive a real
+    * tie-broken code in DuckDB — divergent candidate sets).
+    */
+  private def pqCorpus(embeddings: DataFrame, qId: Long): DataFrame =
+    embeddings.filter(col("vec_id") =!= qId && kmValid)
+
+  def annPq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
+            m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
+            sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val sample = pqSample(embeddings, sampleN)
+    val qRow = pqQueryRow(embeddings, qId)
+    if (sample.isEmpty || qRow.isEmpty) return pqEmpty(embeddings)
+    val cb = trainPqCodebook(sample, DIM, m, codebookK, iters)
+    val q = qRow.get
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val (lutDot, lutN2) = pqLuts(q, cb, m, codebookK)
+    sqlStash.put("v_ann_pq",
+      annPqOracleSql(qId, k, m, codebookK, rerank, cb, lutDot, lutN2, qNorm))
+    val codes = pqCorpus(embeddings, qId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb).as("codes"))
+    val adcDot = (0 until m).map(s =>
+      element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    val adcN2 = (0 until m).map(s =>
+      element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    adcTopK(codes
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine")),
+      embeddings, qId, k, rerank)
   }
 
   /** Driver-side PQ encode (same nearest-centroid rule as the codegen'd
@@ -871,6 +908,16 @@ object Vectors {
        | $out AS (SELECT vec_id, list(c ORDER BY s) AS cs FROM ${out}_e GROUP BY 1)""".stripMargin
   }
 
+  /** Shared corpus CTE for the three plain-PQ oracles: the SAME validity
+    * predicate as the Spark sides' [[kmValid]] (the ivfPqOracleSql shape),
+    * so a NULL/wrong-dim embedding can never be scored by one engine and
+    * dropped (or NULL-ranked) by the other.
+    */
+  private def pqSrcSql(qId: Long): String =
+    s"src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId" +
+      s" AND vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $DIM" +
+      " AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+
   /** Shared tail: ADC ranking → rerank cut → exact-cosine top-k, identical
     * to the Spark plans' orderBy/limit sequence (raw doubles rank, floored
     * doubles display).
@@ -891,7 +938,7 @@ object Vectors {
     val nSum = (0 until m).map(s => s"(${dlist(lutN2(s))})[t.cs[${s + 1}] + 1]").mkString(" + ")
     s"""WITH cb AS (SELECT ${dlist(cb)} AS v),
        | cn AS (SELECT ${dlist(cn)} AS v),
-       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | ${pqSrcSql(qId)},
        | ${pqEncodeCtes("src", i => s"CAST(t.embedding[$i] AS DOUBLE)", m, kk, "cb", "cn", "codes")},
        | adc AS (
        |  SELECT s.vec_id, s.label, s.embedding,
@@ -919,7 +966,7 @@ object Vectors {
        | cn1 AS (SELECT ${dlist(cn1)} AS v),
        | cb2 AS (SELECT ${dlist(cb2)} AS v),
        | cn2x AS (SELECT ${dlist(cn2)} AS v),
-       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | ${pqSrcSql(qId)},
        | ${pqEncodeCtes("src", i => s"CAST(t.embedding[$i] AS DOUBLE)", m, kk, "cb1", "cn1", "codes1")},
        | rsrc AS (
        |  SELECT s.vec_id, list_transform(range(1, ${DIM + 1}), i ->
@@ -946,7 +993,7 @@ object Vectors {
     s"""WITH rot AS (SELECT ${dlist(rot)} AS v),
        | cb AS (SELECT ${dlist(cb)} AS v),
        | cn AS (SELECT ${dlist(cn)} AS v),
-       | src AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> $qId),
+       | ${pqSrcSql(qId)},
        | rsrc AS (
        |  SELECT s.vec_id, list_transform(range(0, $DIM), r ->
        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}),
@@ -1011,35 +1058,19 @@ object Vectors {
                     m: Int = 4, codebookK: Int = 16, rerank: Int = 100,
                     sampleN: Int = 256, iters: Int = 5): DataFrame = {
     val sub = DIM / m
-    val sample = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
-      .limit(sampleN)
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val qRow = embeddings.filter(col("vec_id") === qId)
-      .select("embedding").limit(1).collect().headOption
-    // degenerate corpus: same empty-result contract as [[annPq]]
-    if (sample.isEmpty || qRow.isEmpty)
-      return embeddings.filter(lit(false))
-        .select(col("vec_id"), col("label"),
-          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
+    val sample = pqSample(embeddings, sampleN)
+    val qRow = pqQueryRow(embeddings, qId)
+    if (sample.isEmpty || qRow.isEmpty) return pqEmpty(embeddings)
     val cb1 = trainPqCodebook(sample, DIM, m, codebookK, iters)
     val residuals = sample.map { v =>
       val rec = pqReconstructLocal(pqEncodeLocal(v, cb1, DIM, m, codebookK), cb1, DIM, m, codebookK)
       Array.tabulate(DIM)(i => v(i) - rec(i))
     }
     val cb2 = trainPqCodebook(residuals, DIM, m, codebookK, iters)
-    val q = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val q = qRow.get
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    def lutDot(cb: Array[Double]) = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
-    }
-    def lutN2(cb: Array[Double]) = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
-    }
-    val (d1, d2) = (lutDot(cb1), lutDot(cb2))
-    val (n1, n2lut) = (lutN2(cb1), lutN2(cb2))
+    val (d1, n1) = pqLuts(q, cb1, m, codebookK)
+    val (d2, n2lut) = pqLuts(q, cb2, m, codebookK)
     // cross[s][c1*k + c2] = 2 * <cent1_s_c1, cent2_s_c2>
     val cross = Array.tabulate(m) { s =>
       Array.tabulate(codebookK * codebookK) { cc =>
@@ -1060,7 +1091,7 @@ object Vectors {
         (lit(s * codebookK) + col("c1").getItem(s)) * sub + j + 1)
     }: _*)
     val residualExpr = zip_with(vd, recon1, (x, r) => x - r)
-    val codes = embeddings.filter(col("vec_id") =!= qId)
+    val codes = pqCorpus(embeddings, qId)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb1).as("c1"))
       .withColumn("c2",
@@ -1073,17 +1104,10 @@ object Vectors {
         element_at(lit(n2lut(s)), col("c2").getItem(s) + 1) +
         element_at(lit(cross(s)),
           col("c1").getItem(s) * codebookK + col("c2").getItem(s) + 1)).reduce(_ + _)
-    codes
+    adcTopK(codes
       .select(col("vec_id"), col("label"), col("embedding"),
-        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
-      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
-      .limit(rerank)
-      .crossJoin(broadcast(queryVec(embeddings, qId)))
-      .select(col("vec_id"), col("label"),
-        fl(col("adc_cosine"), 6).as("adc_cosine"),
-        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(k)
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine")),
+      embeddings, qId, k, rerank)
   }
 
   /** Mean rotated-space reconstruction error of (rot, codebook) over the
@@ -1165,32 +1189,16 @@ object Vectors {
   def annPqOpq(embeddings: DataFrame, qId: Long = 0L, k: Int = 10,
                m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
                sampleN: Int = 256, iters: Int = 5, opqIters: Int = 8): DataFrame = {
-    val sub = DIM / m
-    val sample = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(md5(concat(lit("pq-sample-"), col("vec_id"))), col("vec_id"))
-      .limit(sampleN)
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val qRow = embeddings.filter(col("vec_id") === qId)
-      .select("embedding").limit(1).collect().headOption
-    if (sample.isEmpty || qRow.isEmpty)
-      return embeddings.filter(lit(false))
-        .select(col("vec_id"), col("label"),
-          lit(0d).as("adc_cosine"), lit(0d).as("cosine"))
+    val sample = pqSample(embeddings, sampleN)
+    val qRow = pqQueryRow(embeddings, qId)
+    if (sample.isEmpty || qRow.isEmpty) return pqEmpty(embeddings)
     val (rot, cb) = trainOpq(sample, DIM, m, codebookK, iters, opqIters)
-    val qRaw = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
-    val q = graft.ml.LinAlg.matvec(rot, DIM, qRaw)
-    val qNorm = math.sqrt(qRaw.map(x => x * x).sum) // = |R·q|, R orthogonal
-    val lutDot = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => q(s * sub + j) * cb((s * codebookK + c) * sub + j)).sum
-    }
-    val lutN2 = Array.tabulate(m, codebookK) { (s, c) =>
-      (0 until sub).map(j => { val x = cb((s * codebookK + c) * sub + j); x * x }).sum
-    }
+    val q = graft.ml.LinAlg.matvec(rot, DIM, qRow.get)
+    val qNorm = math.sqrt(qRow.get.map(x => x * x).sum) // = |R·q|, R orthogonal
+    val (lutDot, lutN2) = pqLuts(q, cb, m, codebookK)
     sqlStash.put("v_ann_pq_opq",
       annPqOpqOracleSql(qId, k, m, codebookK, rerank, rot, cb, lutDot, lutN2, qNorm))
-    val codes = embeddings.filter(col("vec_id") =!= qId)
+    val codes = pqCorpus(embeddings, qId)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFunctions.pqEncode(
           graft.functions.VectorFunctions.rotateVec(col("embedding"), DIM, rot),
@@ -1199,17 +1207,10 @@ object Vectors {
       element_at(lit(lutDot(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
     val adcN2 = (0 until m).map(s =>
       element_at(lit(lutN2(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
-    codes
+    adcTopK(codes
       .select(col("vec_id"), col("label"), col("embedding"),
-        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine"))
-      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
-      .limit(rerank)
-      .crossJoin(broadcast(queryVec(embeddings, qId)))
-      .select(col("vec_id"), col("label"),
-        fl(col("adc_cosine"), 6).as("adc_cosine"),
-        fl(cosTo(col("embedding"), col("qv")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(k)
+        (adcDot / (sqrt(adcN2) * qNorm)).as("adc_cosine")),
+      embeddings, qId, k, rerank)
   }
 
   /** #67 symmetric int8 scalar quantization of the embedding column — the

@@ -111,4 +111,55 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     assert(Pipeline.unigramNll(blank).count() == 0)
   }
+
+  // ---- r8-review degenerate-text contracts (engine-vs-oracle parity) -------
+
+  test("charEntropy scores empty AND null text as (0, 0.0) — the oracle's contract") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, ""), (2L, null: String), (3L, "aab"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropyDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0L, 0d)), s"empty text: ${out(1L)}")
+    assert(out(2L) == ((0L, 0d)), s"null text: ${out(2L)}")
+    // sanity on real text: 3 chars, H = -(2/3)ln(2/3) - (1/3)ln(1/3)
+    val h = -(2d / 3) * math.log(2d / 3) - (1d / 3) * math.log(1d / 3)
+    assert(out(3L) == ((3L, math.floor(h * 1e4) / 1e4)))
+  }
+
+  test("contentSimilarity excludes blank docs from the vocabulary (no empty-string term)") {
+    val s = spark
+    import s.implicits._
+    // two blank sources would score similarity 1.0 through the "" term if
+    // the Spark tokenizer diverged from the oracle's regexp_extract_all
+    val docs = Seq(
+      (1L, "", "en", "blankA"), (2L, "   ", "en", "blankB"),
+      (3L, "shared words here", "en", "realA"), (4L, "shared words too", "en", "realB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sims = Similarity.contentSimilarity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(!sims.keySet.exists { case (a, b) => a.startsWith("blank") || b.startsWith("blank") },
+      s"blank sources must be absent from the similarity graph: ${sims.keySet}")
+    assert(sims.contains(("realA", "realB")))
+  }
+
+  test("PQ family drops invalid embedding rows on the engine side like the oracle src CTE") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(i => (seed * 31 + i).toFloat / dim)
+    val rows = (0L to 20L).map(i => (i, i.toInt % 3, vec(i.toInt))) :+
+      ((99L, 0, null: Array[Float])) :+ ((98L, 1, Array.fill(3)(1f)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    Seq(
+      Vectors.annPq(emb, k = 5, rerank = 10),
+      Vectors.annPqResidual(emb, k = 5, rerank = 10),
+      Vectors.annPqOpq(emb, k = 5, rerank = 10)).foreach { out =>
+      val ids = out.collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(99L) && !ids.contains(98L),
+        s"invalid rows must never be scored: $ids")
+      assert(ids.nonEmpty)
+    }
+  }
 }
