@@ -25,6 +25,17 @@ case class MinhashSignature(child: Expression, aConsts: Seq[Long], bConsts: Seq[
 
   require(aConsts.length == bConsts.length && aConsts.nonEmpty)
 
+  // same analysis-time guard as the sibling expressions: a non-long array
+  // would read garbage through ArrayData.getLong at runtime otherwise
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 

@@ -293,18 +293,20 @@ object ProbeKernel {
       sSize = insertTop(supS, supI, sSize, sp, negScore(supCents, snorm, j, dim, q, sq), j)
       j += 1
     }
-    // stage 2: rank only member cells of the chosen supers
+    // stage 2: rank only member cells of the chosen supers. Membership is
+    // an O(1) boolean-table lookup per cell (O(nS) setup) — a linear scan
+    // of supI per cell would cost O(nC·superProbe) comparisons and eat
+    // the O((S + superProbe·C/S)·dim) bound the hierarchy exists for.
+    val chosenSup = new Array[Boolean](nS)
+    var t = 0
+    while (t < sSize) { chosenSup(supI(t)) = true; t += 1 }
     val p = if (nProbe < nC) nProbe else nC
     val bufS = new Array[Double](p)
     val bufI = new Array[Int](p)
     var size = 0
     var c = 0
     while (c < nC) {
-      val sup = cellSup(c)
-      var chosen = false
-      var t = 0
-      while (t < sSize && !chosen) { chosen = supI(t) == sup; t += 1 }
-      if (chosen) {
+      if (chosenSup(cellSup(c))) {
         size = insertTop(bufS, bufI, size, p, negScore(cellCents, cnorm, c, dim, q, sq), c)
       }
       c += 1

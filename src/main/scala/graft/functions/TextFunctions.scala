@@ -51,10 +51,14 @@ object TextFunctions {
     val lo = lower(trim(c))
     when(c.isNull || trim(c) === "", lit(null).cast("string"))
       .when(isPureEmojiC(trim(c)), "emoji")
-      .when(lo.rlike(jpJ) || lo.rlike("[！？]") || lo.rlike("^[wｗ]+$"), "jp")
+      // \z, not $: Java's $ matches BEFORE a trailing newline while
+      // DuckDB's RE2 $ means absolute end — on "123\n" a $-anchored
+      // pattern would classify 'number' here and 'es_en_id' in the
+      // oracle. \z is Java's absolute-end anchor = RE2's $.
+      .when(lo.rlike(jpJ) || lo.rlike("[！？]") || lo.rlike("^[wｗ]+\\z"), "jp")
       .when(lo.rlike(krJ), "kr")
       .when(lo.rlike(ruJ), "ru")
-      .when(lo.rlike("^[0-9]+$"), "number")
+      .when(lo.rlike("^[0-9]+\\z"), "number")
       .otherwise("es_en_id")
   }
   def categorizeSql(e: String): String = {
@@ -99,7 +103,7 @@ object TextFunctions {
   def hasHumor(c: Column): Column = {
     val anySub = humorList.map(s => c.contains(s)).reduce(_ || _)
     val hasJp = c.rlike(jpJ)
-    val wEnd = hasJp && c.rlike("ｗ+$")
+    val wEnd = hasJp && c.rlike("ｗ+\\z") // \z = RE2 $ (see categorize)
     val hasLol = c.rlike("(?i)\\blol+\\b")
     val repeated = c.rlike("(?i)(ha){2,}|(w{2,})|(o?l{2,}o+l+)")
     anySub || hasLol || wEnd || repeated

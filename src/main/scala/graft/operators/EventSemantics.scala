@@ -160,6 +160,22 @@ object EventSemantics {
   /** Deterministic rounding used everywhere a ratio leaves the engine:
     * floor(x * 10^s) / 10^s — no round-half ambiguity between engines.
     */
+  /** The streaming twins' week key `window(ts, '7 days', '7 days',
+    * '4 days')` is epoch/UTC-aligned while the batch
+    * `date_trunc('week', ts)` truncates in the SESSION timezone — the
+    * batch≡stream twin contract only holds in a zero-offset session (a
+    * Monday-02:00-local event in America/New_York would land in different
+    * weeks per mode). Every graft entry point pins
+    * spark.sql.session.timeZone=UTC; this guard makes a non-UTC caller
+    * fail at plan build instead of silently shifting week boundaries.
+    */
+  def requireUtcSession(df: DataFrame, op: String): Unit = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00")(tz),
+      s"$op: streaming week windows are UTC-aligned but spark.sql.session.timeZone=$tz; " +
+        "set it to UTC or the batch and streaming twins will place week-boundary events differently")
+  }
+
   def fl(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
     floor(c * p) / p

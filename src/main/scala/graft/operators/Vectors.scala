@@ -235,7 +235,7 @@ object Vectors {
     */
   def knnJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
-    val withNorm = embeddings.select(col("vec_id"), col("label"),
+    val withNorm = embeddings.filter(kmValid).select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
@@ -261,9 +261,15 @@ object Vectors {
     * moves keyed by its home label exactly as the single-block join), so
     * cost scales by nProbe × block size, never the corpus.
     */
-  def knnJoinMultiProbe(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
+  def knnJoinMultiProbe(embeddings0: DataFrame, k: Int = 5, nProbe: Int = 2,
                         unrolled: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
+    // Valid vectors only, matching the oracles' vsrc CTE: an invalid row
+    // would hard-throw in vec_sum (wrong dim) or skew the centroid mean
+    // (vec_sum's per-slot null skip over the FULL row count vs DuckDB
+    // AVG's non-null denominator) — the graph family's input contract is
+    // the warehouse's valid-vector relation, same as the geo/kmeans path.
+    val embeddings = embeddings0.filter(kmValid)
     // null-label vectors can't join any block (SQL null-equality already
     // drops them from the b-side); they must not become a null centroid
     // group either
@@ -329,11 +335,24 @@ object Vectors {
     * relation (the geo variant feeds the k-means-relabeled corpus through
     * the identical probe/pair/top-k chain).
     */
-  def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2, src: String = "embeddings",
+  /** Validity predicate for the graph-family oracles' `vsrc` CTE — the
+    * DuckDB twin of the Spark sides' [[kmValid]] entry filter.
+    */
+  private def vecValidSql: String =
+    s"vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $DIM" +
+      " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+
+  def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2, src0: String = "embeddings",
                            prefixCtes: String = ""): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
-    s"""WITH ${prefixCtes}cent AS (
+    // raw `embeddings` goes through the validity CTE (the geo caller's
+    // relabeled prefix relation is valid by construction)
+    val (src, validCte) =
+      if (src0 == "embeddings")
+        ("vsrc", s"vsrc AS (SELECT vec_id, label, embedding FROM embeddings WHERE $vecValidSql), ")
+      else (src0, "")
+    s"""WITH $validCte${prefixCtes}cent AS (
        |  SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS cv
        |  FROM $src, (SELECT unnest(range(1, ${DIM + 1})) AS i)
        |  WHERE label IS NOT NULL
@@ -410,7 +429,7 @@ object Vectors {
   }
 
   def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =
-    knnJoinMultiProbeSql(k, nProbe, src = "geo",
+    knnJoinMultiProbeSql(k, nProbe, src0 = "geo",
       prefixCtes = s"""${kmeansCtes(kCells, iters)},
         | asg AS (${kmeansAssignSql(iters)}),
         | geo AS (
@@ -438,11 +457,12 @@ object Vectors {
     * map + cell centroids) literal-inline into a stashed oracle that
     * replays the full hierarchy in DuckDB.
     */
-  def knnJoinMultiProbeHier(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
+  def knnJoinMultiProbeHier(embeddings0: DataFrame, k: Int = 5, nProbe: Int = 2,
                             superProbe: Int = 2, stashOracle: Boolean = false,
                             unrolled: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecSum}
     import graft.OracleStash.{dl, dlist}
+    val embeddings = embeddings0.filter(kmValid) // see knnJoinMultiProbe
     val cents = embeddings.filter(col("label").isNotNull).groupBy("label")
       .agg(vecSum(col("embedding"), DIM).as("sv"), count(lit(1)).as("nv"))
       .select(col("label"), transform(col("sv"), x => x / col("nv").cast("double")).as("cvec"))
@@ -543,29 +563,30 @@ object Vectors {
                                   k: Int, nProbe: Int, superProbe: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
-    s"""WITH sup AS (SELECT * FROM (VALUES $supVals) AS t(sid, svec)),
+    s"""WITH vsrc AS (SELECT vec_id, label, embedding FROM embeddings WHERE $vecValidSql),
+       | sup AS (SELECT * FROM (VALUES $supVals) AS t(sid, svec)),
        | cells AS (SELECT * FROM (VALUES $cellVals) AS t(sid, lbl, cvec)),
        | sscore AS (
        |  SELECT e.vec_id, s.sid,
        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${flSql(cosToSql("s.svec", "e.embedding"), 6)} DESC, s.sid ASC) AS sr
-       |  FROM embeddings e CROSS JOIN sup s),
+       |  FROM vsrc e CROSS JOIN sup s),
        | cscore AS (
        |  SELECT e.vec_id, c.lbl,
        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${flSql(cosToSql("c.cvec", "e.embedding"), 6)} DESC, c.lbl ASC) AS cr
-       |  FROM embeddings e
+       |  FROM vsrc e
        |  JOIN sscore t ON t.vec_id = e.vec_id AND t.sr <= $superProbe
        |  JOIN cells c ON c.sid = t.sid),
        | probes AS (
        |  SELECT vec_id, lbl AS probe_label FROM cscore WHERE cr <= $nProbe
-       |  UNION SELECT vec_id, label AS probe_label FROM embeddings),
+       |  UNION SELECT vec_id, label AS probe_label FROM vsrc),
        | pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        |  FROM probes p
-       |  JOIN embeddings a ON a.vec_id = p.vec_id
-       |  JOIN embeddings b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
+       |  JOIN vsrc a ON a.vec_id = p.vec_id
+       |  JOIN vsrc b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
        | SELECT vec_a, vec_b, cosine, nn_rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
        |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
@@ -576,10 +597,11 @@ object Vectors {
   def knnJoinSql(k: Int = 5): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
-    s"""WITH pairs AS (
+    s"""WITH vsrc AS (SELECT vec_id, label, embedding FROM embeddings WHERE $vecValidSql),
+       | pairs AS (
        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
-       | FROM embeddings a JOIN embeddings b
+       | FROM vsrc a JOIN vsrc b
        |  ON a.label = b.label AND a.vec_id <> b.vec_id)
        | SELECT vec_a, vec_b, cosine, nn_rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
@@ -596,7 +618,7 @@ object Vectors {
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
-    val withNorm = embeddings.select(col("vec_id"), col("label"),
+    val withNorm = embeddings.filter(kmValid).select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
@@ -613,10 +635,11 @@ object Vectors {
   def knnGraphSql(k: Int = 5): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
-    s"""WITH pairs AS (
+    s"""WITH vsrc AS (SELECT vec_id, label, embedding FROM embeddings WHERE $vecValidSql),
+       | pairs AS (
        | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
-       | FROM embeddings a JOIN embeddings b
+       | FROM vsrc a JOIN vsrc b
        |  ON a.label = b.label AND a.vec_id <> b.vec_id)
        | SELECT label, vec_a, vec_b, cosine, nn_rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
@@ -1287,10 +1310,15 @@ object Vectors {
   /** A valid member vector for the k-means family (mirrored in the e CTE
     * of every oracle sharing [[kmeansCtes]]).
     */
-  private[graft] def kmValid: Column =
-    col("vec_id").isNotNull &&
-      col("embedding").isNotNull && size(col("embedding")) === DIM &&
+  /** Embedding-only validity — for relations that carry no vec_id (e.g.
+    * a raw (ts, embedding) stream): non-null, right dimension, no null
+    * elements.
+    */
+  private[graft] def embValid: Column =
+    col("embedding").isNotNull && size(col("embedding")) === DIM &&
       size(filter(col("embedding"), x => x.isNull)) === 0
+
+  private[graft] def kmValid: Column = col("vec_id").isNotNull && embValid
 
   /** Fused assignment struct(cluster, dist) against `cent` — the
     * codegen'd [[graft.functions.NearestCentroid]] expression: the

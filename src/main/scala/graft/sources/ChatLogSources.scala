@@ -53,7 +53,11 @@ object ChatLogSources {
     StructField("duration", LongType))))
 
   private def fileStem(suffix: String) =
-    regexp_extract(input_file_name(), s"([^/]+)\\$suffix$$", 1)
+    // quote the WHOLE suffix: s"\\$suffix" escaped only its first char,
+    // leaving the inner dots of ".jsonl.gz" as wildcards on this side
+    // while the DuckDB twin escapes both — asymmetric extractors
+    regexp_extract(input_file_name(),
+      "([^/]+)" + java.util.regex.Pattern.quote(suffix) + "$", 1)
 
   /** All chat logs under `cacheDir`, one row per message, with `video_id`
     * recovered from the file name and `ts` as a proper timestamp.

@@ -89,7 +89,10 @@ object MonthlyRefresh {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("channel_id"), observedMonth("last_ts"),
         col("membership_rank"))
-    val chanTotal = Window.partitionBy("channel_name", "observed_month")
+    // channel_group is part of the channel identity: two groups may carry
+    // the same channel NAME (channels.json keys names per group), and a
+    // name-only partition would pool their denominators
+    val chanTotal = Window.partitionBy("channel_group", "channel_name", "observed_month")
     latest
       .join(broadcast(channels), Seq("channel_id"))
       .groupBy(col("channel_group"), col("channel_name"),

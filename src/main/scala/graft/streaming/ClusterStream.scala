@@ -36,7 +36,10 @@ object ClusterStream {
                     bucket: String = "15 minutes",
                     watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(embs)(w => embs.withWatermark("ts", w))
-    val valid = src.filter(col("ts").isNotNull && Vectors.kmValid)
+    // embValid, not kmValid: the documented input shape is (ts, embedding)
+    // — requiring a vec_id column here would fail analysis on exactly the
+    // relation this operator is for, and the counts never use an id
+    val valid = src.filter(col("ts").isNotNull && Vectors.embValid)
     if (cent.isEmpty)
       return valid.filter(lit(false))
         .select(col("ts").as("window_start"), lit(0).cast("int").as("cluster"),

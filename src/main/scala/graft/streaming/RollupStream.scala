@@ -34,6 +34,7 @@ object RollupStream {
     */
   def maintained(events: DataFrame, watermark: Option[String] = Some("14 days")): DataFrame =
     if (events.isStreaming) {
+      EventSemantics.requireUtcSession(events, "RollupStream.maintained")
       val src = watermark.fold(events)(events.withWatermark("ts", _))
       src
         .filter(!EventSemantics.isGift)

@@ -28,6 +28,7 @@ object SketchStream {
   def maintained(events: DataFrame, lgConfigK: Int = 14,
                  watermark: Option[String] = Some("14 days")): DataFrame =
     if (events.isStreaming) {
+      EventSemantics.requireUtcSession(events, "SketchStream.maintained")
       val src = watermark.fold(events)(events.withWatermark("ts", _))
       src
         .filter(!EventSemantics.isGift)
