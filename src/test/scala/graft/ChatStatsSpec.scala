@@ -28,6 +28,9 @@ class ChatStatsSpec extends SparkSpec {
         col("total_messages").as("m_approx"))
     val joined = exact.join(approx, Seq("channel", "week"))
     assert(joined.count() == exact.count(), "sketch twin lost groups")
+    // and the reverse: an inner join silently DROPS groups only the
+    // sketch twin emits, so phantom groups need their own assertion
+    assert(approx.count() == exact.count(), "sketch twin emitted phantom groups")
     assert(joined.filter(col("m_exact") =!= col("m_approx")).count() == 0)
     val offenders = joined.filter(
       abs(col("approx_users") - col("total_users")).cast("double") >
@@ -35,12 +38,25 @@ class ChatStatsSpec extends SparkSpec {
     assert(offenders == 0, "HLL estimate drifted beyond 5% relative error")
   }
 
-  test("leaderboard: at most k rows per channel-week, positions contiguous") {
+  test("leaderboard: salted two-phase top-k equals an independent in-memory model") {
     val lb = ChatStats.leaderboard(events, k = 5)
-    val over = lb.groupBy("channel", "week").count().filter(col("count") > 5).count()
-    assert(over === 0)
-    val badPos = lb.filter(col("position") < 1 || col("position") > 5).count()
-    assert(badPos === 0)
+    // independent model: plain Scala sort/take over the collected rollup —
+    // range checks alone would pass a broken salt phase that surfaces the
+    // WRONG users (any 5 rows with positions 1..5 look plausible)
+    val act = EventSemantics.userWeeklyActivity(events)
+      .select(col("user_id").cast("long"), col("channel"),
+        col("week").cast("string"), col("messages").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = act.groupBy(t => (t._2, t._3)).toSeq.flatMap { case ((c, w), xs) =>
+      xs.sortBy(t => (-t._4, t._1)).take(5).zipWithIndex
+        .map { case (t, i) => (c, w, (i + 1).toLong, t._1, t._4) }
+    }.toSet
+    val got = lb.select(col("channel"), col("week").cast("string"),
+      col("position"), col("user_id").cast("long"), col("messages").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === expected)
   }
 
   test("commonUsersMatrix: diagonal is 100%") {
@@ -76,9 +92,32 @@ class ChatStatsSpec extends SparkSpec {
     assert(mx === 100.0)
   }
 
-  test("attrition: percent within [0, 100] and weeks after baseline") {
-    val at = ChatStats.attrition(events, topK = 100, baselineWeeks = 3)
-    assert(at.filter(col("percent_active") < 0 || col("percent_active") > 100).count() === 0)
+  test("attrition: matches an independent in-memory model, weeks strictly after baseline") {
+    val topK = 100; val baselineWeeks = 3
+    val at = ChatStats.attrition(events, topK = topK, baselineWeeks = baselineWeeks)
+      .select(col("week").cast("string"), col("active_users"), col("percent_active"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent model over the collected rollup: a range check alone is
+    // vacuous on empty output and blind to a wrong cutoff or top set
+    val act = EventSemantics.userWeeklyActivity(events)
+      .select(col("user_id").cast("long"), col("week").cast("string"),
+        col("messages").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val weeks = act.map(_._2).distinct.sorted
+    val cutoff = weeks(math.min(baselineWeeks, weeks.length) - 1)
+    val top = act.filter(_._2 <= cutoff).groupBy(_._1)
+      .map { case (u, xs) => (u, xs.map(_._3).sum) }.toSeq
+      .sortBy { case (u, t) => (-t, u) }.take(topK).map(_._1).toSet
+    val expected = act.filter(_._2 > cutoff).map(t => (t._1, t._2)).distinct
+      .filter(t => top(t._1)).groupBy(_._2)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    assert(expected.nonEmpty, "fixture makes the attrition branch unreachable")
+    assert(at.keySet === expected.keySet)
+    expected.foreach { case (w, n) =>
+      assert(at(w)._1 === n, s"week $w active_users")
+      assert(at(w)._2 === math.floor(n * 100d / topK * 1e4) / 1e4, s"week $w percent")
+      assert(w > cutoff, s"week $w not after baseline cutoff $cutoff")
+    }
   }
 
   test("commonUsersMatrixApprox: sketch intersections within 5% of the exact matrix") {

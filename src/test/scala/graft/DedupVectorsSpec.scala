@@ -229,24 +229,43 @@ class DedupVectorsSpec extends SparkSpec {
     assert(labels.size == 67)
   }
 
-  test("substringOverlap: planted prefix copies share runs with their source") {
+  test("substringOverlap: planted pair shared_runs match an independent gram model") {
     val pairs = Dedup.substringOverlap(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs.nonEmpty)
-    // near-dups (source minus last 5 words, +1e7) share every 13-run of
-    // the common prefix with their source — the pair MUST be found with
-    // many shared runs
-    val nearSources = docs.collect().map(_.getLong(0))
-      .filter(id => id % 5 == 0)
-    val found = nearSources.flatMap(id => pairs.get((id, id + 10000000L)))
-    assert(found.nonEmpty, "no planted prefix-copy pair detected")
-    found.foreach(runs => assert(runs >= 1, s"prefix copy shares $runs runs"))
-    // exact copies share ALL their runs
-    // an exact copy shares ALL its runs — at least one for any doc long
-    // enough to have a 13-gram (short docs have few runs, not none)
-    val exactFound = docs.collect().map(_.getLong(0)).filter(_ % 25 == 0)
-      .flatMap(id => pairs.get((id, id + 20000000L)))
-    assert(exactFound.nonEmpty && exactFound.forall(_ >= 1))
+    // independent model: recompute each planted pair's shared distinct
+    // 13-grams from the text in plain Scala (no Spark, no md5 index) —
+    // `runs >= 1` alone was tautological (the operator can only emit
+    // pairs with >= 1 shared run) and `found.nonEmpty` tolerated losing
+    // all but one planted pair
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      // Spark's canon: lower + trim(' ' only) + split("\\s+")
+      val c = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .toLowerCase(java.util.Locale.ROOT)
+      val w = c.split("\\s+")
+      if (w.length < 13) Set.empty
+      else (0 to w.length - 13).map(i => w.slice(i, i + 13).mkString(" "))
+        .filter(_.nonEmpty).toSet
+    }
+    def checkPlanted(offset: Long, mod: Long, kind: String): Unit = {
+      var checked = 0
+      texts.keys.filter(id => id < 10000000L && id % mod == 0).foreach { id =>
+        texts.get(id + offset).foreach { bTxt =>
+          val shared = (grams(texts(id)) intersect grams(bTxt)).size.toLong
+          if (shared > 0) {
+            checked += 1
+            assert(pairs.get((id, id + offset)).contains(shared),
+              s"$kind pair ($id, ${id + offset}): engine ${pairs.get((id, id + offset))} != model $shared")
+          } else assert(!pairs.contains((id, id + offset)),
+            s"$kind pair ($id, ${id + offset}) reported with no shared grams")
+        }
+      }
+      assert(checked > 0, s"fixture planted no checkable $kind pair")
+    }
+    checkPlanted(10000000L, 5L, "prefix-copy")
+    checkPlanted(20000000L, 25L, "exact-copy")
   }
 
   test("substringOverlap maxDf: hot boilerplate run is pruned from generation, copies still found exactly") {

@@ -51,10 +51,14 @@ class ExpressionPropertySpec extends SparkSpec {
   }
 
   test("DotProduct: any null element in the overlapping prefix nulls the result") {
+    // INDEPENDENT lengths: a null sitting past the shorter array's end
+    // must be ignored — equal-length-only generation left that boundary
+    // unreachable (a max(len)-scanning regression would ship undetected)
     val gen = for {
-      n <- Gen.chooseNum(1, 12)
-      a <- Gen.listOfN(n, Gen.option(finiteD))
-      b <- Gen.listOfN(n, Gen.option(finiteD))
+      na <- Gen.chooseNum(1, 12)
+      nb <- Gen.chooseNum(1, 12)
+      a <- Gen.listOfN(na, Gen.option(finiteD))
+      b <- Gen.listOfN(nb, Gen.option(finiteD))
     } yield (a.toArray, b.toArray)
     val data = sample(gen, N)
     val schema = StructType(Seq(
@@ -68,12 +72,15 @@ class ExpressionPropertySpec extends SparkSpec {
       schema)
     val got = df.select(VectorFunctions.vecDot(col("a"), col("b")).as("d")).collect()
     got.zip(data).foreach { case (row, (a, b)) =>
-      // model: fold stops at the FIRST null encountered in the loop
+      // model: fold stops at the FIRST null encountered in the loop,
+      // scanning only the overlapping prefix — nulls beyond min(len) are
+      // ignored by construction
       var expectNull = false
       var acc = 0d
       var i = 0
       var done = false
-      while (i < a.length && !done) {
+      val nOv = math.min(a.length, b.length)
+      while (i < nOv && !done) {
         (a(i), b(i)) match {
           case (Some(x), Some(y)) => acc += x * y
           case _ => expectNull = true; done = true
@@ -110,7 +117,12 @@ class ExpressionPropertySpec extends SparkSpec {
   }
 
   test("SimhashBits matches the driver-side md5 vote model on random word lists") {
-    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    // empty words included: split(text, '\\s+') produces them on real
+    // input with leading whitespace, and the engine's numBytes > 0 skip
+    // branch (mirrored by the model's .nonEmpty filter) must be exercised
+    val word = Gen.frequency(
+      9 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      1 -> Gen.const(""))
     val gen = for {
       n <- Gen.chooseNum(0, 30)
       ws <- Gen.listOfN(n, word)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -83,9 +84,39 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(docs.nonEmpty)
   }
 
+  test("the injector class drives a session built WITH the extensions, loaded by name") {
+    // exercises the production spark.sql.extensions path for real: the
+    // class resolved by NAME via reflection (what Spark's conf mechanism
+    // does), zero-arg-constructed, applied at session BUILD — the
+    // register(spark) runtime path used by every other test never runs
+    // `class GraftExtensions.apply`
+    import org.apache.spark.sql.SparkSessionExtensions
+    val inst = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    val orig = spark // force the shared session to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(inst)
+        .getOrCreate()
+      assert(s2 ne orig, "builder returned the old session — extensions not applied")
+      // every injected function must resolve and evaluate from pure SQL
+      val r = s2.sql(
+        "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "graft_categorize('hello world') AS c").collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getString(1) === "es_en_id")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("the extensions class injects the same builder list") {
-    // the class is exercised for real via spark.sql.extensions at session
-    // build; here we pin that it wires every function in `all`
+    // pin that the class wires every function in `all`
     val names = GraftExtensions.all.map(_._1)
     assert(names.contains("vec_dot") && names.contains("graft_categorize"))
     assert(names.distinct.size == names.size)

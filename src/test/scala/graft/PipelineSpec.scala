@@ -91,7 +91,11 @@ class PipelineSpec extends SparkSpec {
       // docs with the planted repeated block (and enough words to make
       // duplicate 3-grams) must score positive
       if (id % 9 == 0 && n > 8) assert(frac > 0d, s"doc $id should show repetition")
-      if (id % 9 != 0 && id % 5 != 0) assert(d == n || frac >= 0d) // natural docs: no constraint beyond range
+      // dup_frac is DEFINED as floor4(1 - d/n) (0 when n = 0) — pin the
+      // cross-column identity for every row; the prior natural-doc branch
+      // (`d == n || frac >= 0`) was a tautology that checked nothing
+      val expect = if (n > 0) math.floor((1d - d.toDouble / n) * 1e4) / 1e4 else 0d
+      assert(frac === expect, s"doc $id: dup_frac $frac != floor4(1 - $d/$n)")
     }
   }
 
@@ -120,13 +124,29 @@ class PipelineSpec extends SparkSpec {
     val s20 = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
     val s20again = Pipeline.sampleHash(docs, 20).collect().map(_.getLong(0)).toSet
     assert(s20 == s20again, "same pct must select the same docs")
-    val s100 = Pipeline.sampleHash(docs, 100).collect().map(_.getLong(0)).toSet
-    assert(s100.size == docs.count(), "pct=100 keeps everything")
-    assert(s20.subsetOf(s100))
-    // buckets computed by the operator match a direct recomputation
-    Pipeline.sampleHash(docs, 100).collect().foreach { r =>
-      assert(r.getLong(1) >= 0 && r.getLong(1) < 100)
+    val all = Pipeline.sampleHash(docs, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.size == docs.count(), "pct=100 keeps everything")
+    // the pct filter must actually filter: s20 is EXACTLY the ids whose
+    // bucket < 20 (a regression that ignores pct would return all docs
+    // and still pass determinism/subset/range checks)
+    assert(s20 === all.filter(_._2 < 20).keySet)
+    assert(s20.nonEmpty && s20.size < all.size,
+      s"pct=20 selectivity degenerate: ${s20.size}/${all.size}")
+    // uniformity sanity: a md5 bucket keeps roughly 20% (generous band)
+    val share = s20.size.toDouble / all.size
+    assert(share > 0.08 && share < 0.40, s"pct=20 kept ${share * 100}%")
+    // buckets match a fully independent recomputation (JDK MessageDigest,
+    // not Spark's md5) of conv(substr(md5(id), 1, 15), 16, 10) % 100
+    all.foreach { case (id, b) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val expect = java.lang.Long.parseLong(hex, 16) % 100
+      assert(b === expect, s"doc $id bucket $b != recomputed $expect")
     }
+    // complementary buckets partition: everything NOT in s20 has bucket >= 20
+    assert((all.keySet -- s20).forall(id => all(id) >= 20))
   }
 
   test("corpusBuild: every output doc passes the filter, is a dedup survivor, packs consistently") {

@@ -78,10 +78,17 @@ class SoakGenSpec extends SparkSpec {
     assert(r1.select((col("label") - nLabels).as("label")).except(base.select("label")).count() === 0)
     assert(r0.select("label").intersect(r1.select("label")).count() === 0,
       "replica label spaces must be disjoint")
-    // per-label block sizes are preserved, just relocated
-    val sizes0 = r0.groupBy("label").count().select("count")
-    val sizes1 = r1.groupBy("label").count().select("count")
-    assert(sizes0.except(sizes1).count() === 0 && sizes1.except(sizes0).count() === 0)
+    // per-label block sizes are preserved LABEL-BY-LABEL: replica 1's
+    // label (L + nLabels) must hold exactly as many vectors as replica
+    // 0's label L. (An `except` over bare count columns is a SET compare
+    // — it would pass any redistribution that preserves the set of
+    // distinct sizes, e.g. {10,10,20} -> {10,20,20}.)
+    val sizes0 = r0.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sizes1 = r1.groupBy((col("label") - nLabels).cast("int").as("label")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes0.nonEmpty)
+    assert(sizes1 === sizes0, "replica block sizes not preserved per label")
   }
 
   test("embedding rotation preserves the norm") {
