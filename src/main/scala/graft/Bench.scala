@@ -48,6 +48,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (iteration aid; the driver
     // never sets it, so the recorded bench always covers the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a misspelled name silently filtering to nothing would make an
+    // all-miss run read as a clean (vacuous) pass — fail loudly instead
+    only.foreach { ks =>
+      val unknown = ks.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     // SEEDED-shuffled run order: three rounds of alphabetical ordering let
     // environmental spikes land on adjacent family blocks and read as
@@ -64,33 +71,38 @@ object Bench {
     // so one query's pinned relations never skew the next one's memory budget.
     val counter = new JobCounter(spark.sparkContext)
     val results = ordered.map { case (name, fn) =>
-      var countsBefore = counter.snapshot()
-      val times = (1 to 2).map { rep =>
+      val reps = (1 to 2).map { _ =>
         Caches.release()
         spark.catalog.clearCache()
-        if (rep == 2) countsBefore = counter.snapshot()
+        val before = counter.snapshot()
         val t0 = System.nanoTime()
         // a crashed query records -1, never its elapsed-to-crash time — a
-        // fake fail-fast 0.06s must not be able to read as a speedup
-        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        // fake fail-fast 0.06s must not be able to read as a speedup.
+        // Full materialization (noop sink), NOT count(): a count lets
+        // ColumnPruning strip every deterministic projection, timing
+        // map-only operators as bare scans (see Actions.materialize).
+        val ok = try { Actions.materialize(fn(spark, sfDir)); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        ((if (ok) (System.nanoTime() - t0) / 1e9 else -1.0), counter.snapshot() - before)
       }
-      // jobs/stages + executor run/CPU time from rep 2 only (steady state,
-      // codegen cache warm) — CPU time is the box-state-independent signal
-      val delta = counter.snapshot() - countsBefore
+      // jobs/stages + executor run/CPU time from rep 2 when it succeeded
+      // (steady state, codegen cache warm), else from the successful rep —
+      // a crashed rep's PARTIAL telemetry must never be paired with the
+      // other rep's valid wall time (it reads as a plan-cost change)
+      val okReps = reps.filter(_._1 >= 0)
+      val delta = if (reps(1)._1 >= 0) reps(1)._2
+        else okReps.headOption.map(_._2).getOrElse(reps(1)._2)
       // best of the SUCCESSFUL reps — one transient crash must not discard
       // the other rep's valid measurement; -1 only when every rep failed
-      val ok = times.filter(_ >= 0)
-      (name, if (ok.nonEmpty) ok.min else -1.0, delta)
+      (name, if (okReps.nonEmpty) okReps.map(_._1).min else -1.0, delta)
     }
     // The driver's artifact keeps only a ~2,000-char stdout TAIL, and the
     // full 116-entry per-query map does not fit. So: per-query detail
     // (timings + jobs/stages telemetry + failures) goes to
     // bench_detail.json, and the LAST stdout line is a short total-only
     // contract line that always fits the tail buffer.
-    def f3(v: Double): String = "%.3f".format(v)
+    def f3(v: Double): String = Actions.fmt(v, 3) // Locale.ROOT — see Actions.fmt
     def jmap(f: ((String, Double, JobCounter.Snapshot)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap { case (_, v, _) => f3(v) }

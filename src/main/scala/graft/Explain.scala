@@ -24,9 +24,17 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      if (run) df.count()
+      // full materialization, not count(): a count()-driven "final" plan
+      // is the COLUMN-PRUNED one (map-only projections stripped), not the
+      // plan Bench/Verify execute
+      if (run) Actions.materialize(df)
       println(s"===== $name =====")
       println(df.queryExecution.executedPlan.toString)
+      // without a per-query drain, RUN mode over the full registry
+      // accumulates every operator's pinned relations and later queries'
+      // AQE decisions (and thus printed plans) reflect a distorted memory
+      // budget rather than what Bench/Verify actually run
+      if (run) { Caches.release(); spark.catalog.clearCache() }
     }
     spark.stop()
   }

@@ -81,14 +81,14 @@ object JaccardHotSoak {
       val (rowsEx, wallEx, mEx, hashEx) = measure(Dedup.ngramJaccard(docs, minJaccard = 0.3))
       require(rowsEx == rowsCap && hashEx == hashCap,
         s"capped output diverged: $rowsEx/$hashEx vs $rowsCap/$hashCap at cap=$cap")
-      s""""output_identical":true,"exhaustive":{"wall_s":${f"$wallEx%.2f"},""" +
+      s""""output_identical":true,"exhaustive":{"wall_s":${Actions.fmt(wallEx, 2)},""" +
         s""""cpu_s":${mEx.cpuMs / 1000d},"run_s":${mEx.runMs / 1000d}}"""
     }
     val line = s"""{"sf":"$sfDir","docs":$nDocs,"planted_hot_docs":$nPlanted,""" +
       s""""hot_df_top":$dfTop,"auto_cap":$cap,""" +
       s""""cand_pairs_exhaustive":$candEx,"cand_pairs_capped":$candCap,""" +
       s""""pairs_out":$rowsCap,$exJson,""" +
-      s""""capped":{"wall_s":${f"$wallCap%.2f"},"cpu_s":${mCap.cpuMs / 1000d},"run_s":${mCap.runMs / 1000d}}}"""
+      s""""capped":{"wall_s":${Actions.fmt(wallCap, 2)},"cpu_s":${mCap.cpuMs / 1000d},"run_s":${mCap.runMs / 1000d}}}"""
     println(line)
     val out = java.nio.file.Paths.get("jaccard_hot_soak.json")
     val prev = if (java.nio.file.Files.exists(out))

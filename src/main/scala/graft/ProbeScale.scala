@@ -84,7 +84,7 @@ object ProbeScale {
       val line = s"""{"cells":$c,"rows":$rows,"block_size":$blockSize,""" +
         s""""plan_ms_expr":$pExpr,"plan_ms_unrolled":$pUnr,"plan_ms_hier_expr":$pHier,""" +
         s""""build_ms_expr":$bExpr,"build_ms_unrolled":$bUnr,"build_ms_hier_expr":$bHier,""" +
-        s""""run_s_mp":${f"$runMp%.2f"},"run_s_mph":${f"$runMph%.2f"}}"""
+        s""""run_s_mp":${Actions.fmt(runMp, 2)},"run_s_mph":${Actions.fmt(runMph, 2)}}"""
       println(line)
       line
     }

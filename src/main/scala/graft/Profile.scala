@@ -37,10 +37,12 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ =>
+        Caches.release() // drain operator-pinned relations, as Bench does
         spark.catalog.clearCache()
         val before = counter.snapshot()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full materialization, not count() — see Actions.materialize
+        Actions.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         val d = counter.snapshot() - before
         (sec, d)

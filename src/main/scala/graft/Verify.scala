@@ -19,6 +19,14 @@ object Verify {
     // (iteration aid — check.py then compares just those; the driver never
     // sets it, so the recorded gate always covers the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a misspelled name silently filtering to nothing would dump an empty
+    // oracle_sql.json and check.py would print a vacuous "0/0 pass" —
+    // fail loudly instead
+    only.foreach { ks =>
+      val unknown = ks.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     queries.foreach { case (name, fn) =>

@@ -84,6 +84,37 @@ def check_geo(con, out, oracle_sql):
     print(f"PASS v_knn_join_geo ({n} rows, lifted-Lloyd + per-probe-label decomposed oracle)", flush=True)
 
 
+def check_mph(con, out, oracle_sql):
+    """Decompose the hierarchical multi-probe oracle. The registered SQL
+    is a STASHED replay (sup/cells VALUES literals from the engine's
+    training pass); everything up to and including the `probes` CTE is
+    lifted VERBATIM from oracle_sql.json — the checker stays pinned to
+    the registered super/cell assignment by construction — and only the
+    pairs + final-window tail (the part whose single-window sort spills
+    past the disk budget at sf1-class data) is replaced by the same
+    per-probe-label top-k -> union -> final-top-k decomposition the mp
+    checker uses. Equivalence argument is identical: every global top-k
+    winner is a within-block winner for its own block, same floored
+    cosine, same DESC cosine / ASC vec_b tie order."""
+    sql = oracle_sql["v_knn_join_mph"]
+    cut = sql.index(" pairs AS (")
+    prefix = sql[:cut].rstrip()
+    assert prefix.endswith(","), prefix[-40:]
+    prefix = prefix[len("WITH "):-1]
+    t0 = time.time()
+    # unreferenced CTEs are not evaluated, so mph_src costs only the vsrc scan
+    con.sql(f"CREATE TEMP TABLE mph_src AS WITH {prefix} SELECT vec_id, label, embedding FROM vsrc")
+    con.sql(f"CREATE TEMP TABLE mph_probes AS WITH {prefix} SELECT vec_id, probe_label FROM probes")
+    print(f"  stashed hierarchy prefix materialized ({time.time()-t0:.1f}s)", flush=True)
+    labels = probe_labels(con, "mph_probes")
+    print("  probe labels:", labels, flush=True)
+    con.sql("CREATE TEMP TABLE mph_cand (vec_a BIGINT, vec_b BIGINT, cosine DOUBLE)")
+    for L in labels:
+        insert_label_topk(con, "mph_cand", "mph_src", "mph_probes", L)
+    n = compare(con, final_topk_df(con, "mph_cand"), out, "v_knn_join_mph")
+    print(f"PASS v_knn_join_mph ({n} rows, lifted-hierarchy + per-probe-label decomposed oracle)", flush=True)
+
+
 if __name__ == "__main__":
     sf, out = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:] or ["v_knn_join_incremental", "v_knn_join_geo"]
@@ -95,5 +126,7 @@ if __name__ == "__main__":
             check_incremental(con, out)
         elif q == "v_knn_join_geo":
             check_geo(con, out, oracle_sql)
+        elif q == "v_knn_join_mph":
+            check_mph(con, out, oracle_sql)
         else:
             raise SystemExit(f"unknown query {q}")
