@@ -83,18 +83,15 @@ object Dedup {
     // min-fold, SQL-join oracles), and sortedness lets the pair-verify hot
     // path use the two-pointer SortedIntersectSize kernel instead of
     // array_intersect's per-row hash set
+    // array_sort + distinct + md5 ids fused into ONE codegen'd ShingleIds
+    // pass (sorted=true ≡ the former array_sort(array_distinct(transform(
+    // filter(...)))) HOF chain, pinned elementwise in
+    // ExpressionPropertySpec); the coalesce preserves []-on-null-text
     dd.repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"), expr(
-        s"""array_sort(array_distinct(transform(
-           | filter(
-           |  CASE WHEN size(w) >= $k
-           |   THEN transform(sequence(1, size(w) - $k + 1),
-           |     i -> array_join(slice(w, i, $k), ' '))
-           |   ELSE CAST(array() AS ARRAY<STRING>) END,
-           |  s -> length(s) > 0),
-           | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))))"""
-          .stripMargin.replace("\n", "")).as("shs"))
+      .select(col("doc_id"),
+        coalesce(split(col("text"), "\\s+"), array().cast("array<string>")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.shingleIds(col("w"), k, sorted = true).as("shs"))
       .cache()
   private def shinglesSql(k: Int): String =
     s"""SELECT DISTINCT doc_id,

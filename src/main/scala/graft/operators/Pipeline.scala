@@ -58,19 +58,17 @@ object Pipeline {
 
   /** Per-doc distinct k-gram ids, in-row (same construction as Dedup's
     * shingle sets) — shared by [[decontaminate]] and [[decontaminateBloom]].
+    * One codegen'd [[graft.functions.ShingleIds]] pass (the split(NULL)
+    * coalesce preserves the prior []-on-null-text behavior); semantics
+    * pinned elementwise against the former higher-order-function chain in
+    * ExpressionPropertySpec.
     */
   private def shingleIds(df: DataFrame, k: Int): DataFrame = df
-    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-    .select(col("doc_id"), expr(
-      s"""array_distinct(transform(
-         | filter(
-         |  CASE WHEN size(w) >= $k
-         |   THEN transform(sequence(1, size(w) - $k + 1),
-         |     i -> array_join(slice(w, i, $k), ' '))
-         |   ELSE CAST(array() AS ARRAY<STRING>) END,
-         |  s -> length(s) > 0),
-         | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
-        .stripMargin.replace("\n", "")).as("shs"))
+    .select(col("doc_id"),
+      coalesce(split(lower(trim(col("text"))), "\\s+"),
+        array().cast("array<string>")).as("w"))
+    .select(col("doc_id"),
+      graft.functions.ShingleFunctions.shingleIds(col("w"), k, sorted = false).as("shs"))
 
   /** [[decontaminate]] with a Bloom-filter pre-prune — the shape that keeps
     * decontamination affordable when the eval suite outgrows a comfortable
@@ -92,29 +90,57 @@ object Pipeline {
     */
   def decontaminateBloom(documents: DataFrame, evalDocs: DataFrame, k: Int = 5,
                          estItems: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-    // two consumers (bloom build + exact verify) — pin so the eval corpus
-    // is shingled once
+    import graft.functions.BloomFunctions
+    // three consumers (count for bloom sizing + bloom build + exact
+    // verify) — pin so the eval corpus is shingled once
     val evalGrams = shingleIds(evalDocs, k)
       .select(explode(col("shs")).as("xsh")).distinct()
       .sharedCache
+    // Size the filter from the ACTUAL eval-gram count (bounded action on
+    // the pinned tiny relation), capped by estItems: the aggregate
+    // allocates its full bit array in EVERY partial-aggregate task, so an
+    // overprovisioned estItems (4M default ≈ 4.8 MB of bits) costs a
+    // zero+merge of cores × bits regardless of data — measured as the
+    // dominant CPU of this query at sf0.1. fpp is a pure perf knob here
+    // (the exact join re-verifies every survivor), so undersizing can
+    // never change results, only prune less.
+    val nGrams = evalGrams.count()
+    val sizedItems = math.min(math.max(nGrams, 4096L), estItems)
     // empty eval set -> the aggregate yields NULL -> might_contain(NULL, x)
     // is NULL -> the filter drops every shingle -> zero hits: correct
     val bloomBytes = evalGrams
       .select(ColumnBridge.column(
-        new BloomFilterAggregate(ColumnBridge.expression(col("xsh")), estItems)
+        new BloomFilterAggregate(ColumnBridge.expression(col("xsh")), sizedItems)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType), ColumnBridge.expression(col("xsh"))))
-    val hits = shingleIds(documents, k)
-      .select(col("doc_id"), explode(col("shs")).as("xsh"))
-      .filter(mightContain)
-      .join(broadcast(evalGrams), "xsh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    // empty eval set → the aggregate yields NULL: the former NULL-literal
+    // might_contain filter dropped every shingle → zero hits for every doc
+    val hits =
+      if (bloomBytes == null)
+        documents.select(col("doc_id")).limit(0)
+          .withColumn("n_hits", lit(0L))
+      else {
+        // the filter ships as a BROADCAST VARIABLE, not a plan literal:
+        // the task binary carries only the handle (no multi-MB
+        // "broadcasting large task binary" per stage) and the bit array
+        // deserializes once per executor, not once per task per
+        // expression (graft.functions.BloomFunctions)
+        val bf = documents.sparkSession.sparkContext.broadcast(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bloomBytes)))
+        // doc-level any-contain prune BEFORE the explode: the zero-hit
+        // majority (the overwhelming fraction of a 100 TB corpus) never
+        // materializes its exploded shingle rows at all — only candidate
+        // docs pay the explode + per-shingle filter + join
+        shingleIds(documents, k)
+          .filter(BloomFunctions.bloomAnyContain(col("shs"), bf))
+          .select(col("doc_id"), explode(col("shs")).as("xsh"))
+          .filter(BloomFunctions.bloomContainsLong(col("xsh"), bf))
+          .join(broadcast(evalGrams), "xsh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      }
     documents.select("doc_id")
       .join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"),

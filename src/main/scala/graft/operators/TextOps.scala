@@ -142,24 +142,20 @@ object TextOps {
   def charEntropyDocs(documents: DataFrame): DataFrame =
     documents
       // Degenerate-text contract, pinned IDENTICALLY in the oracle: empty
-      // AND null text score (0, 0.0). Java "".split("") is [""] (so the
-      // empty case needs the explicit empty-array branch), split(NULL) is
-      // NULL whose size() is -1 (so null text is coalesced to '' first);
-      // the oracle's chars CTE drops DuckDB's [''] split artifact with
-      // c <> '' and its LEFT JOIN + COALESCE covers both cases.
+      // AND null text score (0, 0.0) — the coalesce folds null into the
+      // expression's empty-string case; the oracle's chars CTE drops
+      // DuckDB's [''] split artifact with c <> '' and its LEFT JOIN +
+      // COALESCE covers both cases. The fold is ONE codegen'd
+      // CharEntropyStats pass (O(length), no per-char array) whose FP
+      // accumulation order matches the former interpreted
+      // aggregate-over-array_distinct chain bit-for-bit
+      // (ExpressionPropertySpec pins it).
       .select(col("doc_id"),
-        when(length(coalesce(col("text"), lit(""))) === 0, array().cast("array<string>"))
-          .otherwise(split(col("text"), "")).as("cs"))
+        graft.functions.ShingleFunctions.charEntropyStats(
+          coalesce(col("text"), lit(""))).as("st"))
       .select(col("doc_id"),
-        size(col("cs")).cast("long").as("n_chars"),
-        expr(
-          """CASE WHEN size(cs) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
-            | aggregate(array_distinct(cs), CAST(0.0 AS DOUBLE),
-            |  (acc, c) -> acc - (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))
-            |    * ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE)))
-            | END""".stripMargin.replace("\n", "")).as("raw_h"))
-      .select(col("doc_id"), col("n_chars"),
-        EventSemantics.fl(col("raw_h"), 4).as("entropy"))
+        col("st").getField("n_chars").as("n_chars"),
+        EventSemantics.fl(col("st").getField("raw_h"), 4).as("entropy"))
 
   val charEntropyDocsSql: String =
     s"""WITH chars AS (

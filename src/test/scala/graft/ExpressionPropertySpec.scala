@@ -343,6 +343,79 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("ShingleIds (both sort modes) ≡ the former HOF chain elementwise on random text") {
+    // word mix exercises every branch: empties (leading-whitespace split
+    // artifacts), repeats (distinct dedup), multi-byte UTF-8 (byte-level
+    // md5 must equal md5 of the joined STRING), and doc lengths straddling
+    // the size(w) < k cutoff
+    val word = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("the", "a", "наб", "🦦x"),
+      1 -> Gen.const(""))
+    val gen = for {
+      n <- Gen.chooseNum(0, 14)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("w", ArrayType(StringType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(ws => Row(ws)), 4), schema)
+    Seq(1, 3, 5).foreach { k =>
+      def hof(sorted: Boolean) = {
+        val core =
+          s"""array_distinct(transform(
+             | filter(
+             |  CASE WHEN size(w) >= $k
+             |   THEN transform(sequence(1, size(w) - $k + 1),
+             |     i -> array_join(slice(w, i, $k), ' '))
+             |   ELSE CAST(array() AS ARRAY<STRING>) END,
+             |  s -> length(s) > 0),
+             | s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"""
+            .stripMargin.replace("\n", "")
+        expr(if (sorted) s"array_sort($core)" else core)
+      }
+      val got = df.select(
+        graft.functions.ShingleFunctions.shingleIds(col("w"), k, sorted = false).as("u"),
+        graft.functions.ShingleFunctions.shingleIds(col("w"), k, sorted = true).as("s"),
+        hof(sorted = false).as("hu"),
+        hof(sorted = true).as("hs")).collect()
+      got.zip(data).foreach { case (r, ws) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](2), s"k=$k unsorted ws=$ws")
+        assert(r.getSeq[Long](1) == r.getSeq[Long](3), s"k=$k sorted ws=$ws")
+      }
+    }
+  }
+
+  test("CharEntropyStats ≡ the former split('')+aggregate chain bit-for-bit on random text") {
+    val textGen = Gen.frequency(
+      6 -> Gen.listOfN(40, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '!', 'é', 'ж'))).map(_.mkString),
+      2 -> Gen.nonEmptyListOf(Gen.const('a')).map(_.mkString), // zero-entropy spam
+      1 -> Gen.const(""),
+      1 -> Gen.const("🦦🦦a🦦")) // astral plane: code-point counting
+    val data = sample(textGen, N)
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(Row(_)), 4), schema)
+    val got = df.select(
+      graft.functions.ShingleFunctions.charEntropyStats(col("text")).as("st"),
+      when(length(col("text")) === 0, array().cast("array<string>"))
+        .otherwise(split(col("text"), "")).as("cs"))
+      .select(col("st.n_chars"), col("st.raw_h"),
+        size(col("cs")).cast("long").as("hn"),
+        expr(
+          """CASE WHEN size(cs) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            | aggregate(array_distinct(cs), CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc - (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))
+            |    * ln(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE)))
+            | END""".stripMargin.replace("\n", "")).as("hh")).collect()
+    got.zip(data).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(2), s"n_chars text='$t'")
+      // bit-for-bit: both folds add the same terms in first-occurrence order
+      assert(r.getDouble(1) == r.getDouble(3), s"raw_h text='$t'")
+    }
+  }
+
   test("TopProbeLabelsHier matches the two-stage driver model on random hierarchies") {
     val dim = 8
     val cfgGen = for {

@@ -39,10 +39,12 @@ class PipelineSpec extends SparkSpec {
     val bloomDf = Pipeline.decontaminateBloom(docs, graft.Fixtures.evalPrompts(docs))
     val bloom = bloomDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(bloom == exact, "bloom pre-prune must not change the result")
-    // the might_contain prune sits in the corpus-side plan (inside the
-    // codegen stage over the exploded shingles), not after the join
+    // the broadcast-bloom prunes sit in the corpus-side plan (inside the
+    // codegen stage), not after the join: the doc-level any-contain
+    // before the explode and the per-shingle contains after it
     val plan = bloomDf.queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), s"expected bloom prune in plan:\n$plan")
+    assert(plan.contains("bloom_any_contain"), s"expected doc-level bloom prune in plan:\n$plan")
+    assert(plan.contains("bloom_contains_long"), s"expected per-shingle bloom prune in plan:\n$plan")
   }
 
   test("decontaminateBloom: empty eval set flags nothing") {
