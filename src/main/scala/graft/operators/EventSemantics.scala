@@ -171,7 +171,16 @@ object EventSemantics {
     */
   def requireUtcSession(df: DataFrame, op: String): Unit = {
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    require(Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00")(tz),
+    // normalize through ZoneId rules rather than a string allowlist: every
+    // FIXED zero-offset spelling Spark accepts (UTC, Etc/UTC, Etc/GMT,
+    // GMT0, Z, +00:00, UTC+00:00, ...) passes; zones that are merely
+    // zero-offset part of the year (Europe/London) are not fixed and fail
+    val isUtc =
+      try {
+        val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC
+      } catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
       s"$op: streaming week windows are UTC-aligned but spark.sql.session.timeZone=$tz; " +
         "set it to UTC or the batch and streaming twins will place week-boundary events differently")
   }

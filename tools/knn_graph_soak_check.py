@@ -36,14 +36,15 @@ Usage: tools/knn_graph_soak_check.py <sfDir> <verifyOutDir> [query ...]
 """
 import duckdb, json, sys, time
 from knn_soak_common import (K, cos_expr, compare, build_probe_tables,
-                             probe_labels, insert_label_topk, final_topk_df)
+                             probe_labels, insert_label_topk, final_topk_df,
+                             create_vsrc)
 
 
 def check_incremental(con, out):
     """Per-label decomposition of knnGraphSql: blocks are disjoint, so the
     within-label window is final."""
     labels = [r[0] for r in con.sql(
-        "SELECT DISTINCT label FROM embeddings WHERE label IS NOT NULL ORDER BY 1").fetchall()]
+        "SELECT DISTINCT label FROM vsrc WHERE label IS NOT NULL ORDER BY 1").fetchall()]
     con.sql("CREATE TEMP TABLE g_inc (label INTEGER, vec_a BIGINT, vec_b BIGINT, cosine DOUBLE, nn_rank BIGINT)")
     for L in labels:
         t0 = time.time()
@@ -52,8 +53,8 @@ def check_incremental(con, out):
         WITH pairs AS (
           SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
             {cos_expr('a', 'b')} AS cosine
-          FROM (SELECT * FROM embeddings WHERE label = {L}) a
-          JOIN (SELECT * FROM embeddings WHERE label = {L}) b ON b.vec_id <> a.vec_id)
+          FROM (SELECT * FROM vsrc WHERE label = {L}) a
+          JOIN (SELECT * FROM vsrc WHERE label = {L}) b ON b.vec_id <> a.vec_id)
         SELECT label, vec_a, vec_b, cosine, nn_rank FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
             ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
@@ -119,7 +120,9 @@ if __name__ == "__main__":
     sf, out = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:] or ["v_knn_join_incremental", "v_knn_join_geo"]
     con = duckdb.connect()
-    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    # vsrc = the registered oracle's validity view (see knn_soak_common);
+    # the lifted-prefix checkers shadow it with the oracle's own vsrc CTE
+    create_vsrc(con, sf)
     oracle_sql = json.load(open(f"{out}/oracle_sql.json"))
     for q in queries:
         if q == "v_knn_join_incremental":

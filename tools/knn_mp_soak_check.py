@@ -22,17 +22,18 @@ Usage: tools/knn_mp_soak_check.py <sfDir> <verifyOutDir>
 """
 import duckdb, sys
 from knn_soak_common import (compare, build_probe_tables, probe_labels,
-                             insert_label_topk, final_topk_df)
+                             insert_label_topk, final_topk_df, create_vsrc)
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+# vsrc = the registered oracle's validity view (see knn_soak_common)
+create_vsrc(con, sf)
 
-build_probe_tables(con, "embeddings", "probe_scores", "probes")
+build_probe_tables(con, "vsrc", "probe_scores", "probes")
 labels = probe_labels(con, "probes")
 print("labels:", labels, flush=True)
 con.sql("CREATE TEMP TABLE cand (vec_a BIGINT, vec_b BIGINT, cosine DOUBLE)")
 for L in labels:
-    insert_label_topk(con, "cand", "embeddings", "probes", L)
+    insert_label_topk(con, "cand", "vsrc", "probes", L)
 n = compare(con, final_topk_df(con, "cand"), out, "v_knn_join_mp")
 print(f"PASS v_knn_join_mp ({n} rows, decomposed two-phase top-k oracle)")

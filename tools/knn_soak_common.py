@@ -15,6 +15,21 @@ import time
 K, NPROBE, DIM = 5, 2, 64
 
 
+def create_vsrc(con, sf):
+    """Register `embeddings` (raw parquet) and `vsrc` — the same validity
+    view the REGISTERED oracles read through (Vectors.vecValidSql: non-NULL
+    vec_id/embedding, exact dim, no NULL elements). Checkers must build
+    centroids/probes/pairs from vsrc, not raw embeddings: on a corpus with
+    any invalid row, reading raw would diverge from the engine and report
+    a false FAIL."""
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    con.sql(f"""CREATE VIEW vsrc AS
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {DIM}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0""")
+
+
 def dot(a, b):
     return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
             f"list_transform(range(1, {DIM+1}), i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)")
