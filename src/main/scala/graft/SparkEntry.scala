@@ -188,6 +188,10 @@ object SparkEntry {
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(Fixtures.plantedDocs(docs(s, d)))),
     "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
+    // geometry-blocked variant: block = learned k-means cell (fixed
+    // kCells=8 at the gate so the DuckDB unrolled-Lloyd twin inlines the
+    // identical literal; deploys size cells via Sizing.forCorpus)
+    "d_semdedup_geo" -> ((s, d) => Dedup.semDedupGeo(emb(s, d))),
     // --- vector search (#36, 43-44) ---
     "q_search_highlights" -> ((s, d) => Vectors.searchHighlights(emb(s, d))),
     "v_ann_topk" -> ((s, d) => Vectors.annTopK(emb(s, d))),
@@ -382,6 +386,7 @@ object SparkEntry {
     "d_substring_overlap" -> Dedup.substringOverlapSql(),
     "d_dedup_lines" -> Dedup.dedupLinesSql(),
     "d_semdedup" -> Dedup.semDedupSql(),
+    "d_semdedup_geo" -> Dedup.semDedupGeoSql(),
     "q_search_highlights" -> Vectors.searchHighlightsSql(),
     "v_ann_topk" -> Vectors.annTopKSql(),
     "v_ann_ivf" -> Vectors.annIvfSql(),

@@ -446,6 +446,55 @@ object Dedup {
       .withColumnRenamed("doc_id", "vec_id")
   }
 
+  /** #126 geometry-blocked semantic dedup — [[semDedup]] with the blocking
+    * key UPGRADED from the GIVEN label column to a LEARNED k-means cell
+    * (the same label→geometry move [[graft.operators.Vectors.knnJoinGeo]]
+    * makes for the kNN graph). Near-duplicates that arbitrary labels
+    * separate land in the same Voronoi cell, and — the scale point — the
+    * cell count can be SIZED to the corpus (`Sizing.forCorpus` /
+    * `autoGeoCells`), keeping block size O(N/C) instead of letting blocks
+    * grow with the corpus under a fixed label set (the one superlinear
+    * soak family left in round 8).
+    *
+    * ORACLE-EXACT with zero stashing: training is the deterministic
+    * fixed-point Lloyd the unrolled CTE chain replays (kmeansCtes →
+    * kmeansAssignSql — the knnJoinGeo machinery verbatim), then the pair
+    * graph + components run over the relabeled relation.
+    */
+  def semDedupGeo(embeddings: DataFrame, minCos: Double = 0.3, kCells: Int = 8,
+                  iters: Int = 3, maxIterations: Int = 50,
+                  smallGraphEdges: Long = 500000L): DataFrame = {
+    val cent = Vectors.trainCentroids(embeddings, kCells, iters)
+    val relabeled =
+      if (cent.isEmpty)
+        embeddings.filter(lit(false))
+          .select(col("vec_id"), lit(0).cast("int").as("label"), col("embedding"))
+      else embeddings.filter(Vectors.kmValid)
+        .select(col("vec_id"),
+          Vectors.kmNearest(cent).getField("cluster").as("label"), col("embedding"))
+    val pairs = embedNearDup(relabeled, minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
+    val nodes = embeddings.select(col("vec_id").as("doc_id"))
+    assignClusters(pairs, nodes, maxIterations, smallGraphEdges)
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  def semDedupGeoSql(minCos: Double = 0.3, kCells: Int = 8, iters: Int = 3): String =
+    s"""WITH RECURSIVE ${Vectors.kmeansCtes(kCells, iters)},
+       | asg AS (${Vectors.kmeansAssignSql(iters)}),
+       | geo AS (
+       |  SELECT em.vec_id, a.cluster AS label, em.embedding
+       |  FROM embeddings em JOIN asg a ON a.vec_id = em.vec_id),
+       | pairs AS (${embedNearDupSql(minCos, src = "geo")}),
+       | e2 AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+       | reach AS (
+       |  SELECT vec_id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT reach.vec_id, e2.b AS r FROM reach JOIN e2 ON e2.a = reach.r)
+       | SELECT vec_id, MIN(r) AS cluster_id, (MIN(r) = vec_id) AS is_survivor
+       | FROM reach GROUP BY 1""".stripMargin.replace("\n", "")
+
   def semDedupSql(minCos: Double = 0.3): String =
     s"""WITH RECURSIVE pairs AS (${embedNearDupSql(minCos)}),
        | e2 AS (SELECT vec_a AS a, vec_b AS b FROM pairs
@@ -991,14 +1040,14 @@ object Dedup {
        |  CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
        | FROM flagged GROUP BY 1""".stripMargin.replace("\n", "")
 
-  def embedNearDupSql(minCos: Double = 0.3): String = {
+  def embedNearDupSql(minCos: Double = 0.3, src: String = "embeddings"): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
     def n2(a: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${n2("a")}) * sqrt(${n2("b")}))", 6)} AS cosine
-       | FROM embeddings a JOIN embeddings b
+       | FROM $src a JOIN $src b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        | WHERE ${flSql(s"${dot("a", "b")} / (sqrt(${n2("a")}) * sqrt(${n2("b")}))", 6)} >= $minCos""".stripMargin.replace("\n", "")
   }

@@ -399,6 +399,43 @@ class DedupVectorsSpec extends SparkSpec {
     assert(dist == out)
   }
 
+  test("semDedupGeo: finds cross-label near-dups that given-label blocking separates") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters far apart; the near-identical pair (1,2) carries
+    // DIFFERENT given labels, so label-blocked semDedup can never pair it —
+    // the learned cells must
+    def v(base: Float, jitter: Float) =
+      Array.tabulate(64)(i => if (i == 0) base + jitter else if (i == 1) 1f else 0f)
+    val rows = Seq(
+      (1L, 0, v(10f, 0f)), (2L, 1, v(10f, 0.01f)), // near-dup, labels split them
+      (3L, 0, v(-10f, 0f)), (4L, 1, v(-10f, 0.02f))) // second cluster, also split
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val given = Dedup.semDedup(df, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // given labels: every vector is its own cluster (no same-label pairs)
+    assert(given == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val geo = Dedup.semDedupGeo(df, minCos = 0.99, kCells = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // learned cells co-locate the near-dups: (1,2) and (3,4) fuse, with
+    // the min id surviving each cluster
+    assert(geo(1L) == (1L, true) && geo(2L) == (1L, false), s"geo=$geo")
+    assert(geo(3L) == (3L, true) && geo(4L) == (3L, false), s"geo=$geo")
+    // invariants shared with semDedup: all vectors assigned, one survivor
+    assert(geo.size == rows.size)
+  }
+
+  test("semDedupGeo: kCells=1 equals semDedup on a single-label corpus (all-pairs)") {
+    val s = spark
+    import s.implicits._
+    val oneLabel = emb.withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val geo = Dedup.semDedupGeo(oneLabel, kCells = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val plain = Dedup.semDedup(oneLabel)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(geo == plain)
+  }
+
   test("knnJoin: contiguous ranks per vector, top neighbor agrees with brute force") {
     val nn = Vectors.knnJoin(emb, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
