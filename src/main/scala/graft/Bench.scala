@@ -71,6 +71,7 @@ object Bench {
     // so one query's pinned relations never skew the next one's memory budget.
     val counter = new JobCounter(spark.sparkContext)
     val results = ordered.map { case (name, fn) =>
+      if (sys.env.contains("SPARK_GRAFT_TRACE")) System.err.println(s"[bench-trace] $name")
       val reps = (1 to 2).map { _ =>
         Caches.release()
         spark.catalog.clearCache()

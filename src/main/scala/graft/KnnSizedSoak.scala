@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Vectors
+
+/** Three-point scaling soak for the kNN-graph family under DEPLOY-SIZED
+  * blocking (VERDICT r08 item 7).
+  *
+  * The default soak corpus holds the `label` cardinality FIXED while rows
+  * grow 10–30x, so every label-blocked pair join pays quadratic block
+  * growth BY CONSTRUCTION — those five queries are skipped at x30 in
+  * `tools/soak_slopes.py` and carried as two-point fixed-label records.
+  * The deploy contract is the opposite: the block key is an IVF cell /
+  * LSH bucket whose CARDINALITY grows with the corpus (`SoakGen …
+  * scaleLabels` models it for the given-label operators;
+  * `Vectors.autoGeoCells` sizes it for the learned-geometry ones). This
+  * main measures that contract directly: the five variants at x1/x10/x30
+  * with block size held flat, fitting per-query log-log slopes, so
+  * soak_slopes.json can carry a MEASURED 3-point sized-labels slope
+  * instead of an argument by reference to the round-6 x10 run.
+  *
+  * Sizing happens OUTSIDE the timed region: a deploy sizes once per
+  * corpus (one bounded count — `Sizing.forCorpus`'s documented cost), and
+  * folding the sizing count into every timed rep would charge the graph
+  * build for the warehouse's corpus census.
+  *
+  * Usage: runMain graft.KnnSizedSoak 1=/root/testdata/sf0.1 \
+  *          10=target/soak/sf1sl 30=target/soak/sf3sl
+  * Writes knn_sized_soak.json; tools/soak_slopes.py --sized merges it
+  * into soak_slopes.json under `sized_labels`.
+  */
+object KnnSizedSoak {
+
+  /** The five graph variants at their deploy-sized blocking. The
+    * incremental entry replays the gate's 80/20 stored/delta split
+    * (SparkEntry #123) so its slope measures maintenance over a stored
+    * graph that grows with the corpus.
+    */
+  private def variants(emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "v_knn_join" -> (() => Vectors.knnJoin(emb)),
+    "v_knn_join_mp" -> (() => Vectors.knnJoinMultiProbe(emb)),
+    "v_knn_join_mph" -> (() => Vectors.knnJoinMultiProbeHier(emb)),
+    "v_knn_join_geo" -> (() => Vectors.knnJoinGeo(emb, kCells = Vectors.autoGeoCells(emb))),
+    "v_knn_join_incremental" -> (() => {
+      val old = emb.filter(col("vec_id") % 10 < 8)
+      Vectors.knnGraphIncrement(
+        Vectors.knnGraph(old), old, emb.filter(col("vec_id") % 10 >= 8))
+    })
+  )
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: KnnSizedSoak <factor>=<dir> <factor>=<dir> ...")
+    val corpora: Seq[(Double, String)] = args.toSeq.map { a =>
+      val Array(f, dir) = a.split("=", 2)
+      (f.toDouble, dir)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counter = new JobCounter(spark.sparkContext)
+
+    // per query -> per corpus (wall s, cpu ms)
+    val walls = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector())
+    val cpus2 = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector())
+    corpora.foreach { case (factor, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      // warmup: absorb footer reads + codegen for this corpus so the first
+      // variant doesn't pay session-init (Bench.scala's rationale)
+      Actions.materialize(emb.limit(64))
+      variants(emb).foreach { case (name, build) =>
+        val reps = (1 to 2).map { _ =>
+          Caches.release()
+          spark.catalog.clearCache()
+          val before = counter.snapshot()
+          val t0 = System.nanoTime()
+          Actions.materialize(build())
+          ((System.nanoTime() - t0) / 1e9, (counter.snapshot() - before).cpuMs.toDouble)
+        }
+        val best = reps.minBy(_._1)
+        walls(name) = walls(name) :+ best._1
+        cpus2(name) = cpus2(name) :+ best._2
+        println(f"[sized] x$factor%.0f $name%-24s wall ${best._1}%.2fs cpu ${best._2 / 1000}%.1fs")
+      }
+    }
+
+    val xs = corpora.map(c => math.log(c._1))
+    def slope(ys: Seq[Double]): Double = {
+      val ly = ys.map(y => math.log(math.max(y, 1e-3)))
+      val n = xs.length
+      val (sx, sy) = (xs.sum, ly.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ly).map { case (x, y) => x * y }.sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    def f(v: Double, d: Int) = Actions.fmt(v, d)
+    val qjson = walls.keys.toSeq.sorted.map { k =>
+      val w = walls(k)
+      val c = cpus2(k).map(_ / 1000)
+      s""""$k":{"wall_s":[${w.map(f(_, 3)).mkString(",")}],"wall_slope":${f(slope(w), 2)},""" +
+        s""""cpu_s":[${c.map(f(_, 1)).mkString(",")}],"cpu_slope":${f(slope(c), 2)}}"""
+    }.mkString(",")
+    val cjson = corpora.map { case (fac, dir) => s""""x${fac.toLong}":"$dir"""" }.mkString(",")
+    val out = s"""{"corpora":{$cjson},"blocking":"sized (scaleLabels corpora; geo cells = autoGeoCells)","queries":{$qjson}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("knn_sized_soak.json"),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

@@ -18,7 +18,9 @@ object Profile {
       .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_LOG=WARN surfaces scheduler warnings (e.g. "broadcasting
+    // large task binary") interleaved with the stage detail for attribution
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     Seq("orders", "customer", "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }

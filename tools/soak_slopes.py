@@ -46,12 +46,56 @@ def bench(sf_dir, tag, only=None):
     return d
 
 
+SIZED_CORPORA = [("x10sl", "target/soak/sf1sl", 10), ("x30sl", "target/soak/sf3sl", 30)]
+
+
+def run_sized(fresh):
+    """Measure the kNN five at x1/x10/x30 under DEPLOY-SIZED blocking
+    (scaleLabels corpora; geo cells = autoGeoCells) and merge the 3-point
+    slopes into soak_slopes.json as `sized_labels` sub-records — the
+    measured form of the deploy contract the fixed-label skip list argues
+    from (VERDICT r08 item 7)."""
+    for _, out, factor in SIZED_CORPORA:
+        if fresh or not os.path.exists(os.path.join(REPO, out, "embeddings.parquet")):
+            run(["sbt", "-batch", f"runMain graft.SoakGen {SF01} {out} {factor} scaleLabels"],
+                log=f"/tmp/slopes_gen_{factor}sl.log")
+    run(["sbt", "-batch",
+         "runMain graft.KnnSizedSoak 1=" + SF01 + " " +
+         " ".join(f"{f}={out}" for _, out, f in SIZED_CORPORA)],
+        log="/tmp/slopes_sized.log")
+    with open(os.path.join(REPO, "knn_sized_soak.json")) as f:
+        sized = json.load(f)
+    path = os.path.join(REPO, "soak_slopes.json")
+    with open(path) as f:
+        slopes = json.load(f)
+    for k, v in sized["queries"].items():
+        slopes.setdefault("queries", {}).setdefault(k, {})["sized_labels"] = v
+    slopes["sized_labels_note"] = (
+        "3-point x1/x10/x30 slopes under the deploy blocking contract: "
+        "scaleLabels corpora (block cardinality grows with the corpus, "
+        "block size flat) and geo cells sized by Vectors.autoGeoCells; "
+        "measured by graft.KnnSizedSoak (knn_sized_soak.json)")
+    with open(path, "w") as f:
+        json.dump(slopes, f, indent=1)
+    print(f"\n[slopes] sized-labels 3-point slopes merged into soak_slopes.json:")
+    for k in sorted(sized["queries"]):
+        v = sized["queries"][k]
+        w = "/".join(f"{x:.2f}" for x in v["wall_s"])
+        print(f"  {k:34s} wall {w:>20s}  slopeW {v['wall_slope']:5.2f}  slopeC {v['cpu_slope']:5.2f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default=DEFAULT_SKIP)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--sized", action="store_true",
+                    help="only run the sized-labels kNN soak and merge into soak_slopes.json")
     a = ap.parse_args()
     skip = set(filter(None, a.skip.split(",")))
+
+    if a.sized:
+        run_sized(a.fresh)
+        return
 
     for _, out, factor in CORPORA:
         if a.fresh or not os.path.exists(os.path.join(REPO, out, "documents.parquet")):
