@@ -25,6 +25,28 @@ object Caches {
       tracked.add(p)
       p
     }
+
+    /** [[sharedCache]] + eager materialization (one count job) — the
+      * materialize-before-fanout barrier for a cache whose consumers
+      * include BROADCAST-EXCHANGE builds. Spark runs broadcast builds as
+      * concurrent jobs; on a cold cache they race the main job for the
+      * same partitions and every loser blocks on the BlockManager's
+      * per-block compute lock ("Asked to cache already cached data"),
+      * inflating executor run time 2-10x over cpu time (measured on the
+      * unigram/bigram NLL and perplexity-bucket pipelines, whose model
+      * thresholds/scalars broadcast off the cached pre-count). NOT the
+      * default: a benchmarked suite-wide eager pass burned ~30% more CPU
+      * overall (hyperthread contention during the forced all-core
+      * materialization burst) and regressed the capped-Jaccard pipeline
+      * 3x — eager is a per-site decision for measured broadcast-fanout
+      * races, exactly like the explicit counts in Dedup.ngramJaccard and
+      * Dedup.shingleArrays.
+      */
+    def sharedCacheEager: DataFrame = {
+      val p = df.sharedCache
+      p.count()
+      p
+    }
   }
 
   /** Number of currently tracked (not yet released) relations. */

@@ -32,9 +32,14 @@ object Profile {
     if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          val (run, cpu) = if (m == null) (0L, 0L)
+            else (m.executorRunTime, m.executorCpuTime / 1000000L)
           println(f"  stage ${sc.stageInfo.stageId}%4d tasks=${sc.stageInfo.numTasks}%4d " +
-            sc.stageInfo.name.linesIterator.next().take(90))
+            f"run=${run}%6dms cpu=${cpu}%6dms " +
+            sc.stageInfo.name.linesIterator.next().take(70))
+        }
       })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -481,8 +481,10 @@ object Pipeline {
     // once even though the relation has two consumers with different
     // column pruning (which would otherwise canonicalize to different
     // exchanges and re-run the explode per consumer)
+    // eager: the model scalars broadcast-build races the scoring join on
+    // a cold cache (see Caches.sharedCacheEager)
     val dt = words.groupBy(col("doc_id") +: cc :+ col("term"): _*).agg(count(lit(1)).as("n"))
-      .sharedCache
+      .sharedCacheEager
     // corpus term frequency as a partial-agg groupBy + join-back on the
     // persisted pre-count — NOT a window over the term key: map-side
     // combine absorbs hot stopword terms before the shuffle, and the
@@ -527,8 +529,10 @@ object Pipeline {
     // persisted: the threshold branch and the output branch both consume
     // the full per-doc LM scoring — without this the dt→vocab→join→agg
     // subtree (a whole corpus pass) executes twice, once per consumer
+    // eager: the threshold broadcast-build races the probe side on a cold
+    // cache (see Caches.sharedCacheEager)
     val nll = unigramNllKeyed(documents, Seq("lang"))
-      .sharedCache
+      .sharedCacheEager
     val pct =
       if (approx) expr("approx_percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 10000)")
       else expr("percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
@@ -613,8 +617,10 @@ object Pipeline {
           | (a, b) -> struct(a AS prev, concat(a, ' ', b) AS bigram))"""
           .stripMargin.replace("\n", ""))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
+    // eager: the scalars broadcast-build races the scoring join on a cold
+    // cache (see Caches.sharedCacheEager)
     val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
-      .sharedCache
+      .sharedCacheEager
     val bvocab = db.groupBy("bigram").agg(sum("n").as("bfreq"))
     val hist = db.groupBy("prev").agg(sum("n").as("pfreq"))
     val scalars = toks.select(explode(col("w")).as("term"))
