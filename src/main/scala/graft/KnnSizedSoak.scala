@@ -33,12 +33,20 @@ import graft.operators.Vectors
   */
 object KnnSizedSoak {
 
-  /** The five graph variants at their deploy-sized blocking. The
-    * incremental entry replays the gate's 80/20 stored/delta split
-    * (SparkEntry #123) so its slope measures maintenance over a stored
-    * graph that grows with the corpus.
+  /** The five graph variants plus the three pair-graph dedup entries at
+    * their deploy-sized blocking. The incremental entry replays the
+    * gate's 80/20 stored/delta split (SparkEntry #123) so its slope
+    * measures maintenance over a stored graph that grows with the
+    * corpus; the label-blocked dedup pair joins (d_embed_neardup,
+    * d_semdedup) ride the scaleLabels corpora like the kNN joins, and
+    * the geometry-blocked ones (v_knn_join_geo, d_semdedup_geo) retrain
+    * their k-means cells at the corpus-sized [[Vectors.autoGeoCells]].
     */
   private def variants(emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "d_embed_neardup" -> (() => graft.operators.Dedup.embedNearDup(emb)),
+    "d_semdedup" -> (() => graft.operators.Dedup.semDedup(emb)),
+    "d_semdedup_geo" -> (() =>
+      graft.operators.Dedup.semDedupGeo(emb, kCells = Vectors.autoGeoCells(emb))),
     "v_knn_join" -> (() => Vectors.knnJoin(emb)),
     "v_knn_join_mp" -> (() => Vectors.knnJoinMultiProbe(emb)),
     "v_knn_join_mph" -> (() => Vectors.knnJoinMultiProbeHier(emb)),

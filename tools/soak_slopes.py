@@ -134,7 +134,18 @@ def main():
             "wall_s": [round(v, 3) for v in w], "wall_slope": round(slope2(*w), 2),
             "cpu_s": [round(v, 1) for v in c], "cpu_slope": round(slope2(*c), 2),
             "two_point": True}
-    with open(os.path.join(REPO, "soak_slopes.json"), "w") as f:
+    # carry over sized-labels records (written by --sized) so a full
+    # refresh doesn't silently drop the deploy-contract measurements
+    path = os.path.join(REPO, "soak_slopes.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for k, v in prev.get("queries", {}).items():
+            if "sized_labels" in v and k in out["queries"]:
+                out["queries"][k]["sized_labels"] = v["sized_labels"]
+        if "sized_labels_note" in prev:
+            out["sized_labels_note"] = prev["sized_labels_note"]
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
     rows = sorted(out["queries"].items(), key=lambda kv: -kv[1]["wall_slope"])
