@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Re-run ONE registered oracle from a Verify dump with an explicit DuckDB
+memory budget and temp directory — for triage of replays that exhaust the
+default budgets. Note the limit of this lever: v_knn_join_mph's
+sf1-class single-window replay spills >79 GB even at
+memory_limit=100GB (DuckDB externalizes the big sort regardless), so
+past a point the answer is the decomposed checker
+(tools/knn_graph_soak_check.py v_knn_join_mph), not a bigger budget.
+
+Usage: tools/check_one_oracle.py <sfDir> <verifyOutDir> <queryName>
+         [memLimit] [tmpDir]
+Prints the same PASS/FAIL line as check.py.
+"""
+import json, os, sys
+import duckdb
+import pandas as pd
+
+sf, out, name = sys.argv[1], sys.argv[2], sys.argv[3]
+mem = sys.argv[4] if len(sys.argv) > 4 else "100GB"
+tmp = sys.argv[5] if len(sys.argv) > 5 else os.path.join(out, "ducktmp")
+
+con = duckdb.connect()
+con.sql(f"SET memory_limit='{mem}'")
+con.sql(f"SET temp_directory='{tmp}'")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+sql = json.load(open(f"{out}/oracle_sql.json"))[name]
+odf = con.sql(sql).df()
+sdf = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+sc, oc = sorted(sdf.columns), sorted(odf.columns)
+if sc != oc:
+    sys.exit(f"FAIL {name}: schema spark={sc} oracle={oc}")
+s = sdf[sc].sort_values(sc).reset_index(drop=True)
+o = odf[oc].sort_values(oc).reset_index(drop=True)
+if len(s) != len(o):
+    sys.exit(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+pd.testing.assert_frame_equal(s, o, check_exact=True)
+print(f"PASS {name} ({len(s)} rows)")
