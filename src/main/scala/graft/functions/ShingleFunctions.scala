@@ -71,6 +71,15 @@ case class ShingleIds(child: Expression, k: Int, sorted: Boolean)
 }
 
 object ShingleIds {
+  // MessageDigest is not thread-safe and getInstance allocates (provider
+  // lookup + digest state) — at one compute() per ROW that allocation is
+  // hot-path at 100 TB, so each executor task thread reuses one instance
+  // (reset() between shingles already restores a clean state)
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Shared by interpreted eval and codegen. */
   def compute(arr: ArrayData, k: Int, sorted: Boolean): ArrayData = {
     val n = arr.numElements()
@@ -83,7 +92,7 @@ object ShingleIds {
       wb(i) = if (w == null) Array.emptyByteArray else w.getBytes
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val m = n - k + 1
     val out = new Array[Long](m)
     val seen = new java.util.HashSet[java.lang.Long](m * 2)
