@@ -35,27 +35,28 @@ object KnnSizedSoak {
 
   /** The five graph variants plus the three pair-graph dedup entries at
     * their deploy-sized blocking. The incremental entry replays the
-    * gate's 80/20 stored/delta split (SparkEntry #123) so its slope
-    * measures maintenance over a stored graph that grows with the
-    * corpus; the label-blocked dedup pair joins (d_embed_neardup,
+    * gate's 80/20 stored/delta split (SparkEntry #123) over a stored
+    * graph MATERIALIZED once per corpus outside the timed region
+    * (localCheckpoint in main), so its slope measures maintenance over
+    * stored state — not a per-rep old-graph rebuild;
+    * the label-blocked dedup pair joins (d_embed_neardup,
     * d_semdedup) ride the scaleLabels corpora like the kNN joins, and
     * the geometry-blocked ones (v_knn_join_geo, d_semdedup_geo) retrain
     * their k-means cells at the corpus-sized [[Vectors.autoGeoCells]].
     */
-  private def variants(emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+  private def variants(emb: DataFrame, cells: Int,
+                       oldGraph: DataFrame, old: DataFrame,
+                       delta: DataFrame): Seq[(String, () => DataFrame)] = Seq(
     "d_embed_neardup" -> (() => graft.operators.Dedup.embedNearDup(emb)),
     "d_semdedup" -> (() => graft.operators.Dedup.semDedup(emb)),
     "d_semdedup_geo" -> (() =>
-      graft.operators.Dedup.semDedupGeo(emb, kCells = Vectors.autoGeoCells(emb))),
+      graft.operators.Dedup.semDedupGeo(emb, kCells = cells)),
     "v_knn_join" -> (() => Vectors.knnJoin(emb)),
     "v_knn_join_mp" -> (() => Vectors.knnJoinMultiProbe(emb)),
     "v_knn_join_mph" -> (() => Vectors.knnJoinMultiProbeHier(emb)),
-    "v_knn_join_geo" -> (() => Vectors.knnJoinGeo(emb, kCells = Vectors.autoGeoCells(emb))),
-    "v_knn_join_incremental" -> (() => {
-      val old = emb.filter(col("vec_id") % 10 < 8)
-      Vectors.knnGraphIncrement(
-        Vectors.knnGraph(old), old, emb.filter(col("vec_id") % 10 >= 8))
-    })
+    "v_knn_join_geo" -> (() => Vectors.knnJoinGeo(emb, kCells = cells)),
+    "v_knn_join_incremental" -> (() =>
+      Vectors.knnGraphIncrement(oldGraph, old, delta))
   )
 
   def main(args: Array[String]): Unit = {
@@ -84,7 +85,17 @@ object KnnSizedSoak {
       // warmup: absorb footer reads + codegen for this corpus so the first
       // variant doesn't pay session-init (Bench.scala's rationale)
       Actions.materialize(emb.limit(64))
-      variants(emb).foreach { case (name, build) =>
+      // Per-corpus setup OUTSIDE the timed region (the scaladoc contract):
+      // the one-count geo sizing, and the STORED graph the incremental
+      // entry maintains — localCheckpoint materializes it so the timed
+      // reps measure maintenance over stored state, not an O(old-corpus)
+      // graph rebuild per rep (clearCache() in the rep loop drops SQL
+      // cache entries, not checkpointed blocks).
+      val cells = Vectors.autoGeoCells(emb)
+      val old = emb.filter(col("vec_id") % 10 < 8)
+      val delta = emb.filter(col("vec_id") % 10 >= 8)
+      val oldGraph = Vectors.knnGraph(old).localCheckpoint()
+      variants(emb, cells, oldGraph, old, delta).foreach { case (name, build) =>
         val reps = (1 to 2).map { _ =>
           Caches.release()
           spark.catalog.clearCache()

@@ -38,5 +38,8 @@ s = sdf[sc].sort_values(sc).reset_index(drop=True)
 o = odf[oc].sort_values(oc).reset_index(drop=True)
 if len(s) != len(o):
     sys.exit(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
-pd.testing.assert_frame_equal(s, o, check_exact=True)
+try:
+    pd.testing.assert_frame_equal(s, o, check_exact=True)
+except AssertionError as e:
+    sys.exit(f"FAIL {name}: values differ ({str(e).splitlines()[0]})")
 print(f"PASS {name} ({len(s)} rows)")

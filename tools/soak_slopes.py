@@ -66,8 +66,12 @@ def run_sized(fresh):
     with open(os.path.join(REPO, "knn_sized_soak.json")) as f:
         sized = json.load(f)
     path = os.path.join(REPO, "soak_slopes.json")
-    with open(path) as f:
-        slopes = json.load(f)
+    if os.path.exists(path):
+        with open(path) as f:
+            slopes = json.load(f)
+    else:
+        # --sized before any full slopes run (fresh checkout): start empty
+        slopes = {"queries": {}}
     for k, v in sized["queries"].items():
         slopes.setdefault("queries", {}).setdefault(k, {})["sized_labels"] = v
     slopes["sized_labels_note"] = (
