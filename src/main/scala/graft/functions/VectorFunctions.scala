@@ -413,15 +413,23 @@ case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
     acc
   }
 
+  /** Exact-pruning two-level index (null below the size threshold) —
+    * bit-identical results, O((√k + k/√k)·dim) per row instead of
+    * O(k·dim); see [[CentroidIndex]] for the exactness contract.
+    */
+  @transient private lazy val index: CentroidIndex =
+    CentroidIndex.buildOrNull(cent, dim, k)
+
   override def nullSafeEval(v: Any): Any =
-    NearestCentroid.compute(v.asInstanceOf[ArrayData], isFloat, dim, k, cent, cnorm)
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], isFloat, dim, k, cent, cnorm, index)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("ncCent", cent, "double[]")
     val cnRef = ctx.addReferenceObj("ncCnorm", cnorm, "double[]")
+    val ixRef = ctx.addReferenceObj("ncIndex", index, "graft.functions.CentroidIndex")
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("ncRes")
-      s"""Object $tmp = graft.functions.NearestCentroid.compute($c, $isFloat, $dim, $k, $centRef, $cnRef);
+      s"""Object $tmp = graft.functions.NearestCentroid.compute($c, $isFloat, $dim, $k, $centRef, $cnRef, $ixRef);
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
          |""".stripMargin
     })
@@ -432,9 +440,15 @@ case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
 }
 
 object NearestCentroid {
-  /** Shared by interpreted eval and codegen; null on any null element. */
+  /** Shared by interpreted eval and codegen; null on any null element.
+    * `ix` is the optional exact-pruning index ([[CentroidIndex]]) — when
+    * present (and the row is finite), the scan seeds from the nearest
+    * super-centroid's members and provably-losing supers are skipped;
+    * scanned centroids go through the IDENTICAL IEEE sequence and the
+    * lowest-index tie-break, so the result is bit-equal to the flat loop.
+    */
   def compute(arr: ArrayData, isFloat: Boolean, dim: Int, k: Int,
-              cent: Array[Double], cn: Array[Double]): Any = {
+              cent: Array[Double], cn: Array[Double], ix: CentroidIndex): Any = {
     val n = math.min(arr.numElements(), dim)
     val v = new Array[Double](n)
     var i = 0
@@ -446,6 +460,17 @@ object NearestCentroid {
     var dvv = 0d
     i = 0
     while (i < n) { dvv += v(i) * v(i); i += 1 }
+    if (ix != null && java.lang.Double.isFinite(dvv)) computeHier(v, n, dvv, dim, cent, cn, ix)
+    else flatScan(v, n, dvv, dim, k, cent, cn)
+  }
+
+  /** Backward-compatible flat entry (spec twins call this directly). */
+  def compute(arr: ArrayData, isFloat: Boolean, dim: Int, k: Int,
+              cent: Array[Double], cn: Array[Double]): Any =
+    compute(arr, isFloat, dim, k, cent, cn, null)
+
+  private def flatScan(v: Array[Double], n: Int, dvv: Double, dim: Int, k: Int,
+                       cent: Array[Double], cn: Array[Double]): Any = {
     var bestJ = -1
     var bestD = 0d
     var j = 0
@@ -456,6 +481,63 @@ object NearestCentroid {
       val d = (dvv - 2d * dvc) + cn(j)
       if (bestJ < 0 || d < bestD) { bestJ = j; bestD = d }
       j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestJ, bestD))
+  }
+
+  private def computeHier(v: Array[Double], n: Int, dvv: Double, dim: Int,
+                          cent: Array[Double], cn: Array[Double],
+                          ix: CentroidIndex): Any = {
+    val nS = ix.nSup
+    val sup = ix.supCent
+    // squared distance to every super-centroid (v zero-padded past n, the
+    // flat kernel's truncation semantics)
+    val sd = new Array[Double](nS)
+    var sBest = -1
+    var sBestD = 0d
+    var s = 0
+    while (s < nS) {
+      var dvs = 0d
+      var t = 0
+      while (t < n) { dvs += v(t) * sup(s * dim + t); t += 1 }
+      val d = (dvv - 2d * dvs) + ix.supNorm2(s)
+      sd(s) = d
+      if (ix.memberStart(s) < ix.memberStart(s + 1) && (sBest < 0 || d < sBestD)) {
+        sBest = s; sBestD = d
+      }
+      s += 1
+    }
+    var bestJ = -1
+    var bestD = 0d
+    // margin dominating the worst-case FP error of both the exact
+    // distance expression and the bound arithmetic by >10^4 (dim·ε·scale
+    // ≈ 1e-14·scale) — a larger margin only scans more, never less.
+    val margin = 1e-9 * (dvv + ix.maxNorm2 + 1d)
+    def scanSuper(si: Int): Unit = {
+      var m = ix.memberStart(si)
+      val end = ix.memberStart(si + 1)
+      while (m < end) {
+        val j = ix.memberIdx(m)
+        var dvc = 0d
+        var t = 0
+        while (t < n) { dvc += v(t) * cent(j * dim + t); t += 1 }
+        val d = (dvv - 2d * dvc) + cn(j)
+        if (bestJ < 0 || d < bestD || (d == bestD && j < bestJ)) { bestJ = j; bestD = d }
+        m += 1
+      }
+    }
+    if (sBest >= 0) scanSuper(sBest)
+    s = 0
+    while (s < nS) {
+      if (s != sBest && ix.memberStart(s) < ix.memberStart(s + 1)) {
+        val t0 = math.sqrt(math.max(sd(s), 0d)) - ix.radius(s)
+        val lb = if (t0 > 0d) t0 * t0 else 0d
+        // prune ONLY on a proven strict loss; NaN comparisons fall
+        // through to a scan (conservative by construction)
+        if (!(bestJ >= 0 && lb > bestD + margin)) scanSuper(s)
+      }
+      s += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestJ, bestD))

@@ -28,8 +28,49 @@ object Sizing {
     * @param jaccardCap   df cap for `Dedup.ngramJaccard(maxDf = Some(_))`
     * @param bands×rows   LSH banding for the minhash index
     * @param geoCells     `Vectors.knnJoinGeo(kCells = _)` cell count
+    * @param conf         recommended Spark session conf ([[clusterConf]])
     */
-  final case class Sized(jaccardCap: Long, bands: Int, rows: Int, geoCells: Int)
+  final case class Sized(jaccardCap: Long, bands: Int, rows: Int, geoCells: Int,
+                         conf: Map[String, String])
+
+  /** Recommended session conf for running the engine over `corpusBytes`
+    * of input on `totalCores` executor cores — the arithmetic behind
+    * SURVEY §4's "shuffle sized to the cluster at deploy" sentence
+    * (SizingSpec pins it; SCALING.md "Sizing at deploy" documents it):
+    *
+    *  - `spark.sql.shuffle.partitions`: one ~128 MiB shuffle block per
+    *    partition so a block (plus 2–3× aggregation expansion) fits an
+    *    executor-core's working memory, floored at 2 waves per core so
+    *    stragglers overlap and AQE has room to coalesce DOWN (its cheap
+    *    direction — splitting up requires the skew handlers);
+    *  - `spark.sql.adaptive.advisoryPartitionSizeInBytes` = 64 MiB: the
+    *    AQE coalesce/skew target, half the static block so post-filter
+    *    stages re-pack without starving parallelism;
+    *  - `spark.sql.files.maxPartitionBytes`: scan splits sized so the
+    *    read stage also fills 2 waves, clamped to [16 MiB, 256 MiB]
+    *    (below 16 MiB footer overhead dominates; above 256 MiB a task
+    *    death re-reads too much);
+    *  - `spark.sql.autoBroadcastJoinThreshold`: ~5 % of per-core memory,
+    *    capped at 256 MiB — the engine's dimension sides (centroid
+    *    matrices, month maps, thresholds) are far below it, and a
+    *    mis-estimated fact side must not be broadcast.
+    */
+  def clusterConf(corpusBytes: Long, totalCores: Int,
+                  memoryPerCoreBytes: Long = 4L << 30): Map[String, String] = {
+    require(corpusBytes >= 0 && totalCores > 0 && memoryPerCoreBytes > 0,
+      s"invalid cluster shape: bytes=$corpusBytes cores=$totalCores mem/core=$memoryPerCoreBytes")
+    val blockTarget = 128L << 20
+    val shuffleParts = math.max(2L * totalCores,
+      (corpusBytes + blockTarget - 1) / blockTarget)
+    val scanSplit = math.min(256L << 20,
+      math.max(16L << 20, corpusBytes / (2L * totalCores)))
+    val broadcast = math.min(256L << 20, memoryPerCoreBytes / 20)
+    Map(
+      "spark.sql.shuffle.partitions" -> shuffleParts.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (64L << 20).toString,
+      "spark.sql.files.maxPartitionBytes" -> scanSplit.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcast.toString)
+  }
 
   /** Size every corpus-specific constant in one call.
     *
@@ -46,6 +87,14 @@ object Sizing {
     val cap = Dedup.autoJaccardCap(documents, minJaccard = jaccardThreshold)
     val (b, r) = Dedup.minhashBanding(minhashThreshold)
     val cells = Vectors.autoGeoCells(embeddings, nProbe)
-    Sized(cap, b, r, cells)
+    // corpus footprint from the optimizer's own statistics (file sizes
+    // for parquet relations — no data pass), cluster shape from the
+    // session; memory-per-core left at the 4 GiB default (pass
+    // clusterConf directly to size a specific fleet)
+    val bytes = (documents.queryExecution.optimizedPlan.stats.sizeInBytes +
+      embeddings.queryExecution.optimizedPlan.stats.sizeInBytes)
+      .min(BigInt(Long.MaxValue)).toLong
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    Sized(cap, b, r, cells, clusterConf(bytes, cores))
   }
 }

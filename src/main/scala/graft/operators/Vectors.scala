@@ -416,16 +416,27 @@ object Vectors {
 
   /** One-count auto-sizing of the geometry cell count — the analog of
     * [[graft.operators.Dedup.autoJaccardCap]] for the graph family's last
-    * corpus-specific constant. Per-row graph cost with the fused flat
-    * probe assignment is O(C·dim) (assignment) + O(nProbe·(N/C)·dim)
-    * (pair join at block size N/C), minimized at C = √(nProbe·N) — the
-    * FAISS √N-cells regime. Deploys call this; the GATE keeps the fixed
-    * kCells=8 because the DuckDB twin's unrolled-Lloyd CTE chain must
-    * inline the identical literal.
+    * corpus-specific constant. With the exact-pruning two-level index
+    * ([[graft.functions.CentroidIndex]]) the per-row assignment cost is
+    * O((√C + C/√C)·dim) ≈ O(√C·dim), so the per-row graph cost
+    * O(√C·dim) + O(nProbe·(N/C)·dim) (pair join at block size N/C) is
+    * minimized at C = (nProbe·N)^(2/3) — the balance point the round-9
+    * √(nProbe·N) sizing had under the FLAT O(C·dim) scan. Larger C =
+    * smaller blocks = a pair join that grows as N^(1/3) per row instead
+    * of N^(1/2); candidates per vector (recall budget) still GROW with
+    * the corpus, as before. Capped at 2^14 cells: past that the centroid
+    * matrix (C·dim doubles) stops being a sane plan reference object /
+    * per-stage broadcast, and the train-once driver Lloyd contract is the
+    * binding constraint — beyond N ≈ 2M·dim the remaining lever is
+    * sharded coarse training (documented in SCALING.md, out of contract
+    * here). Deploys call this; the GATE keeps the fixed kCells=8 because
+    * the DuckDB twin's unrolled-Lloyd CTE chain must inline the identical
+    * literal.
     */
   def autoGeoCells(embeddings: DataFrame, nProbe: Int = 2): Int = {
     val n = embeddings.filter(kmValid).count()
-    math.max(1, math.ceil(math.sqrt(nProbe.toDouble * n)).toInt)
+    val c = math.ceil(math.pow(nProbe.toDouble * n, 2.0 / 3.0)).toInt
+    math.max(1, math.min(c, 1 << 14))
   }
 
   def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.{DedupStream, RollupStream, SketchStream}
+import graft.streaming.{ClusterStream, DedupStream, EventStream, MembershipStream,
+  RollupStream, SketchStream, VelocityStream}
 
 /** Checkpoint RECOVERY, not just cross-batch state: each test stops a
   * streaming query, adds more data, and restarts a NEW query from the same
@@ -48,6 +49,149 @@ class CheckpointRecoverySpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     buf.synchronized { buf.toSeq }
+  }
+
+  private def evm(id: Long, user: Long, ch: String, minutes: Long) =
+    Ev(id, user, ch, new Timestamp(t0 + minutes * 60000L), 1d)
+
+  test("s_stream_membership: restarted flatMapGroupsWithState remembers the last rank") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // user 1 in ch0: rank = (1 + dayofmonth) % 8 - 1 walks 1 → 2 → 3 over
+    // days 1..3 in run 1, then → 4 on day 4 in run 2 — that last
+    // transition's prev_rank can ONLY come from recovered GroupState
+    val b1 = Seq(ev(1, 1, "ch0", 0), ev(2, 1, "ch0", 1), ev(3, 1, "ch0", 2),
+      ev(4, 3, "ch9", 0)) // single sighting: no transition ever
+    val b2 = Seq(ev(5, 1, "ch0", 3), ev(6, 2, "ch1", 3)) // user 2: first sighting
+
+    val ckpt = ckptDir("membership")
+    val stream = MemoryStream[Ev]
+    val df = MembershipStream.transitions(stream.toDF()).toDF()
+
+    stream.addData(b1)
+    val out1 = drainRun(df, ckpt, "append")
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    stream.addData(b2)
+    val out2 = drainRun(df, ckpt, "append")
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4), r.getString(5))).toSet
+
+    assert(out1 == Set((1L, "ch0", 1, 2, "changed"), (1L, "ch0", 2, 3, "changed")),
+      s"run 1 transitions: $out1")
+    // no loss: prev_rank 3 was learned in run 1; no duplication: run-1
+    // transitions must not re-emit; user 2's first sighting emits nothing
+    assert(out2 == Set((1L, "ch0", 3, 4, "changed")), s"run 2 after restart: $out2")
+    val batch = MembershipStream.transitions((b1 ++ b2).toDF())
+      .collect().map(t => (t.user_id, t.channel, t.prev_rank, t.new_rank, t.kind)).toSet
+    assert((out1 ++ out2) == batch)
+  }
+
+  test("s_sessionize_gap: restarted session_window merges into the recovered open session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // run 1 leaves user 1 with an OPEN session (events at min 0, 10; gap
+    // 30 min); run 2's min-20 event must merge into that recovered
+    // session, and the min-600 event advances the watermark past its end
+    // so the MERGED session is emitted exactly once, in run 2
+    val b1 = Seq(evm(1, 1, "ch0", 0), evm(2, 1, "ch0", 10))
+    val b2 = Seq(evm(3, 1, "ch0", 20), evm(4, 1, "ch0", 600))
+
+    val ckpt = ckptDir("gap")
+    val stream = MemoryStream[Ev]
+    val df = EventStream.gapSessions(stream.toDF(), gap = "30 minutes",
+      watermark = Some("1 hour"))
+
+    stream.addData(b1)
+    val out1 = drainRun(df, ckpt, "append")
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    stream.addData(b2)
+    val out2 = drainRun(df, ckpt, "append")
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+
+    assert(out1.isEmpty, s"run 1 must not emit an open session: $out1")
+    // n_events = 3 proves the run-1 session state survived the restart
+    // (lost state → 1; re-processed batch 1 → a duplicate session row)
+    assert(out2 == Seq((1L, ts(0), 3L)), s"run 2 after restart: $out2")
+    // union == the batch twin's CLOSED sessions (the min-600 session is
+    // still open at shutdown, by construction)
+    val batch = EventStream.gapSessions((b1 ++ b2).toDF(), gap = "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, ts(0), 3L), (1L, ts(600 * 60), 1L)))
+    assert((out1 ++ out2).toSet == batch.filter(_._2 == ts(0)))
+  }
+
+  test("s_stream_velocity: restarted windowed agg folds new events into recovered counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // 4 events land in window [0, 15min) in run 1 (below the >5 burst
+    // bar, nothing emitted); run 2 adds 3 more to the SAME window — only
+    // the recovered aggregation state can reach velocity 7 — and a far
+    // event advances the watermark to close the window
+    val b1 = (1L to 4L).map(i => evm(i, i, "ch0", i - 1))
+    val b2 = Seq(evm(5, 5, "ch0", 5), evm(6, 6, "ch0", 6), evm(7, 7, "ch0", 7),
+      evm(8, 8, "chZ", 1300))
+
+    val ckpt = ckptDir("velocity")
+    val stream = MemoryStream[Ev]
+    val df = VelocityStream.bursts(stream.toDF(), watermark = Some("10 hours"))
+
+    stream.addData(b1)
+    val out1 = drainRun(df, ckpt, "append")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    stream.addData(b2)
+    val out2 = drainRun(df, ckpt, "append")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+    assert(out1.isEmpty, s"run 1 must not emit an open window: $out1")
+    // 7 = 4 recovered + 3 new: lost state → 3 (under the bar, no row);
+    // re-processing run 1 → 11
+    assert(out2 == Seq((ts(0), "ch0", 7L)), s"run 2 after restart: $out2")
+    // == batch twin over all data (the chZ window has 1 event: filtered)
+    val batch = VelocityStream.bursts((b1 ++ b2).toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert((out1 ++ out2).toSet == batch)
+  }
+
+  test("s_stream_cluster: restarted drift monitor folds into recovered window counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val dim = 64
+    val cent: Array[Array[Double]] = Array(Array.fill(dim)(0d), Array.fill(dim)(8d))
+    def emb(id: Long, c: Int, minutes: Long) = EmbT(id,
+      new Timestamp(t0 + minutes * 60000L),
+      Seq.tabulate(dim)(d => cent(c)(d).toFloat + (if (d == 0) (id % 3).toFloat * 0.01f else 0f)))
+
+    // window [0, 15min): 3 vectors near c0 in run 1, 2 more in run 2;
+    // the far c1 vector advances the watermark to close the window
+    val b1 = (0L until 3L).map(i => emb(i, 0, i))
+    val b2 = Seq(emb(10, 0, 5), emb(11, 0, 6), emb(12, 1, 1300))
+
+    val ckpt = ckptDir("cluster")
+    val stream = MemoryStream[EmbT]
+    val df = ClusterStream.clusterCounts(stream.toDF(), cent, watermark = Some("1 hour"))
+
+    stream.addData(b1)
+    val out1 = drainRun(df, ckpt, "append")
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    stream.addData(b2)
+    val out2 = drainRun(df, ckpt, "append")
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+
+    assert(out1.isEmpty, s"run 1 must not emit an open window: $out1")
+    // 5 = 3 recovered + 2 new (lost state → 2; re-processed → 8)
+    assert(out2 == Seq((ts(0), 0, 5L)), s"run 2 after restart: $out2")
+    // union == the batch twin's closed windows (the c1 window stays open)
+    val batch = ClusterStream.clusterCounts((b1 ++ b2).toDF(), cent)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch == Set((ts(0), 0, 5L), (ts(1300 * 60 - 1300 * 60 % 900), 1, 1L)))
+    assert((out1 ++ out2).toSet == batch.filter(_._1 == ts(0)))
   }
 
   test("s_stream_dedup: restart from checkpoint neither re-emits nor forgets") {

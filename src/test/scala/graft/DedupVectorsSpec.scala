@@ -662,20 +662,21 @@ class DedupVectorsSpec extends SparkSpec {
       "old vectors in the touched block must see the new neighbor")
   }
 
-  test("autoGeoCells: sqrt(nProbe*N) sizing, invalid rows excluded, usable end to end") {
-    // cost model: assignment O(C·dim) + pair join O(nProbe·(N/C)·dim)
-    // minimizes at C = sqrt(nProbe·N)
+  test("autoGeoCells: (nProbe*N)^(2/3) sizing, invalid rows excluded, usable end to end") {
+    // cost model under the exact-pruning index (CentroidIndex): per-row
+    // assignment O(sqrt(C)·dim) + pair join O(nProbe·(N/C)·dim)
+    // minimizes at C = (nProbe·N)^(2/3), capped at 2^14
     assert(Vectors.autoGeoCells(emb) ==
-      math.ceil(math.sqrt(2.0 * emb.count())).toInt)
+      math.min(math.ceil(math.pow(2.0 * emb.count(), 2.0 / 3.0)).toInt, 1 << 14))
     assert(Vectors.autoGeoCells(emb, nProbe = 8) ==
-      math.ceil(math.sqrt(8.0 * emb.count())).toInt)
+      math.min(math.ceil(math.pow(8.0 * emb.count(), 2.0 / 3.0)).toInt, 1 << 14))
     val s = spark
     import s.implicits._
     // invalid (wrong-dim) vectors don't count toward N
     val mixed = (Seq((1L, 0, Array.fill(3)(1.0f))) ++
       (0 until 4).map(i => (10L + i, 0, Array.tabulate(64)(j => if (j == i) 1.0f else 0f))))
       .toDF("vec_id", "label", "embedding")
-    assert(Vectors.autoGeoCells(mixed) == math.ceil(math.sqrt(2.0 * 4)).toInt)
+    assert(Vectors.autoGeoCells(mixed) == math.ceil(math.pow(2.0 * 4, 2.0 / 3.0)).toInt)
     // the auto size drives a working graph build
     val c = Vectors.autoGeoCells(mixed)
     assert(Vectors.knnJoinGeo(mixed, k = 2, kCells = c).count() > 0)

@@ -25,6 +25,27 @@ class SizingSpec extends SparkSpec {
     assert(sized.jaccardCap >= 1L && sized.geoCells >= 1)
   }
 
+  test("clusterConf: the documented shuffle/scan/broadcast arithmetic") {
+    // 10 TiB on 1000 executors × 8 cores: shuffle partitions = bytes per
+    // 128 MiB block (81920, above the 2-waves floor of 16000)
+    val big = Sizing.clusterConf(10L << 40, totalCores = 8000)
+    assert(big("spark.sql.shuffle.partitions") == ((10L << 40) / (128L << 20)).toString)
+    assert(big("spark.sql.adaptive.advisoryPartitionSizeInBytes") == (64L << 20).toString)
+    // scan split clamps at the 256 MiB ceiling (10 TiB / 16000 waves > 256 MiB)
+    assert(big("spark.sql.files.maxPartitionBytes") == (256L << 20).toString)
+    // 5% of the default 4 GiB per-core memory, under the 256 MiB cap
+    assert(big("spark.sql.autoBroadcastJoinThreshold") == ((4L << 30) / 20).toString)
+    // tiny corpus on 32 cores: the 2-waves floor wins, scan split floors at 16 MiB
+    val small = Sizing.clusterConf(100L << 20, totalCores = 32)
+    assert(small("spark.sql.shuffle.partitions") == "64")
+    assert(small("spark.sql.files.maxPartitionBytes") == (16L << 20).toString)
+    // forCorpus carries the conf, sized from the session's parallelism
+    val sized = Sizing.forCorpus(docs, emb)
+    assert(sized.conf.keySet == big.keySet)
+    assert(sized.conf("spark.sql.shuffle.partitions").toLong >=
+      2L * spark.sparkContext.defaultParallelism)
+  }
+
   test("sized Jaccard cap composes with ngramJaccard at zero loss on this corpus") {
     val sized = Sizing.forCorpus(docs, emb)
     val exhaustive = Dedup.ngramJaccard(docs).collect().map(_.toSeq).toSet
