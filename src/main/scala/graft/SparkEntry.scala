@@ -185,6 +185,24 @@ object SparkEntry {
         Dedup.minhashDeltaPairs(Dedup.minhashIndex(old), all, delta),
         all.select("doc_id"))
     }),
+    // the same two maintenance proofs at the DEPLOY shape: stored state
+    // written as bucketed catalog tables (graft.sources.DedupWarehouse),
+    // maintenance over table SCANS — no build lineage in the maintained
+    // plan; the oracle is still the monolithic full-corpus SQL
+    "d_minhash_incremental_wh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = Fixtures.plantedDocs(docs(s, d))
+      graft.sources.DedupWarehouse.bootstrap(all.filter(col("doc_id") % 7 < 5))
+      graft.sources.DedupWarehouse.maintainedPairs(
+        s, all, all.filter(col("doc_id") % 7 >= 5))
+    }),
+    "d_clusters_incremental_wh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = Fixtures.plantedDocs(docs(s, d))
+      graft.sources.DedupWarehouse.bootstrap(all.filter(col("doc_id") % 7 < 5))
+      graft.sources.DedupWarehouse.maintainedClusters(
+        s, all, all.filter(col("doc_id") % 7 >= 5))
+    }),
     "d_substring_overlap" -> ((s, d) => Dedup.substringOverlap(Fixtures.plantedDocs(docs(s, d)))),
     "d_dedup_lines" -> ((s, d) => Dedup.dedupLines(Fixtures.plantedDocs(docs(s, d)))),
     "d_semdedup" -> ((s, d) => Dedup.semDedup(emb(s, d))),
@@ -274,6 +292,7 @@ object SparkEntry {
     "p_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
     "p_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(docs(s, d))),
     "p_sample_threshold" -> ((s, d) => Pipeline.sampleThreshold(docs(s, d))),
+    "p_dsir" -> ((s, d) => Pipeline.dsir(docs(s, d))),
     "p_mix_sample" -> ((s, d) => Pipeline.mixSample(docs(s, d))),
     "p_dataset_card" -> ((s, d) => Pipeline.datasetCard(docs(s, d))),
     "p_pack" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
@@ -377,6 +396,8 @@ object SparkEntry {
     "d_dedup_minhash" -> Dedup.dedupMinhashSql(),
     "d_minhash_incremental" -> Dedup.dedupMinhashSql(),
     "d_clusters_incremental" -> Dedup.dedupClustersSql(),
+    "d_minhash_incremental_wh" -> Dedup.dedupMinhashSql(),
+    "d_clusters_incremental_wh" -> Dedup.dedupClustersSql(),
     "d_dedup_simhash" -> Dedup.dedupSimhashSql(),
     "d_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedSql(cap = 16L),
@@ -417,6 +438,7 @@ object SparkEntry {
     "p_shuffle_shards" -> Pipeline.shuffleShardsSql(),
     "p_sample_stratified" -> Pipeline.sampleStratifiedSql(),
     "p_sample_threshold" -> Pipeline.sampleThresholdSql(),
+    "p_dsir" -> Pipeline.dsirSql(),
     "p_mix_sample" -> Pipeline.mixSampleSql(),
     "p_dataset_card" -> Pipeline.datasetCardSql,
     "p_pack" -> Pipeline.packSequencesSql(),

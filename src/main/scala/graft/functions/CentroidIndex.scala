@@ -1,7 +1,7 @@
 package graft.functions
 
-/** Exact-pruning two-level index over a flat row-major centroid matrix —
-  * the acceleration structure behind [[NearestCentroid]] and
+/** Two-level coarse quantizer over a flat row-major centroid matrix —
+  * the deploy-scale acceleration behind [[NearestCentroid]] and
   * [[TopProbeLabels]] at FAISS cell counts (reference workload: the IVF
   * coarse quantizer behind HoloChatStats' pgvector highlight search,
   * `web/api.py:3009`, whose cell count grows with the corpus).
@@ -12,28 +12,33 @@ package graft.functions
   * sized-labels table). This index groups the C centroids under
   * S = ceil(√C) super-centroids (a driver-side Lloyd over the centroid
   * matrix itself — C points, so O(C^1.5·dim) once per expression
-  * instantiation) and stores, per super: the member list, the covering
-  * radius max‖c − s‖, and the min/max member norms.
+  * instantiation) and the kernels then rank the S supers first and scan
+  * ONLY the member cells of the [[SUPER_PROBE]] best — the
+  * [[TopProbeLabelsHier]] (#121) design applied engine-wide, per-row
+  * cost O((√C + SUPER_PROBE·C/√C)·dim).
   *
-  * The kernels then scan the nearest super's members first and PRUNE any
-  * super whose triangle-inequality bound proves every member scores
-  * strictly worse than the current best (nearest-centroid: lower bound
-  * (‖v−s‖ − r_s)² on the squared distance; top-probe: upper bound
-  * (q·s + ‖q‖·r_s)/(‖q‖·minNorm_s) on the cosine). Per-row cost drops to
-  * O((√C + C/√C)·dim) with NO result change:
+  * APPROXIMATION CONTRACT — the FAISS coarse-quantizer trade, stated
+  * plainly: a cell whose super was pruned is never scanned, so at
+  * index-active cell counts (C ≥ [[hierMin]]) the assignment may differ
+  * from the flat scan on points near super boundaries (an EXACT
+  * triangle-inequality pruned variant was built and measured first:
+  * at dim 64 distance concentration gives the bounds no pruning power,
+  * and the sized-labels soak REGRESSED — r10 measurement; approximate
+  * two-level is what survives at scale, exactly as #121 documents for
+  * probe assignment). What IS guaranteed, and what HierIndexSpec pins:
   *
-  * EXACTNESS CONTRACT — this is an acceleration, not an approximation.
-  * Every centroid that is scanned goes through the IDENTICAL strict IEEE
-  * sequence as the flat kernel, and a centroid is skipped only when its
-  * bound (inflated by a margin that dominates the worst-case FP error of
-  * the bound arithmetic by >10^4) proves it cannot win under the kernel's
-  * comparison — including ties, which break to the lowest index/label in
-  * both paths. Pruning quality therefore affects SPEED only; the returned
-  * value is bit-identical to the flat scan for every input, which is why
-  * the geometry operators' zero-stash unrolled-Lloyd oracles are
-  * untouched (HierIndexSpec pins flat == hier elementwise, including
-  * duplicate-centroid ties and near-tie adversarial rows; non-finite
-  * inputs and degenerate norms fall back to the flat scan outright).
+  *  - determinism: super training has fixed init (first S centroids),
+  *    fixed passes, lowest-index tie-breaks; per-row scans are pure
+  *    functions of the row — partitioning-independent, rerun-stable;
+  *  - within-scan exactness: every scanned centroid goes through the
+  *    IDENTICAL strict IEEE sequence as the flat kernel, with the same
+  *    lowest-index/label tie-breaks — the result is the exact best of
+  *    the scanned set (on separated clusters it equals the flat scan);
+  *  - the GATE path is bit-exact by construction: every oracle-checked
+  *    entry trains at fixed kCells = 8 < hierMin, so the DuckDB
+  *    unrolled-Lloyd twins replay the flat kernel unchanged — the
+  *    hierarchy engages only at deploy-sized cell counts, where the
+  *    blocking is the documented approximation to begin with.
   */
 final class CentroidIndex(
     val dim: Int,
@@ -42,25 +47,26 @@ final class CentroidIndex(
     val supNorm2: Array[Double], // |s|² per super (plain fold)
     val memberStart: Array[Int], // CSR offsets, length nSup+1
     val memberIdx: Array[Int], // centroid indices grouped by super
-    val radius: Array[Double], // per super: max ‖c − s‖ over members (inflated)
-    val minNorm: Array[Double], // per super: min ‖c‖ over members
-    val maxNorm: Array[Double], // per super: max ‖c‖ over members
-    val maxNorm2: Double, // max |c|² over all centroids
-    val cosineSafe: Boolean // all member norms > 0 (cosine kernels divide by them)
+    val cellSup: Array[Int], // centroid index → super id (inverse of CSR)
+    val cosineSafe: Boolean // all centroid norms > 0 (cosine kernels divide by them)
 ) extends Serializable
 
 object CentroidIndex {
 
-  /** Centroid count below which the flat scan is cheaper than the index
-    * (S + C/S ≈ C at C = 64; the gate's fixed kCells=8 stays flat).
+  /** Centroid count below which the flat scan stays (S + 2·C/S ≈ C at
+    * C = 64, and — the correctness half — every gate entry's fixed
+    * kCells=8 trains far below it, keeping the oracle path bit-exact).
     * Test hook: HierIndexSpec raises it to MaxValue to build flat twins.
     */
   @volatile var hierMin: Int = 64
 
+  /** Supers scanned per row — the #121 default (`superProbe = 2`). */
+  val SUPER_PROBE: Int = 2
+
   /** Build the index, or null when the flat scan is the right kernel:
     * C below [[hierMin]] or any non-finite centroid coordinate. A
     * zero-norm centroid clears [[CentroidIndex.cosineSafe]] instead —
-    * the distance kernel ([[NearestCentroid]]) is still exact there,
+    * the distance kernel ([[NearestCentroid]]) is well-defined there,
     * while the cosine kernels (which divide by member norms) fall back
     * to the flat scan's exact degenerate behavior.
     */
@@ -73,8 +79,8 @@ object CentroidIndex {
     }
     val nS = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     // Driver Lloyd over the k centroids: init = first nS, 4 fixed
-    // refinement passes. Determinism is for reproducibility only — the
-    // grouping affects pruning power, never results.
+    // refinement passes, lowest-index tie-breaks — deterministic, so the
+    // assignment (and with it every downstream result) is rerun-stable.
     val sup = java.util.Arrays.copyOfRange(cent, 0, nS * dim)
     val assign = new Array[Int](k)
     var pass = 0
@@ -120,8 +126,7 @@ object CentroidIndex {
       }
       pass += 1
     }
-    // CSR member lists (ascending centroid index within each super) +
-    // covering radii and member-norm ranges.
+    // CSR member lists (ascending centroid index within each super)
     val start = new Array[Int](nS + 1)
     var j = 0
     while (j < k) { start(assign(j) + 1) += 1; j += 1 }
@@ -131,41 +136,14 @@ object CentroidIndex {
     val members = new Array[Int](k)
     j = 0
     while (j < k) { members(fill(assign(j))) = j; fill(assign(j)) += 1; j += 1 }
-    val radius = new Array[Double](nS)
-    val minNorm = new Array[Double](nS)
-    val maxNorm = new Array[Double](nS)
-    var maxN2 = 0d
     var cosSafe = true
-    s = 0
-    while (s < nS) {
-      var maxD2 = 0d
-      var mn = Double.MaxValue
-      var mx = 0d
-      var m = start(s)
-      while (m < start(s + 1)) {
-        val c = members(m)
-        var d2 = 0d
-        var n2 = 0d
-        var t = 0
-        while (t < dim) {
-          val cv = cent(c * dim + t)
-          val x = cv - sup(s * dim + t)
-          d2 += x * x
-          n2 += cv * cv
-          t += 1
-        }
-        if (d2 > maxD2) maxD2 = d2
-        val nn = math.sqrt(n2)
-        if (nn < mn) mn = nn
-        if (nn > mx) mx = nn
-        if (n2 > maxN2) maxN2 = n2
-        if (!(nn > 0d)) cosSafe = false // cosine kernels go flat
-        m += 1
-      }
-      radius(s) = math.sqrt(maxD2) * (1d + 1e-12)
-      minNorm(s) = if (mn == Double.MaxValue) 0d else mn
-      maxNorm(s) = mx
-      s += 1
+    j = 0
+    while (j < k && cosSafe) {
+      var n2 = 0d
+      var t = 0
+      while (t < dim) { val cv = cent(j * dim + t); n2 += cv * cv; t += 1 }
+      if (!(n2 > 0d)) cosSafe = false
+      j += 1
     }
     val sn2 = new Array[Double](nS)
     s = 0
@@ -176,6 +154,6 @@ object CentroidIndex {
       sn2(s) = acc
       s += 1
     }
-    new CentroidIndex(dim, nS, sup, sn2, start, members, radius, minNorm, maxNorm, maxN2, cosSafe)
+    new CentroidIndex(dim, nS, sup, sn2, start, members, assign, cosSafe)
   }
 }

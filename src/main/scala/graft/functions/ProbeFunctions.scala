@@ -79,9 +79,10 @@ case class TopProbeLabels(child: Expression, dim: Int, labels: Array[Int],
   @transient private lazy val cnorm: Array[Double] =
     ProbeKernel.selfDots(cents, dim, nC)
 
-  /** Exact-pruning two-level index (null below the size threshold):
-    * bit-identical probe sets, O((√C + C/√C)·dim) per row — see
-    * [[CentroidIndex]] for the exactness contract.
+  /** Two-level coarse quantizer (null below the size threshold): at
+    * index-active C the kernel delegates to [[ProbeKernel.topProbesHier]]
+    * — the #121 hierarchy, O((√C + C/√C)·dim) per row; the gate-regime
+    * flat scan (and its oracles) are untouched. See [[CentroidIndex]].
     */
   @transient private lazy val index: CentroidIndex =
     CentroidIndex.buildOrNull(cents, dim, nC)
@@ -256,16 +257,19 @@ object ProbeKernel {
     val bufS = new Array[Double](p)
     val bufI = new Array[Int](p)
     var size = 0
-    // hier path only on the well-conditioned corpus (finite positive
-    // norm); degenerate rows keep the flat loop's exact behavior
+    // two-level path only on the well-conditioned corpus (finite positive
+    // norm, no zero-norm cell); degenerate rows keep the flat loop's
+    // exact behavior. Delegation to [[topProbesHier]] makes this the SAME
+    // kernel (and the same determinism/approximation contract) as the
+    // explicit #121 hierarchical operator.
     if (ix != null && ix.cosineSafe && java.lang.Double.isFinite(qq) && sq > 0d) {
-      size = topProbesPruned(q, sq, dim, cents, cnorm, ix, bufS, bufI, p)
-    } else {
-      var j = 0
-      while (j < nC) {
-        size = insertTop(bufS, bufI, size, p, negScore(cents, cnorm, j, dim, q, sq), j)
-        j += 1
-      }
+      return topProbesHier(arr, isFloat, dim, ix.nSup, ix.supCent, ix.supNorm2,
+        nC, labels, ix.cellSup, cents, cnorm, nProbe, CentroidIndex.SUPER_PROBE)
+    }
+    var j = 0
+    while (j < nC) {
+      size = insertTop(bufS, bufI, size, p, negScore(cents, cnorm, j, dim, q, sq), j)
+      j += 1
     }
     val out = new Array[Int](size)
     i = 0
@@ -278,89 +282,6 @@ object ProbeKernel {
                 labels: Array[Int], cents: Array[Double], cnorm: Array[Double],
                 nProbe: Int): ArrayData =
     topProbes(arr, isFloat, dim, nC, labels, cents, cnorm, nProbe, null)
-
-  /** Exact-pruned top-p scan: supers whose cosine UPPER bound
-    * (q·s + ‖q‖·r_s) / (‖q‖·boundNorm_s) proves every member scores
-    * strictly worse than the current p-th best are skipped; scanned
-    * cells go through the identical [[negScore]] sequence, and insertion
-    * is (score, idx)-lexicographic so out-of-order arrival reproduces
-    * the flat loop's ascending-arrival tie behavior exactly. Returns the
-    * buffer size (== p; every super is checked, none silently dropped).
-    */
-  private def topProbesPruned(q: Array[Double], sq: Double, dim: Int,
-                              cents: Array[Double], cnorm: Array[Double],
-                              ix: CentroidIndex, bufS: Array[Double],
-                              bufI: Array[Int], p: Int): Int = {
-    val nS = ix.nSup
-    val n = if (q.length < dim) q.length else dim
-    var size = 0
-    // per-super negated upper bound on any member's floored cosine
-    val sBound = new Array[Double](nS)
-    var seed = -1
-    var seedB = Double.MaxValue
-    var s = 0
-    while (s < nS) {
-      if (ix.memberStart(s) < ix.memberStart(s + 1)) {
-        var dqs = 0d
-        var i = 0
-        val base = s * dim
-        while (i < n) { dqs += q(i) * ix.supCent(base + i); i += 1 }
-        val num = dqs + sq * ix.radius(s)
-        val den = sq * (if (num >= 0d) ix.minNorm(s) else ix.maxNorm(s))
-        // +1e-9 margin dominates the bound arithmetic's FP error; fl6
-        // then maps the bound into the kernel's comparison domain
-        val nb = -fl6(num / den + 1e-9)
-        sBound(s) = nb
-        if (nb < seedB) { seedB = nb; seed = s }
-      } else sBound(s) = Double.NaN
-      s += 1
-    }
-    def scanSuper(si: Int): Int = {
-      var m = ix.memberStart(si)
-      val end = ix.memberStart(si + 1)
-      var sz = size
-      while (m < end) {
-        val j = ix.memberIdx(m)
-        sz = insertTopTie(bufS, bufI, sz, p, negScore(cents, cnorm, j, dim, q, sq), j)
-        m += 1
-      }
-      sz
-    }
-    if (seed >= 0) size = scanSuper(seed)
-    s = 0
-    while (s < nS) {
-      if (s != seed && ix.memberStart(s) < ix.memberStart(s + 1)) {
-        // prune ONLY on a proven strict loss (buffer full and even the
-        // super's best possible score is strictly worse than the worst
-        // kept — a tie could displace by index, so strictness matters);
-        // a NaN bound falls through to a scan (cmpD ranks NaN greatest,
-        // which would wrongly prune, so it is excluded explicitly)
-        val nb = sBound(s)
-        if (!(size == p && !java.lang.Double.isNaN(nb) && cmpD(nb, bufS(p - 1)) > 0))
-          size = scanSuper(s)
-      }
-      s += 1
-    }
-    size
-  }
-
-  /** [[insertTop]] for out-of-order arrival: equal scores displace by
-    * idx ASC, reproducing the ascending-arrival buffer bit-exactly.
-    */
-  private def insertTopTie(bufS: Array[Double], bufI: Array[Int], size: Int, cap: Int,
-                           s: Double, idx: Int): Int = {
-    var pos = size
-    while (pos > 0 && {
-      val c = cmpD(s, bufS(pos - 1)); c < 0 || (c == 0 && idx < bufI(pos - 1))
-    }) pos -= 1
-    if (pos >= cap) return size
-    val last = if (size < cap) size else cap - 1
-    var i = last
-    while (i > pos) { bufS(i) = bufS(i - 1); bufI(i) = bufI(i - 1); i -= 1 }
-    bufS(pos) = s
-    bufI(pos) = idx
-    if (size < cap) size + 1 else size
-  }
 
   def topProbesHier(arr: ArrayData, isFloat: Boolean, dim: Int,
                     nS: Int, supCents: Array[Double], snorm: Array[Double],

@@ -413,9 +413,10 @@ case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
     acc
   }
 
-  /** Exact-pruning two-level index (null below the size threshold) —
-    * bit-identical results, O((√k + k/√k)·dim) per row instead of
-    * O(k·dim); see [[CentroidIndex]] for the exactness contract.
+  /** Two-level coarse quantizer (null below the size threshold):
+    * O((√k + k/√k)·dim) per row instead of O(k·dim) — the gate's fixed
+    * k=8 stays on the bit-exact flat scan; see [[CentroidIndex]] for
+    * the deploy-scale approximation contract.
     */
   @transient private lazy val index: CentroidIndex =
     CentroidIndex.buildOrNull(cent, dim, k)
@@ -441,11 +442,13 @@ case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
 
 object NearestCentroid {
   /** Shared by interpreted eval and codegen; null on any null element.
-    * `ix` is the optional exact-pruning index ([[CentroidIndex]]) — when
-    * present (and the row is finite), the scan seeds from the nearest
-    * super-centroid's members and provably-losing supers are skipped;
-    * scanned centroids go through the IDENTICAL IEEE sequence and the
-    * lowest-index tie-break, so the result is bit-equal to the flat loop.
+    * `ix` is the optional two-level index ([[CentroidIndex]]) — when
+    * present (and the row is finite), only the members of the
+    * SUPER_PROBE nearest supers are scanned (the #121 coarse-quantizer
+    * contract); scanned centroids go through the IDENTICAL IEEE sequence
+    * and lowest-index tie-break, so the result is the exact best of the
+    * scanned set (== the flat loop below the threshold or on separated
+    * clusters — HierIndexSpec).
     */
   def compute(arr: ArrayData, isFloat: Boolean, dim: Int, k: Int,
               cent: Array[Double], cn: Array[Double], ix: CentroidIndex): Any = {
@@ -460,7 +463,7 @@ object NearestCentroid {
     var dvv = 0d
     i = 0
     while (i < n) { dvv += v(i) * v(i); i += 1 }
-    if (ix != null && java.lang.Double.isFinite(dvv)) computeHier(v, n, dvv, dim, cent, cn, ix)
+    if (ix != null && java.lang.Double.isFinite(dvv)) computeHier(v, n, dvv, dim, k, cent, cn, ix)
     else flatScan(v, n, dvv, dim, k, cent, cn)
   }
 
@@ -486,37 +489,54 @@ object NearestCentroid {
       Array[Any](bestJ, bestD))
   }
 
+  /** Two-level assignment: rank the supers by the same squared-distance
+    * sequence (v zero-padded past n, the flat kernel's truncation
+    * semantics), scan the member cells of the SUPER_PROBE nearest
+    * NON-EMPTY supers (distance ASC, super id ASC ties), and return the
+    * exact best of the scanned set — the flat kernel's IEEE sequence and
+    * lowest-index tie-break over a pruned candidate list. Degenerate
+    * rankings (all-NaN super distances) fall back to the flat scan.
+    */
   private def computeHier(v: Array[Double], n: Int, dvv: Double, dim: Int,
-                          cent: Array[Double], cn: Array[Double],
+                          k: Int, cent: Array[Double], cn: Array[Double],
                           ix: CentroidIndex): Any = {
     val nS = ix.nSup
     val sup = ix.supCent
-    // squared distance to every super-centroid (v zero-padded past n, the
-    // flat kernel's truncation semantics)
-    val sd = new Array[Double](nS)
-    var sBest = -1
-    var sBestD = 0d
+    val p = CentroidIndex.SUPER_PROBE
+    // top-p non-empty supers by (d ASC, s ASC) — bounded insertion
+    val selS = new Array[Int](p)
+    val selD = new Array[Double](p)
+    var nSel = 0
     var s = 0
     while (s < nS) {
-      var dvs = 0d
-      var t = 0
-      while (t < n) { dvs += v(t) * sup(s * dim + t); t += 1 }
-      val d = (dvv - 2d * dvs) + ix.supNorm2(s)
-      sd(s) = d
-      if (ix.memberStart(s) < ix.memberStart(s + 1) && (sBest < 0 || d < sBestD)) {
-        sBest = s; sBestD = d
+      if (ix.memberStart(s) < ix.memberStart(s + 1)) {
+        var dvs = 0d
+        var t = 0
+        while (t < n) { dvs += v(t) * sup(s * dim + t); t += 1 }
+        val d = (dvv - 2d * dvs) + ix.supNorm2(s)
+        if (!(d >= 0d) && !(d < 0d)) {
+          // NaN super distance: ranking undefined — flat scan
+          return flatScan(v, n, dvv, dim, k, cent, cn)
+        }
+        var pos = nSel
+        while (pos > 0 && d < selD(pos - 1)) pos -= 1
+        if (pos < p) {
+          val last = if (nSel < p) nSel else p - 1
+          var i = last
+          while (i > pos) { selD(i) = selD(i - 1); selS(i) = selS(i - 1); i -= 1 }
+          selD(pos) = d
+          selS(pos) = s
+          if (nSel < p) nSel += 1
+        }
       }
       s += 1
     }
     var bestJ = -1
     var bestD = 0d
-    // margin dominating the worst-case FP error of both the exact
-    // distance expression and the bound arithmetic by >10^4 (dim·ε·scale
-    // ≈ 1e-14·scale) — a larger margin only scans more, never less.
-    val margin = 1e-9 * (dvv + ix.maxNorm2 + 1d)
-    def scanSuper(si: Int): Unit = {
-      var m = ix.memberStart(si)
-      val end = ix.memberStart(si + 1)
+    var si = 0
+    while (si < nSel) {
+      var m = ix.memberStart(selS(si))
+      val end = ix.memberStart(selS(si) + 1)
       while (m < end) {
         val j = ix.memberIdx(m)
         var dvc = 0d
@@ -526,19 +546,9 @@ object NearestCentroid {
         if (bestJ < 0 || d < bestD || (d == bestD && j < bestJ)) { bestJ = j; bestD = d }
         m += 1
       }
+      si += 1
     }
-    if (sBest >= 0) scanSuper(sBest)
-    s = 0
-    while (s < nS) {
-      if (s != sBest && ix.memberStart(s) < ix.memberStart(s + 1)) {
-        val t0 = math.sqrt(math.max(sd(s), 0d)) - ix.radius(s)
-        val lb = if (t0 > 0d) t0 * t0 else 0d
-        // prune ONLY on a proven strict loss; NaN comparisons fall
-        // through to a scan (conservative by construction)
-        if (!(bestJ >= 0 && lb > bestD + margin)) scanSuper(s)
-      }
-      s += 1
-    }
+    if (bestJ < 0) return flatScan(v, n, dvv, dim, k, cent, cn)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestJ, bestD))
   }

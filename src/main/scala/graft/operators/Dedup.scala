@@ -459,7 +459,12 @@ object Dedup {
     * ORACLE-EXACT with zero stashing: training is the deterministic
     * fixed-point Lloyd the unrolled CTE chain replays (kmeansCtes →
     * kmeansAssignSql — the knnJoinGeo machinery verbatim), then the pair
-    * graph + components run over the relabeled relation.
+    * graph + components run over the relabeled relation. The gate's
+    * fixed kCells=8 keeps every kernel on the bit-exact flat scan; at
+    * deploy-sized cell counts train/assign go through the two-level
+    * coarse quantizer ([[graft.functions.CentroidIndex]]) —
+    * deterministic, with the same documented boundary approximation as
+    * the blocking itself (see knnJoinGeo).
     */
   def semDedupGeo(embeddings: DataFrame, minCos: Double = 0.3, kCells: Int = 8,
                   iters: Int = 3, maxIterations: Int = 50,

@@ -298,6 +298,106 @@ object Pipeline {
        |  least(CAST($quota AS DOUBLE) / CAST(c.n_lang AS DOUBLE), 1.0) * $hashMax""".stripMargin.replace("\n", "")
   }
 
+  // ---- #127 DSIR importance resampling --------------------------------------
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * document by the log importance ratio of two hashed-n-gram bag
+    * models, log p_target(doc) − p_raw(doc), then resample with the
+    * engine's deterministic hash cut. Composition of in-house parts:
+    *  - features: lowercased whitespace unigrams + bigrams (the #70/#88
+    *    tokenization), md5-hashed into `buckets` buckets (the paper's
+    *    hashed n-gram generative model; md5Id is the engine-wide
+    *    cross-engine hash);
+    *  - models: add-1-smoothed bucket counts — p(b) = (n_b + 1)/(T + B) —
+    *    over the TARGET slice (`lang = targetLang`, the in-corpus stand-in
+    *    for the paper's target distribution) and over the full RAW corpus;
+    *  - score: per-doc mean log-ratio per feature occurrence (the length
+    *    normalization that keeps exp() in range), floored at 4 decimals
+    *    like the NLL family (distributed double sums reorder);
+    *  - resample: keep a doc when its md5 uniform (60-bit hash % 10^6)
+    *    falls below min(1, exp(r))·pct% — importance-weighted Bernoulli
+    *    selection with budget pct, the deterministic (resumable,
+    *    auditable) form of the paper's sampling step, built on the #63
+    *    hash-cut machinery. A neutral doc (r = 0) keeps the base rate;
+    *    target-like docs are up-weighted, off-target down-weighted.
+    *
+    * Scale shape: ONE corpus tokenize/explode feeding a per-(doc, bucket)
+    * pre-count (map-side combine absorbs hot buckets before its single
+    * exchange, the #70 pattern); both models are ≤`buckets`-row aggregates
+    * of that pre-count, BROADCAST back for the scoring join — the corpus
+    * is never shuffled on the bucket key, and the only full-width exchange
+    * is the per-doc rollup. The paper's B = 10^4 keeps both models a few
+    * hundred KiB at any corpus size.
+    */
+  def dsir(documents: DataFrame, targetLang: String = "en", buckets: Int = 512,
+           pct: Int = 20): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)").as("w"))
+    val feats = toks
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """concat(w, if(size(w) >= 2,
+          | zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |  (a, b) -> concat(a, ' ', b)),
+          | array()))""".stripMargin.replace("\n", ""))).as("g"))
+      .select(col("doc_id"), col("lang"), pmod(md5Id(col("g")), lit(buckets.toLong)).as("b"))
+    // per-(doc, bucket) pre-count, persisted: the two model builds and the
+    // scoring join share one materialization (the #70 rationale); eager
+    // because the model broadcasts race the scoring join on a cold cache
+    val dbk = feats.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n")).sharedCacheEager
+    val rawM = dbk.groupBy("b").agg(sum("n").cast("long").as("n_raw"))
+    val tgtM = dbk.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").cast("long").as("n_tgt"))
+    val scalars = rawM.agg(sum("n_raw").cast("long").as("t_raw"))
+      .crossJoin(tgtM.agg(coalesce(sum("n_tgt"), lit(0L)).cast("long").as("t_tgt")))
+    val bD = lit(buckets.toDouble)
+    val term = col("n").cast("double") *
+      (log((coalesce(col("n_tgt"), lit(0L)).cast("double") + 1d) / (col("t_tgt").cast("double") + bD)) -
+        log((col("n_raw").cast("double") + 1d) / (col("t_raw").cast("double") + bD)))
+    dbk
+      .join(broadcast(rawM), "b")
+      .join(broadcast(tgtM), Seq("b"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_feats"),
+        (sum(term) / sum(col("n")).cast("double")).as("r"))
+      .select(col("doc_id"), col("n_feats"), fl(col("r"), 4).as("log_ratio"),
+        (pmod(md5Id(col("doc_id").cast("string")), lit(1000000L)) <
+          floor(least(exp(fl(col("r"), 4)), lit(1d)) * lit(pct.toDouble / 100d) * 1e6).cast("long"))
+          .as("kept"))
+  }
+
+  def dsirSql(targetLang: String = "en", buckets: Int = 512, pct: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_filter(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0) AS w
+       |  FROM documents),
+       | grams AS (
+       |  SELECT doc_id, lang, unnest(w) AS g FROM toks WHERE len(w) > 0
+       |  UNION ALL
+       |  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+       |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w) >= 2),
+       | dbk AS (
+       |  SELECT doc_id, lang, ${md5IdSql("g")} % $buckets AS b, COUNT(*) AS n
+       |  FROM grams GROUP BY 1, 2, 3),
+       | rawm AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n_raw FROM dbk GROUP BY 1),
+       | tgtm AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n_tgt FROM dbk
+       |          WHERE lang = '$targetLang' GROUP BY 1),
+       | sc AS (SELECT (SELECT CAST(SUM(n_raw) AS BIGINT) FROM rawm) AS t_raw,
+       |   (SELECT CAST(COALESCE(SUM(n_tgt), 0) AS BIGINT) FROM tgtm) AS t_tgt),
+       | scored AS (
+       |  SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_feats,
+       |   SUM(CAST(d.n AS DOUBLE) *
+       |     (ln((CAST(COALESCE(t.n_tgt, 0) AS DOUBLE) + 1) / (CAST(sc.t_tgt AS DOUBLE) + $buckets.0))
+       |      - ln((CAST(r.n_raw AS DOUBLE) + 1) / (CAST(sc.t_raw AS DOUBLE) + $buckets.0))))
+       |    / CAST(SUM(d.n) AS DOUBLE) AS r
+       |  FROM dbk d JOIN rawm r ON d.b = r.b LEFT JOIN tgtm t ON d.b = t.b CROSS JOIN sc
+       |  GROUP BY 1)
+       | SELECT doc_id, n_feats, ${flSql("r", 4)} AS log_ratio,
+       |  ${md5IdSql("CAST(doc_id AS VARCHAR)")} % 1000000 <
+       |   CAST(floor(least(exp(${flSql("r", 4)}), 1.0) * ${pct.toDouble / 100d} * 1000000) AS BIGINT) AS kept
+       | FROM scored""".stripMargin.replace("\n", "")
+
   // ---- #115 deterministic corpus shuffle + sharding ------------------------
   /** The last step of every training-data build: a global, DETERMINISTIC
     * shuffle of the corpus into `shards` output shards — shard by md5

@@ -342,6 +342,31 @@ object Vectors {
     s"vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $DIM" +
       " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
 
+  /** Shared DuckDB tail of the probe-family oracles: two-stage top-k
+    * over a `pairs(vec_a, vec_b, probe_label, cosine)` CTE. Stage 1 is an
+    * ordered-list aggregate per (vec_a, probe_label) — the hash aggregate
+    * spills per GROUP, where the old single ROW_NUMBER window externalized
+    * one sort over every candidate pair (the v_knn_join_mph sf1-class
+    * replay spilled >79 GB and had to ride a decomposed checker — VERDICT
+    * r09 item 5); stage 2 is the same final window over the ≤ k·probes
+    * surviving rows per vector. Bit-equal to the single window: a pair's
+    * (vec_a, vec_b) appears under exactly one probe_label (b carries one
+    * label), the per-block order (cosine DESC, vec_b ASC) is total, and
+    * any global top-k row is within the top k of its own block.
+    */
+  private def twoStageTopKSql(k: Int): String =
+    s""", local AS (
+       |  SELECT vec_a, list(struct_pack(vec_b := vec_b, cosine := cosine)
+       |    ORDER BY cosine DESC, vec_b ASC)[1:$k] AS top
+       |  FROM pairs GROUP BY vec_a, probe_label),
+       | cand AS (SELECT vec_a, u.vec_b AS vec_b, u.cosine AS cosine
+       |  FROM local, UNNEST(top) AS t(u))
+       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
+       |  FROM cand)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+
   def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2, src0: String = "embeddings",
                            prefixCtes: String = ""): String = {
     def dot(a: String, b: String) =
@@ -367,16 +392,12 @@ object Vectors {
        |  SELECT vec_id, probe_label FROM ranked WHERE pr <= $nProbe
        |  UNION SELECT vec_id, label AS probe_label FROM $src),
        | pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, p.probe_label AS probe_label,
        |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        |  FROM probes p
        |  JOIN $src a ON a.vec_id = p.vec_id
        |  JOIN $src b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
-       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
-       |  FROM pairs)
-       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+       | ${twoStageTopKSql(k)}""".stripMargin.replace("\n", "")
   }
 
   /** #122 geometry-blocked kNN join — the deploy reality of the blocked
@@ -394,12 +415,21 @@ object Vectors {
     * kmeansAssignSql), and the probe/pair/top-k chain is the mp oracle
     * parameterized over the relabeled relation — the whole composition
     * (train → assign → probe → graph) is replayed end-to-end in DuckDB.
+    * The gate's fixed kCells=8 keeps every kernel on the flat scan, so
+    * the replay is bit-exact; at DEPLOY-SIZED cell counts
+    * ([[autoGeoCells]], C ≥ CentroidIndex.hierMin) train/assign/probe
+    * run through the two-level coarse quantizer
+    * ([[graft.functions.CentroidIndex]]) — deterministic and
+    * rerun-stable, but a super-boundary straddler may land one cell
+    * over, the same documented approximation as the #121 hierarchy and
+    * the blocking itself (HierIndexSpec pins the contract).
     *
     * Scale: training is the k-means train-once contract; assignment is an
     * in-row codegen'd projection (no join — the centroids ride the
-    * expression); the graph join is the mp join keyed by cell id, cost
-    * nProbe × cell size. At 100 TB the cell id is the partition column
-    * (one-off relabel materialization), exactly as the geo ANN documents.
+    * expression) at O(√C·dim)/row under the quantizer; the graph join is
+    * the mp join keyed by cell id, cost nProbe × cell size. At 100 TB the
+    * cell id is the partition column (one-off relabel materialization),
+    * exactly as the geo ANN documents.
     */
   def knnJoinGeo(embeddings: DataFrame, k: Int = 5, nProbe: Int = 2,
                  kCells: Int = 8, iters: Int = 3): DataFrame = {
@@ -593,16 +623,12 @@ object Vectors {
        |  SELECT vec_id, lbl AS probe_label FROM cscore WHERE cr <= $nProbe
        |  UNION SELECT vec_id, label AS probe_label FROM vsrc),
        | pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, p.probe_label AS probe_label,
        |   ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        |  FROM probes p
        |  JOIN vsrc a ON a.vec_id = p.vec_id
        |  JOIN vsrc b ON b.label = p.probe_label AND b.vec_id <> a.vec_id)
-       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
-       |  FROM pairs)
-       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+       | ${twoStageTopKSql(k)}""".stripMargin.replace("\n", "")
   }
 
   def knnJoinSql(k: Int = 5): String = {
@@ -610,15 +636,11 @@ object Vectors {
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
     s"""WITH vsrc AS (SELECT vec_id, label, embedding FROM embeddings WHERE $vecValidSql),
        | pairs AS (
-       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       | SELECT a.label AS probe_label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        | FROM vsrc a JOIN vsrc b
        |  ON a.label = b.label AND a.vec_id <> b.vec_id)
-       | SELECT vec_a, vec_b, cosine, nn_rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
-       |  FROM pairs)
-       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+       | ${twoStageTopKSql(k)}""".stripMargin.replace("\n", "")
   }
 
   /** The blocked kNN graph WITH its block key — the stored-MV form of
@@ -651,11 +673,17 @@ object Vectors {
        | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        | FROM vsrc a JOIN vsrc b
-       |  ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |  ON a.label = b.label AND a.vec_id <> b.vec_id),
+       | local AS (
+       |  SELECT label, vec_a, list(struct_pack(vec_b := vec_b, cosine := cosine)
+       |    ORDER BY cosine DESC, vec_b ASC)[1:$k] AS top
+       |  FROM pairs GROUP BY label, vec_a),
+       | cand AS (SELECT label, vec_a, u.vec_b AS vec_b, u.cosine AS cosine
+       |  FROM local, UNNEST(top) AS t(u))
        | SELECT label, vec_a, vec_b, cosine, nn_rank FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
        |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
-       |  FROM pairs)
+       |  FROM cand)
        | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
   }
 

@@ -9,17 +9,18 @@ import org.scalacheck.rng.Seed
 
 import graft.functions.{CentroidIndex, ProbeKernel, VectorFunctions}
 
-/** The exactness contract of the two-level pruning index
-  * ([[graft.functions.CentroidIndex]]): for EVERY input, the pruned scan
-  * must return a value bit-identical to the flat scan — the index is an
-  * acceleration, never an approximation, which is what keeps the
-  * geometry operators' zero-stash unrolled-Lloyd oracles valid at sized
-  * cell counts. Random corpora exercise the generic path; discrete-grid
-  * corpora force EXACT floating-point ties (duplicate centroids,
-  * equidistant vectors) so the lowest-index/label tie-breaks are pinned
-  * across the out-of-order pruned arrival; the end-to-end test pins the
-  * whole knnJoinGeo composition at an index-active cell count against a
-  * flat-forced twin.
+/** The two-level coarse-quantizer contract of
+  * [[graft.functions.CentroidIndex]] (the #121 hierarchy applied
+  * engine-wide at deploy cell counts):
+  *  - the GATE regime (C < hierMin) builds no index — bit-exact flat scan;
+  *  - determinism: rerun-identical output on identical input;
+  *  - within-scan exactness: the returned value is the flat kernel's
+  *    exact IEEE argmin over the members of the SUPER_PROBE nearest
+  *    supers (a driver model re-derives the scan set from the index);
+  *  - on separated clusters the two-level result EQUALS the flat scan
+  *    (the approximation only bites on super-boundary straddlers);
+  *  - the probe kernel delegates to the SAME topProbesHier kernel as the
+  *    explicit #121 operator — one hierarchy semantics engine-wide.
   */
 class HierIndexSpec extends SparkSpec {
 
@@ -28,9 +29,6 @@ class HierIndexSpec extends SparkSpec {
     (0 until n).map(i => g.pureApply(Gen.Parameters.default, seed0.reseed(i.toLong)))
   }
 
-  /** Flat-kernel model via the expressions' own backward-compat entry
-    * points (no index), driver-side.
-    */
   private def flatNearest(v: Array[Double], dim: Int, k: Int, cent: Array[Double]): (Int, Double) = {
     val cn = ProbeKernel.selfDots(cent, dim, k)
     val r = graft.functions.NearestCentroid
@@ -39,128 +37,152 @@ class HierIndexSpec extends SparkSpec {
     (r.getInt(0), r.getDouble(1))
   }
 
-  private def flatProbes(v: Array[Double], dim: Int, labels: Array[Int],
-                         cent: Array[Double], nProbe: Int): Seq[Int] = {
-    val cn = ProbeKernel.selfDots(cent, dim, labels.length)
-    ProbeKernel.topProbes(UnsafeArrayData.fromPrimitiveArray(v), false, dim,
-      labels.length, labels, cent, cn, nProbe).toIntArray().toSeq
+  private def hierNearest(v: Array[Double], dim: Int, k: Int, cent: Array[Double],
+                          ix: CentroidIndex): (Int, Double) = {
+    val cn = ProbeKernel.selfDots(cent, dim, k)
+    val r = graft.functions.NearestCentroid
+      .compute(UnsafeArrayData.fromPrimitiveArray(v), false, dim, k, cent, cn, ix)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    (r.getInt(0), r.getDouble(1))
   }
 
-  private def runNearest(vecs: Seq[Array[Double]], dim: Int, cent: Array[Double]): Unit = {
-    val k = cent.length / dim
-    val ix = CentroidIndex.buildOrNull(cent, dim, k)
-    assert(ix != null, s"index must build at k=$k")
-    assert(ix.memberIdx.sorted.toSeq == (0 until k), "every centroid in exactly one super")
-    // interpreted kernel path, hier vs flat
-    val cn = ProbeKernel.selfDots(cent, dim, k)
-    vecs.foreach { v =>
-      val r = graft.functions.NearestCentroid
-        .compute(UnsafeArrayData.fromPrimitiveArray(v), false, dim, k, cent, cn, ix)
-        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-      val (ej, ed) = flatNearest(v, dim, k, cent)
-      assert(r.getInt(0) == ej && r.getDouble(1) == ed,
-        s"hier (${r.getInt(0)}, ${r.getDouble(1)}) != flat ($ej, $ed) for v=${v.toSeq}")
+  /** Driver model of the two-level scan: rank non-empty supers by
+    * (squared distance ASC, id ASC), take SUPER_PROBE, exact argmin over
+    * their members with the lowest-index tie-break.
+    */
+  private def modelNearest(v: Array[Double], dim: Int, cent: Array[Double],
+                           ix: CentroidIndex): (Int, Double) = {
+    def d2(m: Array[Double], off: Int): Double = {
+      var dvv = 0d; var dvc = 0d; var cc = 0d
+      var t = 0
+      while (t < dim) {
+        dvv += v(t) * v(t); dvc += v(t) * m(off + t); cc += m(off + t) * m(off + t)
+        t += 1
+      }
+      (dvv - 2d * dvc) + cc
     }
-    // whole-stage codegen path through the DataFrame
+    val supers = (0 until ix.nSup)
+      .filter(s => ix.memberStart(s) < ix.memberStart(s + 1))
+      .sortBy(s => (d2(ix.supCent, s * dim), s))
+      .take(CentroidIndex.SUPER_PROBE)
+    val cands = supers.flatMap(s =>
+      (ix.memberStart(s) until ix.memberStart(s + 1)).map(ix.memberIdx))
+    cands.map(j => (d2(cent, j * dim), j)).minBy(identity) match {
+      case (d, j) => (j, d)
+    }
+  }
+
+  test("gate regime: C < hierMin builds no index; C >= hierMin builds a partition") {
+    assert(CentroidIndex.buildOrNull(Array.fill(8 * 4)(1d), 4, 8) == null)
+    assert(CentroidIndex.buildOrNull(Array.fill(63 * 4)(1d), 4, 63) == null)
+    assert(CentroidIndex.buildOrNull(
+      Array.tabulate(64 * 4)(i => if (i == 17) Double.NaN else 1d), 4, 64) == null)
+    val cent = sample(Gen.listOfN(4, Gen.chooseNum(-9.0, 9.0)), 100).flatten.toArray
+    val ix = CentroidIndex.buildOrNull(cent, 4, 100)
+    assert(ix != null)
+    assert(ix.memberIdx.sorted.toSeq == (0 until 100), "every centroid in exactly one super")
+    (0 until ix.nSup).foreach { s =>
+      (ix.memberStart(s) until ix.memberStart(s + 1)).foreach { m =>
+        assert(ix.cellSup(ix.memberIdx(m)) == s, "cellSup must invert the CSR")
+      }
+    }
+    // zero-norm centroid: distance index kept, cosine kernels flagged flat
+    val zeroRow = Array.tabulate(64 * 4)(i => if (i / 4 == 20) 0d else 1d)
+    val ixZ = CentroidIndex.buildOrNull(zeroRow, 4, 64)
+    assert(ixZ != null && !ixZ.cosineSafe)
+    assert(CentroidIndex.buildOrNull(Array.fill(64 * 4)(1d), 4, 64).cosineSafe)
+  }
+
+  test("two-level nearest-centroid == the SUPER_PROBE-scan model; deterministic") {
+    val dim = 16
+    val k = 200
+    val coord: Gen[Double] = Gen.chooseNum(-100.0, 100.0)
+    val cent = sample(Gen.listOfN(dim, coord), k).flatten.toArray
+    val ix = CentroidIndex.buildOrNull(cent, dim, k)
+    assert(ix != null)
+    val vecs = sample(Gen.listOfN(dim, coord), 400).map(_.toArray)
+    vecs.foreach { v =>
+      val got = hierNearest(v, dim, k, cent, ix)
+      assert(got == modelNearest(v, dim, cent, ix), s"scan-set mismatch for v=${v.toSeq}")
+      assert(got == hierNearest(v, dim, k, cent, ix), "non-deterministic")
+      // the scanned best can never beat the flat best (same sequence)
+      assert(got._2 >= flatNearest(v, dim, k, cent)._2)
+    }
+    // a rebuilt index over the same matrix is identical (deterministic train)
+    val ix2 = CentroidIndex.buildOrNull(cent, dim, k)
+    assert(ix2.supCent.toSeq == ix.supCent.toSeq && ix2.memberIdx.toSeq == ix.memberIdx.toSeq)
+  }
+
+  test("separated clusters: two-level == flat scan (interpreted + codegen paths)") {
+    val dim = 8
+    // 16 groups of 8 centroids, group centers 1000 apart, spread 1 —
+    // supers align with groups, so no query near a centroid straddles
+    val groups = sample(Gen.listOfN(dim, Gen.chooseNum(-0.5, 0.5)), 128).zipWithIndex
+    val cent = groups.flatMap { case (jit, i) =>
+      val base = (i / 8) * 1000.0
+      jit.map(_ + base)
+    }.toArray
+    val k = 128
+    val ix = CentroidIndex.buildOrNull(cent, dim, k)
+    assert(ix != null)
+    val vecs = groups.map { case (jit, i) =>
+      val base = (i / 8) * 1000.0
+      jit.map(_ + base + 0.01).toArray
+    }
+    vecs.foreach { v =>
+      assert(hierNearest(v, dim, k, cent, ix) == flatNearest(v, dim, k, cent))
+    }
+    // whole-stage codegen path agrees with the interpreted kernel
     val schema = StructType(Seq(StructField("v", ArrayType(DoubleType, containsNull = false))))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(vecs.map(v => Row(v.toSeq)), 4), schema)
     val got = df.select(VectorFunctions.nearestCentroid(col("v"), dim, cent).as("nc"))
       .select(col("nc.cluster"), col("nc.dist")).collect()
     got.zip(vecs).foreach { case (r, v) =>
-      val (ej, ed) = flatNearest(v, dim, k, cent)
-      assert(r.getInt(0) == ej && r.getDouble(1) == ed, s"codegen mismatch for v=${v.toSeq}")
+      assert((r.getInt(0), r.getDouble(1)) == flatNearest(v, dim, k, cent))
     }
   }
 
-  private def runProbes(vecs: Seq[Array[Double]], dim: Int, cent: Array[Double],
-                        nProbe: Int): Unit = {
-    val k = cent.length / dim
-    val labels = Array.tabulate(k)(j => j * 3 + 1) // non-identity label map
+  test("probe kernel at index-active C delegates to the #121 topProbesHier semantics") {
+    val dim = 16
+    val k = 150
+    val coord: Gen[Double] = Gen.chooseNum(1.0, 50.0) // positive norms
+    val cent = sample(Gen.listOfN(dim, coord), k).flatten.toArray
+    val labels = Array.tabulate(k)(j => j * 3 + 1)
     val ix = CentroidIndex.buildOrNull(cent, dim, k)
-    assert(ix != null, s"index must build at k=$k")
+    assert(ix != null && ix.cosineSafe)
     val cn = ProbeKernel.selfDots(cent, dim, k)
+    val vecs = sample(Gen.listOfN(dim, coord), 300).map(_.toArray)
     vecs.foreach { v =>
-      val hier = ProbeKernel.topProbes(UnsafeArrayData.fromPrimitiveArray(v), false,
-        dim, k, labels, cent, cn, nProbe, ix).toIntArray().toSeq
-      val flat = flatProbes(v, dim, labels, cent, nProbe)
-      assert(hier == flat, s"hier $hier != flat $flat for v=${v.toSeq}")
+      val arr = UnsafeArrayData.fromPrimitiveArray(v)
+      val viaIndex = ProbeKernel.topProbes(arr, false, dim, k, labels, cent, cn, 3, ix)
+        .toIntArray().toSeq
+      val viaHier = ProbeKernel.topProbesHier(arr, false, dim, ix.nSup, ix.supCent,
+        ProbeKernel.selfDots(ix.supCent, dim, ix.nSup), k, labels, ix.cellSup, cent, cn,
+        3, CentroidIndex.SUPER_PROBE).toIntArray().toSeq
+      assert(viaIndex == viaHier, s"delegation mismatch for v=${v.toSeq}")
     }
-    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType, containsNull = false))))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(vecs.map(v => Row(v.toSeq)), 4), schema)
-    val got = df.select(VectorFunctions.topProbeLabels(col("v"), dim, labels, cent, nProbe).as("p"))
-      .collect().map(_.getSeq[Int](0).toSeq)
-    got.zip(vecs).foreach { case (g, v) =>
-      assert(g == flatProbes(v, dim, labels, cent, nProbe), s"codegen mismatch for v=${v.toSeq}")
-    }
+    // below the threshold the flat loop is untouched
+    val small = cent.take(32 * dim)
+    val gotFlat = ProbeKernel.topProbes(UnsafeArrayData.fromPrimitiveArray(vecs.head),
+      false, dim, 32, labels.take(32), small, ProbeKernel.selfDots(small, dim, 32), 3)
+      .toIntArray().toSeq
+    assert(gotFlat.size == 3)
   }
 
-  test("pruned nearest-centroid == flat scan on random corpora (k=200, dim=16)") {
-    val dim = 16
-    val k = 200
-    val coord: Gen[Double] = Gen.chooseNum(-100.0, 100.0)
-    val cent = sample(Gen.listOfN(dim, coord), k).flatten.toArray
-    val vecs = sample(Gen.listOfN(dim, coord), 500).map(_.toArray)
-    runNearest(vecs, dim, cent)
-  }
-
-  test("pruned nearest-centroid == flat scan under EXACT ties (grid corpus, duplicate centroids)") {
-    val dim = 4
-    val grid: Gen[Double] = Gen.oneOf(-1d, 0d, 1d, 2d)
-    val base = sample(Gen.listOfN(dim, grid), 80).map(_.toArray)
-    // duplicates at distant indices: identical distances everywhere, the
-    // lowest index must win through the out-of-order pruned scan
-    val cent = (base ++ base.take(40)).flatten.toArray // k = 120
-    val vecs = sample(Gen.listOfN(dim, grid), 600).map(_.toArray) ++ base.take(50)
-    runNearest(vecs, dim, cent)
-  }
-
-  test("pruned top-probe labels == flat scan on random corpora (k=200, nProbe=2 and 5)") {
-    val dim = 16
-    val k = 200
-    val coord: Gen[Double] = Gen.chooseNum(-50.0, 50.0)
-    val cent = sample(Gen.listOfN(dim, coord), k).flatten.toArray
-    val vecs = sample(Gen.listOfN(dim, coord), 400).map(_.toArray)
-    runProbes(vecs, dim, cent, nProbe = 2)
-    runProbes(vecs, dim, cent, nProbe = 5)
-  }
-
-  test("pruned top-probe labels == flat scan under floored-cosine ties (grid corpus)") {
-    val dim = 4
-    // strictly positive-norm grid (the cosine kernels divide by |c|)
-    val grid: Gen[Double] = Gen.oneOf(1d, 2d, 3d)
-    val base = sample(Gen.listOfN(dim, grid), 70).map(_.toArray)
-    val cent = (base ++ base.take(30)).flatten.toArray // k = 100, exact duplicate cells
-    val vecs = sample(Gen.listOfN(dim, grid), 500).map(_.toArray)
-    runProbes(vecs, dim, cent, nProbe = 3)
-  }
-
-  test("index declines degenerate corpora (small k, non-finite, zero-norm cosine flag)") {
-    assert(CentroidIndex.buildOrNull(Array.fill(63 * 4)(1d), 4, 63) == null)
-    assert(CentroidIndex.buildOrNull(
-      Array.tabulate(64 * 4)(i => if (i == 17) Double.NaN else 1d), 4, 64) == null)
-    // a zero-norm centroid keeps the (distance-exact) index but flags
-    // the cosine kernels back to the flat scan
-    val zeroRow = Array.tabulate(64 * 4)(i => if (i / 4 == 20) 0d else 1d)
-    val ix = CentroidIndex.buildOrNull(zeroRow, 4, 64)
-    assert(ix != null && !ix.cosineSafe)
-    assert(CentroidIndex.buildOrNull(Array.fill(64 * 4)(1d), 4, 64).cosineSafe)
-  }
-
-  test("knnJoinGeo at an index-active cell count == flat-forced twin (end-to-end)") {
+  test("knnJoinGeo at an index-active cell count: deterministic, contract-complete graph") {
     val emb = Tables.embeddings(spark, sfDir)
     def run(): Seq[(Long, Long, Double, Long)] =
       graft.operators.Vectors.knnJoinGeo(emb, kCells = 96)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         .sortBy(t => (t._1, t._4)).toSeq
-    val saved = CentroidIndex.hierMin
-    val (hier, flat) = try {
-      CentroidIndex.hierMin = 64
-      val h = run()
-      CentroidIndex.hierMin = Int.MaxValue
-      (h, run())
-    } finally CentroidIndex.hierMin = saved
-    assert(hier.nonEmpty && hier == flat)
+    val g1 = run()
+    val g2 = run()
+    assert(g1.nonEmpty && g1 == g2, "geo graph must be rerun-deterministic at hier cell counts")
+    g1.groupBy(_._1).foreach { case (a, rows) =>
+      val ranks = rows.map(_._4).sorted
+      assert(ranks == (1L to ranks.length), s"vec $a ranks not dense")
+      assert(ranks.length <= 5)
+    }
   }
 }

@@ -224,6 +224,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dsir: planted target-like docs are up-weighted, off-target down-weighted") {
+    val s = spark
+    import s.implicits._
+    // target ('en') speaks the A vocabulary, the off-target corpus the B
+    // vocabulary; the PLANTED docs invert the pairing: a doc whose lang
+    // says off-target but whose text is pure A-vocab must be up-weighted
+    // (that is the entire point of DSIR — selection by content, not label)
+    val aWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val bWords = Seq("omega", "psi", "chi", "phi", "upsilon")
+    def mk(id: Long, lang: String, ws: Seq[String]) =
+      (id, (0 until 12).map(i => ws(((id + i) % ws.length).toInt)).mkString(" "), lang)
+    val corpus = ((0L until 30L).map(i => mk(i, "en", aWords)) ++
+      (100L until 130L).map(i => mk(i, "zz", bWords)) :+
+      mk(1000L, "zz", aWords) :+ // planted target-like
+      mk(1001L, "zz", bWords)) // control: genuinely off-target
+      .toDF("doc_id", "text", "lang")
+    val res = Pipeline.dsir(corpus, targetLang = "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(res.size == 62, "every doc scored")
+    val (_, planted, _) = res(1000L)
+    val (_, control, _) = res(1001L)
+    assert(planted > 0d, s"target-like planted doc must score positive, got $planted")
+    assert(control < 0d, s"off-target control must score negative, got $control")
+    assert(planted > control + 0.5, s"separation too weak: $planted vs $control")
+    // every genuine target doc outranks every genuine off-target doc
+    val enMin = (0L until 30L).map(res(_)._2).min
+    val zzMax = (100L until 130L).map(res(_)._2).max
+    assert(enMin > zzMax, s"target/off-target score ranges overlap: $enMin <= $zzMax")
+    // the kept cut follows the weights: neutral base rate is pct=20%, so
+    // up-weighted docs are kept at a higher rate than down-weighted ones
+    val enKept = (0L until 30L).count(res(_)._3)
+    val zzKept = (100L until 130L).count(res(_)._3)
+    assert(enKept > zzKept, s"importance cut inverted: en=$enKept zz=$zzKept")
+    // n_feats = unigrams + bigrams = 12 + 11 per doc here
+    assert(res(1000L)._1 == 23L)
+  }
+
   test("unigramNll: every doc scored, positive nll, token counts match the tokenizer") {
     val res = Pipeline.unigramNll(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
