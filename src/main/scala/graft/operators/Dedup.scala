@@ -378,6 +378,18 @@ object Dedup {
     assignClusters(pairs, nodes, maxIterations, smallGraphEdges)
   }
 
+  /** #57's components over an ALREADY-MATERIALIZED pair relation (e.g.
+    * the warehouse's stored pairs table) — the bootstrap path of
+    * [[graft.sources.DedupWarehouse]]: deriving labels from the STORED
+    * pairs both matches the deploy flow (state begets state) and avoids
+    * re-running the whole minhash lineage a third time.
+    */
+  def dedupClustersFromPairs(pairs: DataFrame, nodes: DataFrame,
+                             maxIterations: Int = 50,
+                             smallGraphEdges: Long = 500000L): DataFrame =
+    assignClusters(pairs.select("doc_a", "doc_b").cache(),
+      nodes.select("doc_id"), maxIterations, smallGraphEdges)
+
   /** Cluster assignment over an arbitrary near-dup pair graph — shared by
     * the minhash clusters (#57) and semantic dedup (#95). `pairs` must be
     * (doc_a, doc_b) LONG columns (cached by the caller if its lineage is

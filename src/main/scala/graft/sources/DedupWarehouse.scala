@@ -60,8 +60,11 @@ object DedupWarehouse {
     Layout.writeBucketed(Dedup.minhashIndex(documents, k), IndexTable, "sig", buckets)
     Layout.writeBucketed(Dedup.dedupMinhash(documents, k, minJaccard),
       PairsTable, "doc_a", buckets)
+    // labels from the STORED pairs (state begets state — and the minhash
+    // lineage is not re-run a third time for the components)
     Layout.writeBucketed(
-      Dedup.dedupClusters(documents, k, minJaccard).select("doc_id", "cluster_id"),
+      Dedup.dedupClustersFromPairs(spark.table(PairsTable), documents.select("doc_id"))
+        .select("doc_id", "cluster_id"),
       LabelsTable, "doc_id", buckets)
   }
 

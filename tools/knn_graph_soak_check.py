@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Soak-SF checker for v_knn_join_geo and v_knn_join_incremental
-(builder-side; the driver gate keeps the registered single-window
-oracles, which pass at the driver SFs).
-
-At sf1-class data the registered oracles' final ROW_NUMBER window sorts
-~100M candidate pairs in one go and exceeds DuckDB's temp budget (the
-v_knn_join_mp failure mode, tools/knn_mp_soak_check.py). This script
-runs EQUIVALENT decompositions instead (shared machinery in
-tools/knn_soak_common.py):
+(builder-side). SINCE ROUND 10 the registered oracles themselves run a
+two-stage top-k (ordered-list aggregate per probe block, then a final
+window over the bounded survivors — Vectors.twoStageTopKSql), so
+check.py passes the graph family at sf1-class corpora directly and
+this script is a redundant INDEPENDENT cross-check, kept because its
+per-label INSERT decomposition exercises a different execution path
+than the registered SQL. Pre-r10 history: the registered single-window
+oracles' final ROW_NUMBER sorted ~100M candidate pairs in one go and
+exceeded DuckDB's temp budget (the v_knn_join_mp failure mode,
+tools/knn_mp_soak_check.py); these decompositions were then the only
+sf1 validation path (shared machinery in tools/knn_soak_common.py):
 
   v_knn_join_incremental — oracle is the monolithic label-blocked graph
     (knnGraphSql). Blocks are disjoint (each vec_a lives in exactly one
