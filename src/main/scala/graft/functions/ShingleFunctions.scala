@@ -204,12 +204,130 @@ object CharEntropyStats {
   }
 }
 
+/** Codegen'd fused hashed-n-gram bucket counter for the DSIR family:
+  * ARRAY<STRING> raw split words → MAP<BIGINT, BIGINT> of
+  * (md5-60-bit(gram) mod `buckets`) → occurrence count over the doc's
+  * unigrams + bigrams, in ONE compiled pass.
+  *
+  * Replaces p_dsir's `filter(split(…)) → explode(concat(w, zip_with(
+  * slice…, slice…, concat))) → pmod(md5Id(g), B) → groupBy(doc, b).count`
+  * pipeline: the HOF chain runs interpreted and materializes every
+  * bigram string, and the per-GRAM explode feeds a full exchange whose
+  * only purpose is the per-(doc, bucket) pre-count. This kernel hashes
+  * gram bytes directly (no gram string is allocated — a bigram is
+  * word-bytes + 0x20 + word-bytes, ≡ md5 of the space-joined string) and
+  * counts in-row, so the downstream explode emits ≤ min(grams, buckets)
+  * rows per doc and the pre-count needs NO exchange at all.
+  *
+  * Semantics are IDENTICAL to the HOF pipeline (pinned elementwise in
+  * ExpressionPropertySpec):
+  *   - zero-length words are dropped FIRST (the `filter(…, length > 0)`
+  *     step), then bigrams pair adjacent survivors;
+  *   - bucket = first 60 md5 bits big-endian mod `buckets` — exactly
+  *     `pmod(conv(substring(md5(g),1,15),16,10), B)` ([[ShingleIds]]'
+  *     gate-proven extraction; the 60-bit id is non-negative, so % ≡
+  *     pmod);
+  *   - no words → empty map; map keys follow first occurrence, unigrams
+  *     (in word order) before bigrams — deterministic output order.
+  *
+  * Null array propagates null (callers filter on map size upstream,
+  * preserving the HOF chain's null-drop behavior).
+  */
+case class GramBucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_bucket_counts requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def prettyName: String = "gram_bucket_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    GramBucketCounts.compute(v.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramBucketCounts.compute($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramBucketCounts {
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, buckets: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    // compact the non-empty words first — bigrams pair adjacent SURVIVORS,
+    // matching the filter-then-zip_with order of the HOF pipeline
+    val wb = new Array[Array[Byte]](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) { wb(m) = w.getBytes; m += 1 }
+      i += 1
+    }
+    val md = localMd.get()
+    def bucketOf(a: Array[Byte], b: Array[Byte]): Long = {
+      md.reset()
+      md.update(a)
+      if (b != null) { md.update(0x20.toByte); md.update(b) }
+      val d = md.digest()
+      var x = 0L
+      var k = 0
+      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+      x = (x << 4) | ((d(7) & 0xf0L) >>> 4)
+      x % buckets
+    }
+    // first-occurrence order, unigrams before bigrams (= the HOF concat)
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    def add(b: Long): Unit = {
+      val slot = counts.get(b)
+      if (slot == null) counts.put(b, Array(1L)) else slot(0) += 1L
+    }
+    i = 0
+    while (i < m) { add(bucketOf(wb(i), null)); i += 1 }
+    i = 0
+    while (i + 1 < m) { add(bucketOf(wb(i), wb(i + 1))); i += 1 }
+    val ks = new Array[Long](counts.size())
+    val vs = new Array[Long](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(j) = e.getKey; vs(j) = e.getValue()(0); j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      UnsafeArrayData.fromPrimitiveArray(ks), UnsafeArrayData.fromPrimitiveArray(vs))
+  }
+}
+
 object ShingleFunctions {
   /** Distinct 60-bit shingle ids (ARRAY<BIGINT>) of the sliding k-grams of
     * an ARRAY<STRING> word column; `sorted=true` sorts ascending.
     */
   def shingleIds(words: Column, k: Int, sorted: Boolean): Column =
     ColumnBridge.column(ShingleIds(ColumnBridge.expression(words), k, sorted))
+
+  /** MAP<BIGINT, BIGINT> hashed uni+bigram bucket counts over an
+    * ARRAY<STRING> raw split-word column (see [[GramBucketCounts]]).
+    */
+  def gramBucketCounts(words: Column, buckets: Int): Column =
+    ColumnBridge.column(GramBucketCounts(ColumnBridge.expression(words), buckets))
 
   /** struct(n_chars BIGINT, raw_h DOUBLE) character-entropy fold over a
     * STRING column.

@@ -331,20 +331,21 @@ object Pipeline {
     */
   def dsir(documents: DataFrame, targetLang: String = "en", buckets: Int = 512,
            pct: Int = 20): DataFrame = {
-    val toks = documents.select(col("doc_id"), col("lang"),
-      expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)").as("w"))
-    val feats = toks
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """concat(w, if(size(w) >= 2,
-          | zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-          |  (a, b) -> concat(a, ' ', b)),
-          | array()))""".stripMargin.replace("\n", ""))).as("g"))
-      .select(col("doc_id"), col("lang"), pmod(md5Id(col("g")), lit(buckets.toLong)).as("b"))
-    // per-(doc, bucket) pre-count, persisted: the two model builds and the
-    // scoring join share one materialization (the #70 rationale); eager
-    // because the model broadcasts race the scoring join on a cold cache
-    val dbk = feats.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n")).sharedCacheEager
+    // fused codegen'd kernel (graft.functions.GramBucketCounts): raw split
+    // words → per-doc (bucket → count) map IN-ROW — no interpreted HOF
+    // tokenize/bigram chain, no per-gram explode, and the per-(doc, bucket)
+    // pre-count needs no exchange at all (the map IS the pre-count; the
+    // explode emits ≤ min(grams, buckets) rows per doc). Persisted: the two
+    // model builds and the scoring join share one materialization (the #70
+    // rationale); eager because the model broadcasts race the scoring join
+    // on a cold cache.
+    val dbk = documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.ShingleFunctions.gramBucketCounts(
+          split(lower(trim(col("text"))), "\\s+"), buckets).as("bm"))
+      .filter(size(col("bm")) > 0)
+      .select(col("doc_id"), col("lang"), explode(col("bm")).as(Seq("b", "n")))
+      .sharedCacheEager
     val rawM = dbk.groupBy("b").agg(sum("n").cast("long").as("n_raw"))
     val tgtM = dbk.filter(col("lang") === targetLang)
       .groupBy("b").agg(sum("n").cast("long").as("n_tgt"))

@@ -386,6 +386,52 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("GramBucketCounts ≡ the former HOF uni+bigram pipeline elementwise on random words") {
+    // same adversarial word mix as the ShingleIds pin: empties (split
+    // artifacts — dropped BEFORE bigram pairing), repeats (count > 1),
+    // multi-byte UTF-8 (byte-level md5 must equal md5 of the joined
+    // string), and lengths 0/1 (no bigrams)
+    val word = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("the", "a", "наб", "🦦x"),
+      1 -> Gen.const(""))
+    val gen = for {
+      n <- Gen.chooseNum(0, 14)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("w", ArrayType(StringType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(ws => Row(ws)), 4), schema)
+    Seq(7, 512).foreach { b =>
+      // the former pipeline, elementwise: filtered words → uni+bigram list
+      // (unigrams first) → pmod(md5Id, b) per gram — the per-gram bucket
+      // SEQUENCE, from which the expected map is folded in order
+      val hofBuckets = expr(
+        s"""transform(
+           | concat(fw, if(size(fw) >= 2,
+           |  zip_with(slice(fw, 1, size(fw) - 1), slice(fw, 2, size(fw) - 1),
+           |   (x, y) -> concat(x, ' ', y)),
+           |  CAST(array() AS ARRAY<STRING>))),
+           | g -> pmod(CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT),
+           |   CAST($b AS BIGINT)))""".stripMargin.replace("\n", ""))
+      val got = df
+        .withColumn("fw", expr("filter(w, t -> length(t) > 0)"))
+        .select(
+          graft.functions.ShingleFunctions.gramBucketCounts(col("w"), b).as("m"),
+          map_keys(graft.functions.ShingleFunctions.gramBucketCounts(col("w"), b)).as("mk"),
+          hofBuckets.as("hb")).collect()
+      got.zip(data).foreach { case (r, ws) =>
+        val seq = r.getSeq[Long](2)
+        val exp = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        seq.foreach(k => exp.update(k, exp.getOrElse(k, 0L) + 1L))
+        assert(r.getMap[Long, Long](0).toMap == exp.toMap, s"b=$b ws=$ws")
+        // key order pinned: first occurrence over unigrams-then-bigrams
+        assert(r.getSeq[Long](1) == exp.keys.toSeq, s"b=$b key order ws=$ws")
+      }
+    }
+  }
+
   test("CharEntropyStats ≡ the former split('')+aggregate chain bit-for-bit on random text") {
     val textGen = Gen.frequency(
       6 -> Gen.listOfN(40, Gen.frequency(
