@@ -316,6 +316,101 @@ object GramBucketCounts {
   }
 }
 
+/** Codegen'd fused per-document n-gram counter for the LM-scoring family:
+  * ARRAY<STRING> raw split words → MAP<STRING, BIGINT> of space-joined
+  * `n`-gram → occurrence count, in ONE compiled pass.
+  *
+  * Replaces the `filter(split(…)) → explode(per token/bigram) →
+  * groupBy(doc, gram).count` pre-count of the unigram/bigram NLL
+  * pipelines: the HOF tokenize chain runs interpreted, and the per-GRAM
+  * explode feeds a full exchange whose only purpose is the per-(doc,
+  * gram) pre-count. Counting in-row, the pre-count needs NO exchange —
+  * the downstream explode emits one row per DISTINCT gram per doc
+  * (stopword mass collapses in-row, the strongest possible form of
+  * map-side combine), and only the model rollups (gram-keyed, output
+  * orders below the corpus) shuffle at all.
+  *
+  * Semantics are IDENTICAL to the HOF pipeline (pinned elementwise in
+  * ExpressionPropertySpec):
+  *   - zero-length words are dropped FIRST (the `filter(…, length > 0)`
+  *     step), then n-grams slide over adjacent survivors joined by a
+  *     single space (tokens are \\s+ splits, so the join is unambiguous);
+  *   - fewer than `n` surviving words → empty map;
+  *   - map keys follow first-occurrence order — deterministic output.
+  *
+  * Null array propagates null (callers filter on map size upstream,
+  * preserving the HOF chain's null-drop behavior).
+  */
+case class TokenGramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram order must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_gram_counts requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "token_gram_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenGramCounts.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenGramCounts.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenGramCounts {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val len = arr.numElements()
+    // compact the non-empty words first — grams slide over adjacent
+    // SURVIVORS, matching the filter-then-slide order of the HOF pipeline.
+    // Values are CLONED: the source UTF8Strings may point into a reused
+    // row/batch buffer, and the returned map must own its bytes.
+    val ws = new Array[UTF8String](len)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) { ws(m) = w.clone(); m += 1 }
+      i += 1
+    }
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i + n - 1 < m) {
+      var g = ws(i)
+      var j = 1
+      while (j < n) { g = UTF8String.concat(g, space, ws(i + j)); j += 1 }
+      val slot = counts.get(g)
+      if (slot == null) counts.put(g, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val ks = new Array[Any](counts.size())
+    val vs = new Array[Long](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(j) = e.getKey; vs(j) = e.getValue()(0); j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+      UnsafeArrayData.fromPrimitiveArray(vs))
+  }
+}
+
 object ShingleFunctions {
   /** Distinct 60-bit shingle ids (ARRAY<BIGINT>) of the sliding k-grams of
     * an ARRAY<STRING> word column; `sorted=true` sorts ascending.
@@ -328,6 +423,12 @@ object ShingleFunctions {
     */
   def gramBucketCounts(words: Column, buckets: Int): Column =
     ColumnBridge.column(GramBucketCounts(ColumnBridge.expression(words), buckets))
+
+  /** MAP<STRING, BIGINT> per-doc n-gram counts over an ARRAY<STRING> raw
+    * split-word column (see [[TokenGramCounts]]).
+    */
+  def tokenGramCounts(words: Column, n: Int): Column =
+    ColumnBridge.column(TokenGramCounts(ColumnBridge.expression(words), n))
 
   /** struct(n_chars BIGINT, raw_h DOUBLE) character-entropy fold over a
     * STRING column.

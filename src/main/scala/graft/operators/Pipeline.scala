@@ -574,17 +574,21 @@ object Pipeline {
     */
   private def unigramNllKeyed(documents: DataFrame, carry: Seq[String]): DataFrame = {
     val cc = carry.map(col)
-    val words = documents
-      .select(col("doc_id") +: cc :+ explode(split(lower(trim(col("text"))), "\\s+")).as("term"): _*)
-      .filter(length(col("term")) > 0)
-    // pre-count per (doc, term), PERSISTED: the model build and the
-    // scoring join share one materialization, so the corpus is scanned
-    // once even though the relation has two consumers with different
-    // column pruning (which would otherwise canonicalize to different
-    // exchanges and re-run the explode per consumer)
+    // pre-count per (doc, term) IN-ROW (graft.functions.TokenGramCounts):
+    // no interpreted tokenize HOFs, no per-token explode, and no exchange
+    // at all for the pre-count — the map IS the per-doc aggregate and the
+    // explode emits one row per DISTINCT term per doc (stopword mass
+    // collapses in-row). PERSISTED: the model build and the scoring join
+    // share one materialization, so the corpus is tokenized once even
+    // though the relation has two consumers with different column pruning.
     // eager: the model scalars broadcast-build races the scoring join on
     // a cold cache (see Caches.sharedCacheEager)
-    val dt = words.groupBy(col("doc_id") +: cc :+ col("term"): _*).agg(count(lit(1)).as("n"))
+    val dt = documents
+      .select(col("doc_id") +: cc :+
+        graft.functions.ShingleFunctions.tokenGramCounts(
+          split(lower(trim(col("text"))), "\\s+"), 1).as("tm"): _*)
+      .filter(size(col("tm")) > 0)
+      .select(col("doc_id") +: cc :+ explode(col("tm")).as(Seq("term", "n")): _*)
       .sharedCacheEager
     // corpus term frequency as a partial-agg groupBy + join-back on the
     // persisted pre-count — NOT a window over the term key: map-side
@@ -703,28 +707,35 @@ object Pipeline {
     * partial-agg shuffle keyed by doc_id for the final score.
     */
   def bigramNll(documents: DataFrame): DataFrame = {
-    // toks is consumed twice (bigram build + the v_size scalar) and
-    // deliberately NOT cached: a persisted token-array relation was
-    // measured SLOWER at sf0.1 (cache write + array deserialization
-    // exceed the ~1.2 s tokenize, and the cache boundary breaks the
-    // scan→explode codegen fusion) — the duplicated work is one cheap
-    // projection, not the corpus shuffle.
+    // raw split words; the kernels below drop empty tokens themselves, so
+    // the interpreted filter() HOF is gone. toks is consumed twice (bigram
+    // build + the v_size scalar) and deliberately NOT cached: a persisted
+    // token-array relation was measured SLOWER at sf0.1 (cache write +
+    // array deserialization exceed the tokenize, and the cache boundary
+    // breaks the scan→generate codegen fusion) — the duplicated work is
+    // one cheap projection, not the corpus shuffle.
     val toks = documents.select(col("doc_id"),
-      expr("filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0)").as("w"))
-    val bg = toks
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-          | (a, b) -> struct(a AS prev, concat(a, ' ', b) AS bigram))"""
-          .stripMargin.replace("\n", ""))).as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.bigram").as("bigram"))
+      split(lower(trim(col("text"))), "\\s+").as("w"))
+    // pre-count per (doc, bigram) IN-ROW (graft.functions.TokenGramCounts,
+    // the unigramNll rationale): the explode emits one row per DISTINCT
+    // bigram per doc with no pre-count exchange; `prev` is re-derived from
+    // the space-joined key (tokens are \s+ splits — the FIRST space is the
+    // gram joint, so substring_index is exact), keeping the history rollup
+    // keyed on the same relation.
     // eager: the scalars broadcast-build races the scoring join on a cold
     // cache (see Caches.sharedCacheEager)
-    val db = bg.groupBy("doc_id", "prev", "bigram").agg(count(lit(1)).as("n"))
+    val db = toks
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.tokenGramCounts(col("w"), 2).as("bm"))
+      .filter(size(col("bm")) > 0)
+      .select(col("doc_id"), explode(col("bm")).as(Seq("bigram", "n")))
+      .withColumn("prev", substring_index(col("bigram"), " ", 1))
       .sharedCacheEager
     val bvocab = db.groupBy("bigram").agg(sum("n").as("bfreq"))
     val hist = db.groupBy("prev").agg(sum("n").as("pfreq"))
-    val scalars = toks.select(explode(col("w")).as("term"))
+    val scalars = toks
+      .select(explode(graft.functions.ShingleFunctions.tokenGramCounts(col("w"), 1))
+        .as(Seq("term", "tn")))
       .agg(countDistinct("term").as("v_size"))
     db
       .join(bvocab, "bigram")

@@ -432,6 +432,44 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenGramCounts ≡ the former HOF explode+count pipeline elementwise on random words") {
+    val word = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("the", "a", "наб", "🦦x"),
+      1 -> Gen.const(""))
+    val gen = for {
+      n <- Gen.chooseNum(0, 14)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    val data = sample(gen, N)
+    val schema = StructType(Seq(StructField("w", ArrayType(StringType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(ws => Row(ws)), 4), schema)
+    Seq(1, 2, 3).foreach { n =>
+      // the former pipeline elementwise: filtered words → space-joined
+      // n-gram SEQUENCE, from which the expected counts fold in order
+      val hofGrams = expr(
+        s"""CASE WHEN size(fw) >= $n
+           | THEN transform(sequence(1, size(fw) - $n + 1),
+           |   i -> array_join(slice(fw, i, $n), ' '))
+           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin.replace("\n", ""))
+      val got = df
+        .withColumn("fw", expr("filter(w, t -> length(t) > 0)"))
+        .select(
+          graft.functions.ShingleFunctions.tokenGramCounts(col("w"), n).as("m"),
+          map_keys(graft.functions.ShingleFunctions.tokenGramCounts(col("w"), n)).as("mk"),
+          hofGrams.as("hg")).collect()
+      got.zip(data).foreach { case (r, ws) =>
+        val seq = r.getSeq[String](2)
+        val exp = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        seq.foreach(g => exp.update(g, exp.getOrElse(g, 0L) + 1L))
+        assert(r.getMap[String, Long](0).toMap == exp.toMap, s"n=$n ws=$ws")
+        // key order pinned: first occurrence in sliding order
+        assert(r.getSeq[String](1) == exp.keys.toSeq, s"n=$n key order ws=$ws")
+      }
+    }
+  }
+
   test("CharEntropyStats ≡ the former split('')+aggregate chain bit-for-bit on random text") {
     val textGen = Gen.frequency(
       6 -> Gen.listOfN(40, Gen.frequency(
