@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--sized", action="store_true",
                     help="only run the sized-labels kNN soak and merge into soak_slopes.json")
+    ap.add_argument("--only", default=None,
+                    help="comma list: re-measure ONLY these queries at x1/x10/x30 and "
+                         "merge their rows into the existing soak_slopes.json (for "
+                         "refreshing a family whose kernel changed without re-running "
+                         "the full 128-query soak)")
     a = ap.parse_args()
     skip = set(filter(None, a.skip.split(",")))
 
@@ -106,8 +111,8 @@ def main():
             run(["sbt", "-batch", f"runMain graft.SoakGen {SF01} {out} {factor}"],
                 log=f"/tmp/slopes_gen_{factor}.log")
 
-    d1 = bench(SF01, "x1")
-    d10 = bench(os.path.join(REPO, CORPORA[0][1]), "x10")
+    d1 = bench(SF01, "x1", only=a.only)
+    d10 = bench(os.path.join(REPO, CORPORA[0][1]), "x10", only=a.only)
     only30 = ",".join(sorted(q for q in d1["queries"] if q not in skip))
     d30 = bench(os.path.join(REPO, CORPORA[1][1]), "x30", only=only30)
 
@@ -144,11 +149,19 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        for k, v in prev.get("queries", {}).items():
-            if "sized_labels" in v and k in out["queries"]:
-                out["queries"][k]["sized_labels"] = v["sized_labels"]
-        if "sized_labels_note" in prev:
-            out["sized_labels_note"] = prev["sized_labels_note"]
+        if a.only:
+            # targeted refresh: replace only the measured rows, keep the rest
+            for k, v in out["queries"].items():
+                if "sized_labels" in prev.get("queries", {}).get(k, {}):
+                    v["sized_labels"] = prev["queries"][k]["sized_labels"]
+                prev.setdefault("queries", {})[k] = v
+            out = prev
+        else:
+            for k, v in prev.get("queries", {}).items():
+                if "sized_labels" in v and k in out["queries"]:
+                    out["queries"][k]["sized_labels"] = v["sized_labels"]
+            if "sized_labels_note" in prev:
+                out["sized_labels_note"] = prev["sized_labels_note"]
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
