@@ -12,6 +12,15 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Cap DuckDB below the box's RAM and give it a spill directory: at the
+# factor-10 soak corpus the graph-family replays grow past physical
+# memory when one connection has accumulated a hundred prior queries'
+# state, and the kernel OOM-kills the whole gate (observed at 130 GB
+# RSS). With a cap DuckDB spills or errors per-query instead; a
+# per-query error is recorded as that query's FAIL, not a dead gate —
+# rerun stragglers in fresh processes via tools/check_one_oracle.py.
+con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '90GB')}'")
+con.sql(f"SET temp_directory='{os.environ.get('GRAFT_DUCK_TMP', '/tmp/graft_ducktmp')}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.exists(p):

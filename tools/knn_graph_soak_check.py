@@ -2,11 +2,14 @@
 """Soak-SF checker for v_knn_join_geo and v_knn_join_incremental
 (builder-side). SINCE ROUND 10 the registered oracles themselves run a
 two-stage top-k (ordered-list aggregate per probe block, then a final
-window over the bounded survivors — Vectors.twoStageTopKSql), so
-check.py passes the graph family at sf1-class corpora directly and
-this script is a redundant INDEPENDENT cross-check, kept because its
-per-label INSERT decomposition exercises a different execution path
-than the registered SQL. Pre-r10 history: the registered single-window
+window over the bounded survivors — Vectors.twoStageTopKSql). Measured
+effect at the factor-10 corpus: v_knn_join and v_knn_join_incremental
+now pass check.py directly, but the multi-probe entries (geo/mp/mph)
+still exhaust the box's DuckDB spill budget — the ordered-list
+aggregate holds every block's candidate list in the aggregate state —
+so for THOSE this script remains the primary sf1 validation path (for
+the two direct entries it is an independent cross-check). Pre-r10
+history: the registered single-window
 oracles' final ROW_NUMBER sorted ~100M candidate pairs in one go and
 exceeded DuckDB's temp budget (the v_knn_join_mp failure mode,
 tools/knn_mp_soak_check.py); these decompositions were then the only
