@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Re-run ONE registered oracle from a Verify dump with an explicit DuckDB
 memory budget and temp directory — for triage of replays that exhaust the
-default budgets. Note the limit of this lever: v_knn_join_mph's
-sf1-class single-window replay spills >79 GB even at
-memory_limit=100GB (DuckDB externalizes the big sort regardless), so
-past a point the answer is the decomposed checker
-(tools/knn_graph_soak_check.py v_knn_join_mph), not a bigger budget.
+default budgets, and for re-running stragglers in a FRESH process after
+a full check.py run (one long-lived connection accumulates state; the
+round-10 sf1 gate was OOM-killed at 130 GB RSS that way). Since the
+round-10 iterated-argmax rewrite the graph-family replays fit in ~2 GB
+and pass here at sf1; if a replay still exhausts the budget, the
+decomposed checkers (tools/knn_graph_soak_check.py) are the fallback.
+CAUTION for stashed oracles (v_knn_join_mph, the PQ family): the SQL in
+oracle_sql.json inlines training literals from ITS OWN Verify run —
+never check one corpus against a string dumped at another SF.
 
 Usage: tools/check_one_oracle.py <sfDir> <verifyOutDir> <queryName>
          [memLimit] [tmpDir]

@@ -1,14 +1,16 @@
 #!/usr/bin/env python3
 """Soak-SF checker for v_knn_join_geo and v_knn_join_incremental
 (builder-side). SINCE ROUND 10 the registered oracles themselves run a
-two-stage top-k (ordered-list aggregate per probe block, then a final
-window over the bounded survivors — Vectors.twoStageTopKSql). Measured
-effect at the factor-10 corpus: v_knn_join and v_knn_join_incremental
-now pass check.py directly, but the multi-probe entries (geo/mp/mph)
-still exhaust the box's DuckDB spill budget — the ordered-list
-aggregate holds every block's candidate list in the aggregate state —
-so for THOSE this script remains the primary sf1 validation path (for
-the two direct entries it is an independent cross-check). Pre-r10
+bounded iterated-argmax top-k (materialized pairs with an exact BIGINT
+order key, k unrolled max() passes to the per-vector threshold —
+Vectors.twoStageTopKSql), and ALL FIVE graph entries pass check.py at
+the factor-10 corpus directly (an intermediate ordered-list-aggregate
+formulation did not: DuckDB's list() state holds every block's full
+candidate list, and geo/mp/mph exhausted the spill budget — see
+SCALING.md). This script is therefore an independent CROSS-CHECK: its
+per-label INSERT decomposition exercises a different execution path
+than the registered SQL and validated the graph outputs bit-exact at
+sf1 before the rewrite shipped. Pre-r10
 history: the registered single-window
 oracles' final ROW_NUMBER sorted ~100M candidate pairs in one go and
 exceeded DuckDB's temp budget (the v_knn_join_mp failure mode,
