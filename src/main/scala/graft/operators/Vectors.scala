@@ -365,8 +365,10 @@ object Vectors {
     * the k-th max is a total-order threshold selecting exactly the
     * window's first k rows.
     */
-  private def twoStageTopKSql(k: Int): String = {
+  private def twoStageTopKSql(k: Int, extraCols: Seq[String] = Nil): String = {
     require(k >= 1, s"top-k oracle needs k >= 1, got $k")
+    val extraSel = extraCols.map(c => s"$c, ").mkString          // in scored
+    val extraOut = extraCols.map(c => s"s.$c AS $c, ").mkString  // in the final select
     val ms = (2 to k).map { i =>
       s""", m$i AS (SELECT s.vec_a, max(s.okey) AS k$i FROM scored s
          |  JOIN m${i - 1} ON s.vec_a = m${i - 1}.vec_a AND s.okey < m${i - 1}.k${i - 1}
@@ -375,12 +377,12 @@ object Vectors {
     val kth = ((k to 2 by -1).map(i => s"m$i.k$i") :+ "m1.k1").mkString("coalesce(", ", ", ")")
     val ljs = (2 to k).map(i => s" LEFT JOIN m$i ON m1.vec_a = m$i.vec_a").mkString
     s""", scored AS MATERIALIZED (
-       |  SELECT vec_a, vec_b, cosine,
+       |  SELECT ${extraSel}vec_a, vec_b, cosine,
        |   CAST(round(cosine * 1000000) AS BIGINT) * 1099511627776 - vec_b AS okey
        |  FROM pairs),
        | m1 AS (SELECT vec_a, max(okey) AS k1 FROM scored GROUP BY vec_a)$ms,
        | th AS (SELECT m1.vec_a AS vec_a, $kth AS kth FROM m1$ljs)
-       | SELECT s.vec_a AS vec_a, s.vec_b AS vec_b, s.cosine AS cosine,
+       | SELECT ${extraOut}s.vec_a AS vec_a, s.vec_b AS vec_b, s.cosine AS cosine,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY s.vec_a ORDER BY s.okey DESC) AS BIGINT) AS nn_rank
        | FROM scored s JOIN th ON s.vec_a = th.vec_a WHERE s.okey >= th.kth""".stripMargin.replace("\n", "")
   }
@@ -691,18 +693,8 @@ object Vectors {
        | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${flSql(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))", 6)} AS cosine
        | FROM vsrc a JOIN vsrc b
-       |  ON a.label = b.label AND a.vec_id <> b.vec_id),
-       | local AS (
-       |  SELECT label, vec_a, list(struct_pack(vec_b := vec_b, cosine := cosine)
-       |    ORDER BY cosine DESC, vec_b ASC)[1:$k] AS top
-       |  FROM pairs GROUP BY label, vec_a),
-       | cand AS (SELECT label, vec_a, u.vec_b AS vec_b, u.cosine AS cosine
-       |  FROM local, UNNEST(top) AS t(u))
-       | SELECT label, vec_a, vec_b, cosine, nn_rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
-       |    ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS nn_rank
-       |  FROM cand)
-       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
+       |  ON a.label = b.label AND a.vec_id <> b.vec_id)
+       | ${twoStageTopKSql(k, extraCols = Seq("label"))}""".stripMargin.replace("\n", "")
   }
 
   /** #123 incremental maintenance of the blocked kNN graph — the
