@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Soak-SF checker for v_knn_join_mp (builder-side; the driver gate keeps
-the registered single-window oracle, which passes at the driver SFs).
-
-At sf1-class data the registered oracle's final ROW_NUMBER window sorts
-~100M candidate pairs in one go and exceeds DuckDB's temp budget (observed
->80 GB spill). This script runs an EQUIVALENT decomposition instead
+"""Soak-SF checker for v_knn_join_mp (builder-side). SINCE ROUND 10 the
+registered oracle runs a bounded iterated-argmax top-k and passes
+check.py at sf1-class corpora directly (Vectors.twoStageTopKSql;
+SCALING.md) — this script is now an independent CROSS-CHECK on a
+different execution path. Historical context: the original registered
+oracle's final ROW_NUMBER window sorted ~100M candidate pairs in one go
+and exceeded DuckDB's temp budget (observed >80 GB spill), and this
+decomposition was then the only sf1 validation path
 (shared machinery in tools/knn_soak_common.py):
 
   per probe-label top-k window  (partitionable, bounded spill)
