@@ -86,7 +86,12 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "nearest_centroid: centroids must be a literal ARRAY<DOUBLE>")
       }
-      graft.functions.NearestCentroid(args(0), dim, cent)
+      // the literal array is re-shipped as a broadcast bundle so the
+      // resolved plan's task binaries stay O(1) in the centroid count
+      // (the builder runs at analysis time on the driver, where the
+      // session is active)
+      graft.functions.NearestCentroid(args(0),
+        graft.functions.CentroidBundle.broadcast(cent, dim))
     }),
     // bpe_encode(text, merges): merges must be a foldable ARRAY<STRING> in
     // rank order, each element 'left right' (one space) — the merge-table

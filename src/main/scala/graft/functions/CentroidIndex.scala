@@ -1,5 +1,8 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
 /** Two-level coarse quantizer over a flat row-major centroid matrix —
   * the deploy-scale acceleration behind [[NearestCentroid]] and
   * [[TopProbeLabels]] at FAISS cell counts (reference workload: the IVF
@@ -156,4 +159,88 @@ object CentroidIndex {
     }
     new CentroidIndex(dim, nS, sup, sn2, start, members, assign, cosSafe)
   }
+}
+
+/** The trained constants of a flat centroid kernel — matrix, self-dots
+  * and the two-level index — shipped to executors as ONE broadcast
+  * variable instead of codegen reference objects riding every task
+  * binary (the r9 Bloom-filter fix, [[BloomContainsLong]], applied to
+  * the centroid family): the task binary carries only the broadcast
+  * handle, the matrix ships once per EXECUTOR through the broadcast
+  * manager, and the derived structures deserialize once, cached by the
+  * broadcast block manager. This is what lifts the 2^14 cell cap on
+  * [[graft.operators.Vectors]]`.autoGeoCells` — at deploy cell counts
+  * (10⁹-vector corpora want ~10⁵ cells × dim doubles ≈ 10⁸ bytes) a plan
+  * literal would re-fatten every task binary of the geo/kNN/IVF family.
+  *
+  * Everything here is built EAGERLY on the driver (one serialization,
+  * zero per-executor rebuild): `norm2` is the strict ascending self-dot
+  * fold the flat kernels compare against, `index` the deterministic
+  * two-level quantizer (null below [[CentroidIndex.hierMin]], so the
+  * gate's fixed kCells = 8 path stays bit-exact on the flat scan).
+  * `labels` is the probe family's cell→label map (null for the k-means
+  * assignment kernel, whose "label" is the centroid index itself).
+  */
+final class CentroidBundle(
+    val dim: Int,
+    val n: Int,
+    val cent: Array[Double],
+    val labels: Array[Int],
+    val norm2: Array[Double],
+    val index: CentroidIndex
+) extends Serializable
+
+object CentroidBundle {
+  def build(cent: Array[Double], dim: Int, labels: Array[Int] = null): CentroidBundle = {
+    require(dim > 0 && cent.nonEmpty && cent.length % dim == 0,
+      s"centroid matrix must be a non-empty multiple of dim=$dim doubles, got ${cent.length}")
+    val n = cent.length / dim
+    require(labels == null || labels.length == n,
+      s"labels must map every centroid: ${if (labels == null) -1 else labels.length} vs $n")
+    new CentroidBundle(dim, n, cent, labels, ProbeKernel.selfDots(cent, dim, n),
+      CentroidIndex.buildOrNull(cent, dim, n))
+  }
+
+  /** Build + broadcast in one step (driver-side, at Column construction —
+    * the train-once seam where the matrix is already a driver array).
+    */
+  def broadcast(cent: Array[Double], dim: Int, labels: Array[Int] = null): Broadcast[CentroidBundle] =
+    SparkSession.active.sparkContext.broadcast(build(cent, dim, labels))
+}
+
+/** [[CentroidBundle]]'s two-matrix sibling for the explicit #121
+  * hierarchy ([[TopProbeLabelsHier]]): driver-trained super-centroids,
+  * the cell→super map and the cell matrix, with both self-dot arrays
+  * precomputed on the driver. Same broadcast rationale.
+  */
+final class HierBundle(
+    val dim: Int,
+    val nS: Int,
+    val supCents: Array[Double],
+    val snorm: Array[Double],
+    val nC: Int,
+    val cellLabels: Array[Int],
+    val cellSup: Array[Int],
+    val cellCents: Array[Double],
+    val cnorm: Array[Double]
+) extends Serializable
+
+object HierBundle {
+  def build(supCents: Array[Double], cellLabels: Array[Int], cellSup: Array[Int],
+            cellCents: Array[Double], dim: Int): HierBundle = {
+    require(dim > 0 && cellLabels.nonEmpty && cellCents.length == cellLabels.length * dim,
+      s"cell matrix must be cellLabels.length*dim doubles")
+    require(supCents.nonEmpty && supCents.length % dim == 0,
+      "super matrix must be S*dim doubles")
+    require(cellSup.length == cellLabels.length, "cellSup must map every cell")
+    val nS = supCents.length / dim
+    val nC = cellLabels.length
+    new HierBundle(dim, nS, supCents, ProbeKernel.selfDots(supCents, dim, nS),
+      nC, cellLabels, cellSup, cellCents, ProbeKernel.selfDots(cellCents, dim, nC))
+  }
+
+  def broadcast(supCents: Array[Double], cellLabels: Array[Int], cellSup: Array[Int],
+                cellCents: Array[Double], dim: Int): Broadcast[HierBundle] =
+    SparkSession.active.sparkContext.broadcast(
+      build(supCents, cellLabels, cellSup, cellCents, dim))
 }

@@ -51,14 +51,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * `Vectors.knnJoinMultiProbe` guarantees it); ties then break to the
   * lower index = lower label.
   */
-case class TopProbeLabels(child: Expression, dim: Int, labels: Array[Int],
-                          cents: Array[Double], nProbe: Int)
+case class TopProbeLabels(child: Expression,
+                          bc: org.apache.spark.broadcast.Broadcast[CentroidBundle],
+                          nProbe: Int)
     extends UnaryExpression {
 
-  require(dim > 0 && labels.nonEmpty && cents.length == labels.length * dim,
-    s"centroid matrix must be labels.length*dim = ${labels.length * dim} doubles, got ${cents.length}")
   require(nProbe > 0, "nProbe must be positive")
-  private val nC = labels.length
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -75,29 +73,28 @@ case class TopProbeLabels(child: Expression, dim: Int, labels: Array[Int],
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
 
-  /** |c_j|² per cell — the same ascending fold dot(c, c) executes. */
-  @transient private lazy val cnorm: Array[Double] =
-    ProbeKernel.selfDots(cents, dim, nC)
-
-  /** Two-level coarse quantizer (null below the size threshold): at
-    * index-active C the kernel delegates to [[ProbeKernel.topProbesHier]]
-    * — the #121 hierarchy, O((√C + C/√C)·dim) per row; the gate-regime
-    * flat scan (and its oracles) are untouched. See [[CentroidIndex]].
+  /** Labels + matrix + |c_j|² self-dots + the two-level index, as a
+    * BROADCAST handle ([[CentroidBundle]]) — the task binary is O(1) in
+    * C and the bundle deserializes once per executor. The bundle's index
+    * is null below [[CentroidIndex.hierMin]] (the gate regime: bit-exact
+    * flat scan); at index-active C the kernel delegates to
+    * [[ProbeKernel.topProbesHier]] — the #121 hierarchy,
+    * O((√C + C/√C)·dim) per row. See [[CentroidIndex]].
     */
-  @transient private lazy val index: CentroidIndex =
-    CentroidIndex.buildOrNull(cents, dim, nC)
+  @transient private lazy val b: CentroidBundle = bc.value
 
   override def nullSafeEval(v: Any): Any =
-    ProbeKernel.topProbes(v.asInstanceOf[ArrayData], isFloat, dim, nC,
-      labels, cents, cnorm, nProbe, index)
+    ProbeKernel.topProbes(v.asInstanceOf[ArrayData], isFloat, b.dim, b.n,
+      b.labels, b.cent, b.norm2, nProbe, b.index)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lbRef = ctx.addReferenceObj("tplLabels", labels, "int[]")
-    val ctRef = ctx.addReferenceObj("tplCents", cents, "double[]")
-    val cnRef = ctx.addReferenceObj("tplCnorm", cnorm, "double[]")
-    val ixRef = ctx.addReferenceObj("tplIndex", index, "graft.functions.CentroidIndex")
+    val bcRef = ctx.addReferenceObj("tplBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bundle = ctx.addMutableState("graft.functions.CentroidBundle", "tplBundle")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ProbeKernel.topProbes($c, $isFloat, $dim, $nC, $lbRef, $ctRef, $cnRef, $nProbe, $ixRef);")
+      s"""if ($bundle == null) { $bundle = (graft.functions.CentroidBundle) $bcRef.value(); }
+         |${ev.value} = graft.functions.ProbeKernel.topProbes($c, $isFloat, $bundle.dim(), $bundle.n(), $bundle.labels(), $bundle.cent(), $bundle.norm2(), $nProbe, $bundle.index());
+         |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -113,19 +110,12 @@ case class TopProbeLabels(child: Expression, dim: Int, labels: Array[Int],
   * ranking stages (floored cosines, sid/label ASC tie-breaks, SQL double
   * ordering, null-element degeneration to index-ASC ranking).
   */
-case class TopProbeLabelsHier(child: Expression, dim: Int,
-                              supCents: Array[Double], cellLabels: Array[Int],
-                              cellSup: Array[Int], cellCents: Array[Double],
+case class TopProbeLabelsHier(child: Expression,
+                              bc: org.apache.spark.broadcast.Broadcast[HierBundle],
                               nProbe: Int, superProbe: Int)
     extends UnaryExpression {
 
-  require(dim > 0 && cellLabels.nonEmpty && cellCents.length == cellLabels.length * dim,
-    s"cell matrix must be cellLabels.length*dim doubles")
-  require(supCents.nonEmpty && supCents.length % dim == 0, "super matrix must be S*dim doubles")
-  require(cellSup.length == cellLabels.length, "cellSup must map every cell")
   require(nProbe > 0 && superProbe > 0, "probe counts must be positive")
-  private val nC = cellLabels.length
-  private val nS = supCents.length / dim
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -142,26 +132,24 @@ case class TopProbeLabelsHier(child: Expression, dim: Int,
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
 
-  @transient private lazy val snorm: Array[Double] =
-    ProbeKernel.selfDots(supCents, dim, nS)
-  @transient private lazy val cnorm: Array[Double] =
-    ProbeKernel.selfDots(cellCents, dim, nC)
+  /** Both trained matrices + derived arrays as ONE broadcast handle
+    * ([[HierBundle]]) — same task-binary rationale as [[TopProbeLabels]].
+    */
+  @transient private lazy val b: HierBundle = bc.value
 
   override def nullSafeEval(v: Any): Any =
-    ProbeKernel.topProbesHier(v.asInstanceOf[ArrayData], isFloat, dim,
-      nS, supCents, snorm, nC, cellLabels, cellSup, cellCents, cnorm,
-      nProbe, superProbe)
+    ProbeKernel.topProbesHier(v.asInstanceOf[ArrayData], isFloat, b.dim,
+      b.nS, b.supCents, b.snorm, b.nC, b.cellLabels, b.cellSup, b.cellCents,
+      b.cnorm, nProbe, superProbe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val spRef = ctx.addReferenceObj("tphSup", supCents, "double[]")
-    val snRef = ctx.addReferenceObj("tphSnorm", snorm, "double[]")
-    val lbRef = ctx.addReferenceObj("tphLabels", cellLabels, "int[]")
-    val csRef = ctx.addReferenceObj("tphCellSup", cellSup, "int[]")
-    val ctRef = ctx.addReferenceObj("tphCents", cellCents, "double[]")
-    val cnRef = ctx.addReferenceObj("tphCnorm", cnorm, "double[]")
+    val bcRef = ctx.addReferenceObj("tphBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bundle = ctx.addMutableState("graft.functions.HierBundle", "tphBundle")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ProbeKernel.topProbesHier($c, $isFloat, $dim, " +
-        s"$nS, $spRef, $snRef, $nC, $lbRef, $csRef, $ctRef, $cnRef, $nProbe, $superProbe);")
+      s"""if ($bundle == null) { $bundle = (graft.functions.HierBundle) $bcRef.value(); }
+         |${ev.value} = graft.functions.ProbeKernel.topProbesHier($c, $isFloat, $bundle.dim(), $bundle.nS(), $bundle.supCents(), $bundle.snorm(), $bundle.nC(), $bundle.cellLabels(), $bundle.cellSup(), $bundle.cellCents(), $bundle.cnorm(), $nProbe, $superProbe);
+         |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

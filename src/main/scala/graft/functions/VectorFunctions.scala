@@ -379,12 +379,8 @@ object RotateVec {
   * propagate-null contract; the k-means family's kmValid filter removes
   * such rows before this expression runs).
   */
-case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
+case class NearestCentroid(child: Expression, bc: org.apache.spark.broadcast.Broadcast[CentroidBundle])
     extends UnaryExpression {
-
-  require(dim > 0 && cent.nonEmpty && cent.length % dim == 0,
-    s"centroids must be a non-empty multiple of dim=$dim doubles, got ${cent.length}")
-  private val k = cent.length / dim
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -405,32 +401,28 @@ case class NearestCentroid(child: Expression, dim: Int, cent: Array[Double])
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
 
-  /** |c_j|² — the same ascending fold the oracle's dot(c, c) executes. */
-  @transient private lazy val cnorm: Array[Double] = Array.tabulate(k) { j =>
-    var acc = 0d
-    var i = 0
-    while (i < dim) { val x = cent(j * dim + i); acc += x * x; i += 1 }
-    acc
-  }
-
-  /** Two-level coarse quantizer (null below the size threshold):
-    * O((√k + k/√k)·dim) per row instead of O(k·dim) — the gate's fixed
-    * k=8 stays on the bit-exact flat scan; see [[CentroidIndex]] for
-    * the deploy-scale approximation contract.
+  /** The trained constants (matrix, |c_j|² self-dot folds, two-level
+    * index) — a BROADCAST handle, not plan state: the task binary stays
+    * O(1) in the cell count C, the matrix ships once per executor and
+    * the broadcast block manager caches the deserialized bundle (the
+    * [[BloomContainsLong]] pattern). Below [[CentroidIndex.hierMin]] the
+    * bundle's index is null and the kernel is the bit-exact flat scan —
+    * the gate's fixed k=8 path; see [[CentroidIndex]] for the
+    * deploy-scale approximation contract.
     */
-  @transient private lazy val index: CentroidIndex =
-    CentroidIndex.buildOrNull(cent, dim, k)
+  @transient private lazy val b: CentroidBundle = bc.value
 
   override def nullSafeEval(v: Any): Any =
-    NearestCentroid.compute(v.asInstanceOf[ArrayData], isFloat, dim, k, cent, cnorm, index)
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], isFloat, b.dim, b.n, b.cent, b.norm2, b.index)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centRef = ctx.addReferenceObj("ncCent", cent, "double[]")
-    val cnRef = ctx.addReferenceObj("ncCnorm", cnorm, "double[]")
-    val ixRef = ctx.addReferenceObj("ncIndex", index, "graft.functions.CentroidIndex")
+    val bcRef = ctx.addReferenceObj("ncBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bundle = ctx.addMutableState("graft.functions.CentroidBundle", "ncBundle")
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("ncRes")
-      s"""Object $tmp = graft.functions.NearestCentroid.compute($c, $isFloat, $dim, $k, $centRef, $cnRef, $ixRef);
+      s"""if ($bundle == null) { $bundle = (graft.functions.CentroidBundle) $bcRef.value(); }
+         |Object $tmp = graft.functions.NearestCentroid.compute($c, $isFloat, $bundle.dim(), $bundle.n(), $bundle.cent(), $bundle.norm2(), $bundle.index());
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
          |""".stripMargin
     })
@@ -577,25 +569,31 @@ object VectorFunctions {
   def rotateVec(v: Column, dim: Int, matrix: Array[Double]): Column =
     ColumnBridge.column(RotateVec(ColumnBridge.expression(v), dim, matrix))
 
-  /** `struct(cluster, dist)` of the nearest of the baked centroids
-    * (row-major k×dim doubles) — the fused k-means assignment.
+  /** `struct(cluster, dist)` of the nearest of the trained centroids
+    * (row-major k×dim doubles) — the fused k-means assignment. The
+    * matrix is broadcast here (train-once, driver-side), never plan
+    * state.
     */
   def nearestCentroid(v: Column, dim: Int, cent: Array[Double]): Column =
-    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), dim, cent))
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
+      CentroidBundle.broadcast(cent, dim)))
 
   /** `ARRAY<INT>` of the `nProbe` best cell labels by floored cosine —
-    * the fused multi-probe assignment ([[TopProbeLabels]]).
+    * the fused multi-probe assignment ([[TopProbeLabels]]). Centroids
+    * broadcast, as above.
     */
   def topProbeLabels(v: Column, dim: Int, labels: Array[Int],
                      cents: Array[Double], nProbe: Int): Column =
-    ColumnBridge.column(TopProbeLabels(ColumnBridge.expression(v), dim, labels, cents, nProbe))
+    ColumnBridge.column(TopProbeLabels(ColumnBridge.expression(v),
+      CentroidBundle.broadcast(cents, dim, labels), nProbe))
 
   /** Two-level variant: super ranking prunes the cell ranking
-    * ([[TopProbeLabelsHier]]).
+    * ([[TopProbeLabelsHier]]). Both matrices broadcast, as above.
     */
   def topProbeLabelsHier(v: Column, dim: Int, supCents: Array[Double],
                          cellLabels: Array[Int], cellSup: Array[Int],
                          cellCents: Array[Double], nProbe: Int, superProbe: Int): Column =
-    ColumnBridge.column(TopProbeLabelsHier(ColumnBridge.expression(v), dim,
-      supCents, cellLabels, cellSup, cellCents, nProbe, superProbe))
+    ColumnBridge.column(TopProbeLabelsHier(ColumnBridge.expression(v),
+      HierBundle.broadcast(supCents, cellLabels, cellSup, cellCents, dim),
+      nProbe, superProbe))
 }

@@ -154,8 +154,9 @@ class VectorFunctionsSpec extends SparkSpec {
     // cos = 1/sqrt(2) and scores 0 on c2 → labels [3, 7] at nProbe=2
     val cents = Array.tabulate(3 * dim)(i => if (i / dim == i % dim) 1.0 else 0.0)
     val v = Seq(1.0f, 1.0f, 0.0f, 0.0f)
+    val bc = graft.functions.CentroidBundle.broadcast(cents, dim, labels)
     val e = TopProbeLabels(
-      Literal.create(v, ArrayType(FloatType)), dim, labels, cents, nProbe = 2)
+      Literal.create(v, ArrayType(FloatType)), bc, nProbe = 2)
     val interpreted = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(interpreted.toIntArray().toSeq == Seq(3, 7))
     val viaDf = spark.range(1).select(
@@ -166,14 +167,14 @@ class VectorFunctionsSpec extends SparkSpec {
     // nProbe above C returns all cells, best-first
     val all = TopProbeLabels(
       Literal.create(Seq(0.0f, 0.0f, 1.0f, 0.0f), ArrayType(FloatType)),
-      dim, labels, cents, nProbe = 9)
+      bc, nProbe = 9)
       .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(all.toIntArray().toSeq == Seq(11, 3, 7))
     // a null ELEMENT degenerates ranking to label-asc (dot(q,q) is null
     // in the unrolled plan, nulling every cell's score)
     val degen = TopProbeLabels(
       Literal.create(Seq[java.lang.Float](1.0f, null, 0.0f, 0.0f), ArrayType(FloatType)),
-      dim, labels, cents, nProbe = 2)
+      bc, nProbe = 2)
       .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(degen.toIntArray().toSeq == Seq(3, 7))
   }
