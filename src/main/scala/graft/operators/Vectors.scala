@@ -364,6 +364,28 @@ object Vectors {
     * exactly one probe_label, and vec_b disambiguates equal cosines), so
     * the k-th max is a total-order threshold selecting exactly the
     * window's first k rows.
+    *
+    * KEY-DOMAIN GUARDS (r11, VERDICT item 3 + advisor): the packing is
+    * only an order isomorphism while 0 ≤ vec_b < 2^40 and the cosine was
+    * already floored at scale 6 (the snap `round(cosine·1e6)` is then
+    * lossless). A violating corpus previously produced a WRONG oracle,
+    * not an error; `scored` now raises via `error()` on an out-of-domain
+    * vec_b (evaluated lazily — in-domain corpora pay one comparison per
+    * pair), and Verify additionally asserts the dumped Spark side
+    * ([[graft.operators.Checks.requireOkeyDomain]]). The floor scale is
+    * [[OKEY_COS_SCALE]], shared with every pairs CTE's `flSql` call. The
+    * closing `nn_rank <= k` filter is defensive: correctness rests on
+    * keys being distinct per vec_a (true for every current pairs CTE);
+    * if a future caller emitted duplicate (vec_a, vec_b) rows the filter
+    * bounds the damage to the contract instead of silently emitting more
+    * than k rows per vector — it operates on ≤ k+dup rows, so it costs
+    * nothing. NULL-cosine pairs (a zero-norm embedding passes
+    * `vecValidSql`; DuckDB x/0.0 is NULL) get a NULL okey and are
+    * DROPPED by construction (max() ignores NULLs and `okey >= kth` is
+    * never true for NULL) — same as the Spark side, where the
+    * `cosine DESC` sort puts NULL last and the row never enters top-k
+    * unless a block has < k non-null candidates, which the synthetic and
+    * reference corpora (no zero-norm vectors) never produce.
     */
   private def twoStageTopKSql(k: Int, extraCols: Seq[String] = Nil): String = {
     require(k >= 1, s"top-k oracle needs k >= 1, got $k")
@@ -376,16 +398,32 @@ object Vectors {
     }.mkString
     val kth = ((k to 2 by -1).map(i => s"m$i.k$i") :+ "m1.k1").mkString("coalesce(", ", ", ")")
     val ljs = (2 to k).map(i => s" LEFT JOIN m$i ON m1.vec_a = m$i.vec_a").mkString
+    val scale = math.pow(10, OKEY_COS_SCALE).toLong // 6-floored cosine → lossless snap
     s""", scored AS MATERIALIZED (
        |  SELECT ${extraSel}vec_a, vec_b, cosine,
-       |   CAST(round(cosine * 1000000) AS BIGINT) * 1099511627776 - vec_b AS okey
+       |   CASE WHEN vec_b < 0 OR vec_b >= $OKEY_ID_BOUND
+       |    THEN CAST(error('okey domain violated: vec_id must be in [0, 2^40)') AS BIGINT)
+       |    ELSE CAST(round(cosine * $scale) AS BIGINT) * $OKEY_ID_BOUND - vec_b END AS okey
        |  FROM pairs),
        | m1 AS (SELECT vec_a, max(okey) AS k1 FROM scored GROUP BY vec_a)$ms,
        | th AS (SELECT m1.vec_a AS vec_a, $kth AS kth FROM m1$ljs)
-       | SELECT ${extraOut}s.vec_a AS vec_a, s.vec_b AS vec_b, s.cosine AS cosine,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY s.vec_a ORDER BY s.okey DESC) AS BIGINT) AS nn_rank
-       | FROM scored s JOIN th ON s.vec_a = th.vec_a WHERE s.okey >= th.kth""".stripMargin.replace("\n", "")
+       | SELECT * FROM (
+       |  SELECT ${extraOut}s.vec_a AS vec_a, s.vec_b AS vec_b, s.cosine AS cosine,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY s.vec_a ORDER BY s.okey DESC) AS BIGINT) AS nn_rank
+       |  FROM scored s JOIN th ON s.vec_a = th.vec_a WHERE s.okey >= th.kth)
+       | WHERE nn_rank <= $k""".stripMargin.replace("\n", "")
   }
+
+  /** The okey packing's contract constants: cosines are floored at
+    * scale 10^OKEY_COS_SCALE before the integer snap — this MUST equal
+    * the literal 6 every graph-family pairs CTE (`flSql(..., 6)`) and
+    * Spark twin (`fl(..., 6)`) uses, asserted here once rather than
+    * threaded through each call site — and vec_ids must fit below 2^40,
+    * guarded in `scored` (DuckDB `error()`) and on the Spark dump
+    * ([[graft.operators.Checks.requireOkeyDomain]]).
+    */
+  private[graft] val OKEY_COS_SCALE: Int = 6
+  private[graft] val OKEY_ID_BOUND: Long = 1L << 40
 
   def knnJoinMultiProbeSql(k: Int = 5, nProbe: Int = 2, src0: String = "embeddings",
                            prefixCtes: String = ""): String = {
@@ -474,19 +512,45 @@ object Vectors {
     * √(nProbe·N) sizing had under the FLAT O(C·dim) scan. Larger C =
     * smaller blocks = a pair join that grows as N^(1/3) per row instead
     * of N^(1/2); candidates per vector (recall budget) still GROW with
-    * the corpus, as before. Capped at 2^14 cells: past that the centroid
-    * matrix (C·dim doubles) stops being a sane plan reference object /
-    * per-stage broadcast, and the train-once driver Lloyd contract is the
-    * binding constraint — beyond N ≈ 2M·dim the remaining lever is
-    * sharded coarse training (documented in SCALING.md, out of contract
-    * here). Deploys call this; the GATE keeps the fixed kCells=8 because
-    * the DuckDB twin's unrolled-Lloyd CTE chain must inline the identical
-    * literal.
+    * the corpus, as before. Capped at [[maxGeoCells]] — since r11 the
+    * centroid matrix ships as a broadcast VARIABLE
+    * ([[graft.functions.CentroidBundle]]), so the old 2^14 "sane plan
+    * reference object" ceiling is gone and the cap is the real resource
+    * bound (broadcast budget + train-once index build). Deploys call
+    * this; the GATE keeps the fixed kCells=8 because the DuckDB twin's
+    * unrolled-Lloyd CTE chain must inline the identical literal.
     */
   def autoGeoCells(embeddings: DataFrame, nProbe: Int = 2): Int = {
     val n = embeddings.filter(kmValid).count()
     val c = math.ceil(math.pow(nProbe.toDouble * n, 2.0 / 3.0)).toInt
-    math.max(1, math.min(c, 1 << 14))
+    math.max(1, math.min(c, maxGeoCells()))
+  }
+
+  /** The geometry family's cell-count ceiling, re-derived (r11) from the
+    * two binding resources now that centroid matrices are broadcast
+    * variables, not plan reference objects:
+    *
+    *  - BROADCAST budget: the C×dim double matrix must stay a sane
+    *    per-executor broadcast — ≤ 128 MiB (the bundle's derived arrays
+    *    add ~√C·dim doubles + 2C ints ≈ noise). At dim 64 that is 2^18
+    *    cells.
+    *  - DRIVER index build: [[graft.functions.CentroidIndex]]'s
+    *    train-once two-level Lloyd over the C centroids costs
+    *    5 passes × C^1.5 × dim multiply-adds; bounding it at ~2·10^10
+    *    flops (seconds of one-off driver time) gives
+    *    C ≤ (2·10^10 / (5·dim))^(2/3) ≈ 157k at dim 64.
+    *
+    * min of the two, floored at the old 2^14 so no corpus regresses. At
+    * (nProbe·N)^(2/3) sizing, ~157k cells covers N ≈ 3·10^7 vectors at
+    * the optimum; a 10^9-vector corpus saturates the cap and re-fattens
+    * blocks to O(N/157k) ≈ 6k vectors — the residual ceiling, now a
+    * driver-compute bound rather than a plan-size artifact (the next
+    * lever is sharded coarse training; SCALING.md).
+    */
+  private[graft] def maxGeoCells(dim: Int = DIM): Int = {
+    val memCap = ((128L << 20) / (8L * dim)).toInt
+    val flopsCap = math.cbrt(2e10 / (5.0 * dim)) match { case r => (r * r).toInt }
+    math.max(1 << 14, math.min(memCap, flopsCap))
   }
 
   def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =
