@@ -43,6 +43,21 @@ object Bench {
         split(lit("a b c d e"), " "), x => upper(x)))).as("n")).count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => }
+    // SPARK_GRAFT_SIZED_CONF=1 (opt-in; VERDICT r10 item 7): apply the
+    // session conf Sizing.forCorpus emits for THIS corpus before the
+    // timed suite — all four keys are runtime-settable SQL confs — so the
+    // deploy recipe's effect is measurable against the pinned local conf
+    // (the sizing passes run OUTSIDE the timed region, the documented
+    // once-per-corpus cost). The applied conf is recorded in
+    // bench_detail.json as "sized_conf".
+    val sizedConf: Map[String, String] =
+      if (sys.env.contains("SPARK_GRAFT_SIZED_CONF")) {
+        val sized = graft.operators.Sizing.forCorpus(
+          Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+        sized.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        System.err.println(s"[bench] sized conf applied: ${sized.conf.toSeq.sorted.mkString(", ")}")
+        sized.conf
+      } else Map.empty
     // best-of-2 per query; caches cleared between queries so one query's
     // pinned relations never skew the next one's memory budget
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (iteration aid; the driver
@@ -119,8 +134,10 @@ object Bench {
     // crash as a speedup. value is null in that case; the partial sum stays
     // available as partial_total for triage.
     val totalJson = if (failed.isEmpty) f3(total) else "null"
+    val scJson = sizedConf.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$totalJson,"partial_total":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"run_ms":$rs,"cpu_ms":$cs,"failed":$fs,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$totalJson,"partial_total":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"run_ms":$rs,"cpu_ms":$cs,"failed":$fs,"sf":"$sfDir","cpus":"$cpus","sized_conf":$scJson}"""
     // a failed write must be LOUD: the stdout line points at this file and
     // a stale detail map from a previous run would silently mis-triage
     try java.nio.file.Files.write(

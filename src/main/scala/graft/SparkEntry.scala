@@ -235,6 +235,18 @@ object SparkEntry {
       Vectors.knnGraphIncrement(
         Vectors.knnGraph(old), old, e.filter(col("vec_id") % 10 >= 8))
     }),
+    // #130 the same graph maintenance at the DEPLOY shape: the stored
+    // graph written as a label-bucketed catalog table
+    // (graft.sources.KnnGraphWarehouse), maintenance over the table SCAN
+    // — no build lineage in the maintained plan; same monolithic oracle
+    "v_knn_join_incremental_wh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d)
+      val old = e.filter(col("vec_id") % 10 < 8)
+      graft.sources.KnnGraphWarehouse.bootstrap(old)
+      graft.sources.KnnGraphWarehouse.maintained(
+        s, old, e.filter(col("vec_id") % 10 >= 8))
+    }),
     // PQ codes + ADC scoring — the Lloyd codebook is not SQL-expressible,
     // so no DuckDB oracle (rows-only check); the spec pins exact-path
     // equality with brute force and determinism
@@ -416,6 +428,7 @@ object SparkEntry {
     "v_knn_join_mp" -> Vectors.knnJoinMultiProbeSql(),
     "v_knn_join_geo" -> Vectors.knnJoinGeoSql(),
     "v_knn_join_incremental" -> Vectors.knnGraphSql(),
+    "v_knn_join_incremental_wh" -> Vectors.knnGraphSql(),
     "t_categorize" -> TextOps.categorizeDocsSql,
     "t_membership_rank" -> TextOps.membershipRankDocsSql,
     "t_humor" -> TextOps.humorDocsSql,

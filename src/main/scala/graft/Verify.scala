@@ -30,9 +30,16 @@ object Verify {
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // graph-family dumps: assert the okey-packing id domain on the
+        // rows just written (one bounded aggregate over the dump file) —
+        // the oracle's BIGINT key would MIS-RANK, not error, past 2^40
+        if (name.startsWith("v_knn_join"))
+          graft.operators.Checks.requireOkeyDomain(
+            spark.read.parquet(s"$outDir/$name"), name)
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }

@@ -183,4 +183,31 @@ class WarehouseFlowSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("kNN-graph MV: bootstrap to a bucketed catalog table, maintained scan equals the monolithic graph") {
+    import graft.operators.Vectors
+    import graft.sources.KnnGraphWarehouse
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    try {
+      KnnGraphWarehouse.bootstrap(old, buckets = 4)
+      // the stored table is the bootstrap graph, bucketed by label
+      val stored = spark.table(KnnGraphWarehouse.GraphTable)
+      assert(stored.columns.toSet ==
+        Set("label", "vec_a", "vec_b", "cosine", "nn_rank"))
+      assert(stored.count() == Vectors.knnGraph(old).count())
+      // maintenance over the SCAN == the monolithic full-corpus graph
+      val maintained = KnnGraphWarehouse.maintained(spark, old, delta)
+        .collect().map(_.toString).sorted
+      val monolithic = Vectors.knnGraph(emb)
+        .collect().map(_.toString).sorted
+      assert(maintained.sameElements(monolithic))
+      // idempotent bootstrap: same input plan in-session skips the rebuild
+      KnnGraphWarehouse.bootstrap(old, buckets = 4)
+      assert(spark.table(KnnGraphWarehouse.GraphTable).count() == stored.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${KnnGraphWarehouse.GraphTable}")
+    }
+  }
 }
