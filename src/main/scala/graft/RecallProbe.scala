@@ -61,11 +61,18 @@ object RecallProbe {
     val truthN = truth.count()
 
     val cells = Vectors.autoGeoCells(emb)
+    // equal-budget comparison: learned cells at the SAME blocking
+    // cardinality as the corpus' given labels — recall differences
+    // between this row and mp are pure blocking QUALITY (learned
+    // geometry vs arbitrary labels), not candidate-budget differences
+    val labelCard = emb.filter(col("label").isNotNull)
+      .select("label").distinct().count().toInt.max(1)
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "v_knn_join" -> (() => Vectors.knnJoin(emb, k)),
       "v_knn_join_mp" -> (() => Vectors.knnJoinMultiProbe(emb, k)),
       "v_knn_join_mph" -> (() => Vectors.knnJoinMultiProbeHier(emb, k)),
-      "v_knn_join_geo" -> (() => Vectors.knnJoinGeo(emb, k, kCells = cells)))
+      "v_knn_join_geo" -> (() => Vectors.knnJoinGeo(emb, k, kCells = cells)),
+      "v_knn_join_geo_eqcard" -> (() => Vectors.knnJoinGeo(emb, k, kCells = labelCard)))
 
     val rows = variants.map { case (name, build) =>
       val t0 = System.nanoTime()
@@ -78,7 +85,7 @@ object RecallProbe {
       println(f"[recall] $name%-18s recall@$k ${recall}%.4f wall ${wall}%.2fs")
       s""""$name":{"recall_at_$k":${Actions.fmt(recall, 4)},"wall_s":${Actions.fmt(wall, 2)}}"""
     }
-    val out = s"""{"corpus":"$dir","k":$k,"geo_cells":$cells,"truth_edges":$truthN,""" +
+    val out = s"""{"corpus":"$dir","k":$k,"geo_cells":$cells,"label_cardinality":$labelCard,"truth_edges":$truthN,""" +
       rows.mkString("", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("recall_probe.json"),
       (out + "\n").getBytes("UTF-8"))
