@@ -66,6 +66,34 @@ object CentroidIndex {
   /** Supers scanned per row — the #121 default (`superProbe = 2`). */
   val SUPER_PROBE: Int = 2
 
+  /** Centroid count above which the super-Lloyd DISTRIBUTES (r11): the
+    * driver fold costs 5 passes × C^1.5 × dim multiply-adds — fine to
+    * ~2^15, a minute-class stall past 2^17. Above this threshold the
+    * assignment step runs as a Spark job over the centroid set (the
+    * centroids broadcast once; per-pass cost C·√C·dim spread over the
+    * cluster) with FIXED-POINT partial sums (Long adds are associative-
+    * commutative, so the reduce order Spark doesn't guarantee cannot
+    * perturb the result — the same trick the corpus k-means oracle uses
+    * for its centroid sums). The distributed build is therefore exactly
+    * as deterministic as the driver fold (HierIndexSpec pins rebuild
+    * equality), though its supers differ from the driver fold's by the
+    * quantization — legal under the index's approximation contract, and
+    * unreachable below the threshold, so every sub-threshold result
+    * (including the whole gate) is byte-identical to r10. Falls back to
+    * the driver fold when no session is active. Test hook (like
+    * [[hierMin]]): specs lower it to force the distributed path on
+    * small matrices.
+    */
+  @volatile var distMin: Int = 1 << 15
+
+  /** Fixed-point scale for the distributed partial sums: 2^20 units per
+    * 1.0 keeps |x| < 2^43 overflow-free even when millions of centroids
+    * land in one super, at ~1e-6 quantization — far below the distance
+    * contrasts the super RANKING discriminates (and irrelevant to
+    * correctness either way: scanned cells go through the exact kernel).
+    */
+  private val FP_SCALE = 1L << 20
+
   /** Build the index, or null when the flat scan is the right kernel:
     * C below [[hierMin]] or any non-finite centroid coordinate. A
     * zero-norm centroid clears [[CentroidIndex.cosineSafe]] instead —
@@ -81,54 +109,14 @@ object CentroidIndex {
       i += 1
     }
     val nS = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    // Driver Lloyd over the k centroids: init = first nS, 4 fixed
-    // refinement passes, lowest-index tie-breaks — deterministic, so the
+    // Lloyd over the k centroids: init = first nS, 4 fixed refinement
+    // passes, lowest-index tie-breaks — deterministic either way, so the
     // assignment (and with it every downstream result) is rerun-stable.
     val sup = java.util.Arrays.copyOfRange(cent, 0, nS * dim)
-    val assign = new Array[Int](k)
-    var pass = 0
-    while (pass < 5) {
-      var j = 0
-      while (j < k) {
-        var best = -1
-        var bestD = 0d
-        var s = 0
-        while (s < nS) {
-          var d = 0d
-          var t = 0
-          while (t < dim) {
-            val x = cent(j * dim + t) - sup(s * dim + t)
-            d += x * x
-            t += 1
-          }
-          if (best < 0 || d < bestD) { best = s; bestD = d }
-          s += 1
-        }
-        assign(j) = best
-        j += 1
-      }
-      if (pass < 4) {
-        val sums = new Array[Double](nS * dim)
-        val cnt = new Array[Int](nS)
-        j = 0
-        while (j < k) {
-          val s = assign(j)
-          cnt(s) += 1
-          var t = 0
-          while (t < dim) { sums(s * dim + t) += cent(j * dim + t); t += 1 }
-          j += 1
-        }
-        var s = 0
-        while (s < nS) {
-          if (cnt(s) > 0) {
-            var t = 0
-            while (t < dim) { sup(s * dim + t) = sums(s * dim + t) / cnt(s); t += 1 }
-          }
-          s += 1
-        }
-      }
-      pass += 1
-    }
+    val assign =
+      if (k >= distMin && SparkSession.getActiveSession.isDefined)
+        distributedLloyd(cent, dim, k, nS, sup)
+      else driverLloyd(cent, dim, k, nS, sup)
     // CSR member lists (ascending centroid index within each super)
     val start = new Array[Int](nS + 1)
     var j = 0
@@ -158,6 +146,132 @@ object CentroidIndex {
       s += 1
     }
     new CentroidIndex(dim, nS, sup, sn2, start, members, assign, cosSafe)
+  }
+
+  /** Nearest super by squared L2, lowest index on ties — the shared
+    * per-centroid scan of both Lloyd variants (identical IEEE sequence
+    * to the r10 inline loop).
+    */
+  private def nearestSup(cent: Array[Double], j: Int, dim: Int, nS: Int,
+                         sup: Array[Double]): Int = {
+    var best = -1
+    var bestD = 0d
+    var s = 0
+    while (s < nS) {
+      var d = 0d
+      var t = 0
+      while (t < dim) {
+        val x = cent(j * dim + t) - sup(s * dim + t)
+        d += x * x
+        t += 1
+      }
+      if (best < 0 || d < bestD) { best = s; bestD = d }
+      s += 1
+    }
+    best
+  }
+
+  /** The r10 driver fold, unchanged semantics: 4 refinement passes
+    * mutating `sup` in place, returning the pass-5 assignment.
+    */
+  private def driverLloyd(cent: Array[Double], dim: Int, k: Int, nS: Int,
+                          sup: Array[Double]): Array[Int] = {
+    val assign = new Array[Int](k)
+    var pass = 0
+    while (pass < 5) {
+      var j = 0
+      while (j < k) {
+        assign(j) = nearestSup(cent, j, dim, nS, sup)
+        j += 1
+      }
+      if (pass < 4) {
+        val sums = new Array[Double](nS * dim)
+        val cnt = new Array[Int](nS)
+        j = 0
+        while (j < k) {
+          val s = assign(j)
+          cnt(s) += 1
+          var t = 0
+          while (t < dim) { sums(s * dim + t) += cent(j * dim + t); t += 1 }
+          j += 1
+        }
+        var s = 0
+        while (s < nS) {
+          if (cnt(s) > 0) {
+            var t = 0
+            while (t < dim) { sup(s * dim + t) = sums(s * dim + t) / cnt(s); t += 1 }
+          }
+          s += 1
+        }
+      }
+      pass += 1
+    }
+    assign
+  }
+
+  /** Spark-parallel super-training for C ≥ [[distMin]] (see there): the
+    * same init / pass count / tie-breaks, with the per-pass assignment
+    * scan (the C·√C·dim term that bound the driver fold) run as a job
+    * over the centroid set — centroids broadcast once, supers re-broadcast
+    * per pass (√C·dim doubles) — and the refinement sums accumulated in
+    * FIXED POINT ([[FP_SCALE]]) so Spark's unordered partition reduce
+    * cannot perturb the refined supers: determinism by algebra, not by
+    * ordering. The final assignment is pure per-centroid work, collected
+    * and re-ordered by index.
+    */
+  private def distributedLloyd(cent: Array[Double], dim: Int, k: Int, nS: Int,
+                               sup: Array[Double]): Array[Int] = {
+    val sc = SparkSession.active.sparkContext
+    val centBc = sc.broadcast(cent)
+    val parts = math.max(1, math.min(sc.defaultParallelism * 4, k / 256))
+    val ids = sc.parallelize(0 until k, parts)
+    var assign: Array[Int] = null
+    var pass = 0
+    while (pass < 5) {
+      val supBc = sc.broadcast(java.util.Arrays.copyOf(sup, sup.length))
+      if (pass < 4) {
+        val (sums, cnt) = ids.mapPartitions { it =>
+          val c = centBc.value
+          val sp = supBc.value
+          val ls = new Array[Long](nS * dim)
+          val lc = new Array[Long](nS)
+          it.foreach { j =>
+            val s = nearestSup(c, j, dim, nS, sp)
+            lc(s) += 1
+            var t = 0
+            while (t < dim) { ls(s * dim + t) += math.round(c(j * dim + t) * FP_SCALE); t += 1 }
+          }
+          Iterator((ls, lc))
+        }.reduce { (a, b) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          i = 0
+          while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+          a
+        }
+        var s = 0
+        while (s < nS) {
+          if (cnt(s) > 0) {
+            var t = 0
+            while (t < dim) {
+              sup(s * dim + t) = (sums(s * dim + t).toDouble / FP_SCALE) / cnt(s)
+              t += 1
+            }
+          }
+          s += 1
+        }
+      } else {
+        assign = ids.mapPartitions { it =>
+          val c = centBc.value
+          val sp = supBc.value
+          it.map(j => (j, nearestSup(c, j, dim, nS, sp)))
+        }.collect().sortBy(_._1).map(_._2)
+      }
+      supBc.unpersist(blocking = false)
+      pass += 1
+    }
+    centBc.unpersist(blocking = false)
+    assign
   }
 }
 

@@ -526,31 +526,27 @@ object Vectors {
     math.max(1, math.min(c, maxGeoCells()))
   }
 
-  /** The geometry family's cell-count ceiling, re-derived (r11) from the
-    * two binding resources now that centroid matrices are broadcast
-    * variables, not plan reference objects:
-    *
-    *  - BROADCAST budget: the C×dim double matrix must stay a sane
-    *    per-executor broadcast — ≤ 128 MiB (the bundle's derived arrays
-    *    add ~√C·dim doubles + 2C ints ≈ noise). At dim 64 that is 2^18
-    *    cells.
-    *  - DRIVER index build: [[graft.functions.CentroidIndex]]'s
-    *    train-once two-level Lloyd over the C centroids costs
-    *    5 passes × C^1.5 × dim multiply-adds; bounding it at ~2·10^10
-    *    flops (seconds of one-off driver time) gives
-    *    C ≤ (2·10^10 / (5·dim))^(2/3) ≈ 157k at dim 64.
-    *
-    * min of the two, floored at the old 2^14 so no corpus regresses. At
-    * (nProbe·N)^(2/3) sizing, ~157k cells covers N ≈ 3·10^7 vectors at
-    * the optimum; a 10^9-vector corpus saturates the cap and re-fattens
-    * blocks to O(N/157k) ≈ 6k vectors — the residual ceiling, now a
-    * driver-compute bound rather than a plan-size artifact (the next
-    * lever is sharded coarse training; SCALING.md).
+  /** The geometry family's cell-count ceiling, re-derived (r11) now
+    * that centroid matrices are broadcast variables, not plan reference
+    * objects, and the two-level index's super-training DISTRIBUTES past
+    * [[graft.functions.CentroidIndex.distMin]] (fixed-point sums, so
+    * the unordered reduce stays deterministic): the one binding
+    * resource left is the BROADCAST budget — the C×dim double matrix
+    * must stay a sane per-executor broadcast, ≤ 128 MiB (the bundle's
+    * derived arrays add ~√C·dim doubles + 2C ints ≈ noise). At dim 64
+    * that is 2^18 cells; the index build at that C is ~4·10^10
+    * multiply-adds SPREAD OVER THE CLUSTER (seconds at 32 cores,
+    * sub-second on a fleet), no longer a driver stall. Floored at the
+    * old 2^14 so no corpus regresses. At (nProbe·N)^(2/3) sizing, 2^18
+    * cells covers N ≈ 6·10^7 vectors at the optimum; a 10^9-vector
+    * corpus saturates the cap and re-fattens blocks to O(N/2^18) ≈ 4k
+    * vectors — the residual ceiling is now purely the broadcast budget
+    * (past it: shard the index per embedding-space region, out of
+    * contract here; SCALING.md).
     */
   private[graft] def maxGeoCells(dim: Int = DIM): Int = {
     val memCap = ((128L << 20) / (8L * dim)).toInt
-    val flopsCap = math.cbrt(2e10 / (5.0 * dim)) match { case r => (r * r).toInt }
-    math.max(1 << 14, math.min(memCap, flopsCap))
+    math.max(1 << 14, memCap)
   }
 
   def knnJoinGeoSql(k: Int = 5, nProbe: Int = 2, kCells: Int = 8, iters: Int = 3): String =

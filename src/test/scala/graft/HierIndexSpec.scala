@@ -185,4 +185,44 @@ class HierIndexSpec extends SparkSpec {
       assert(ranks.length <= 5)
     }
   }
+
+  test("distributed super-training (C >= distMin): rebuild-identical, partition-complete, same scan contract") {
+    val dim = 16
+    val k = 300
+    val coord: Gen[Double] = Gen.chooseNum(-50.0, 50.0)
+    val cent = sample(Gen.listOfN(dim, coord), k).flatten.toArray
+    val saved = CentroidIndex.distMin
+    try {
+      CentroidIndex.distMin = 128 // force the Spark-parallel path
+      val ix = CentroidIndex.buildOrNull(cent, dim, k)
+      assert(ix != null)
+      // fixed-point sums make the unordered partition reduce order-free:
+      // a rebuild is bit-identical, not merely close
+      val ix2 = CentroidIndex.buildOrNull(cent, dim, k)
+      assert(ix2.supCent.toSeq == ix.supCent.toSeq)
+      assert(ix2.memberIdx.toSeq == ix.memberIdx.toSeq)
+      assert(ix2.memberStart.toSeq == ix.memberStart.toSeq)
+      assert(ix.memberIdx.sorted.toSeq == (0 until k), "every centroid in exactly one super")
+      (0 until ix.nSup).foreach { s =>
+        (ix.memberStart(s) until ix.memberStart(s + 1)).foreach { m =>
+          assert(ix.cellSup(ix.memberIdx(m)) == s, "cellSup must invert the CSR")
+        }
+      }
+      // kernel contract unchanged under the distributed index: the exact
+      // best of the SUPER_PROBE scan set, never better than the flat best
+      val vecs = sample(Gen.listOfN(dim, coord), 200).map(_.toArray)
+      vecs.foreach { v =>
+        val got = hierNearest(v, dim, k, cent, ix)
+        assert(got == modelNearest(v, dim, cent, ix))
+        assert(got._2 >= flatNearest(v, dim, k, cent)._2)
+      }
+      // vs the driver fold: same assignment on this (seeded, well-spread)
+      // matrix — the 1e-6-class fixed-point quantization only moves a
+      // centroid across a super boundary on a near-exact tie
+      CentroidIndex.distMin = Int.MaxValue
+      val ixD = CentroidIndex.buildOrNull(cent, dim, k)
+      assert(ixD.cellSup.toSeq == ix.cellSup.toSeq,
+        "distributed and driver folds disagree beyond quantization")
+    } finally CentroidIndex.distMin = saved
+  }
 }
