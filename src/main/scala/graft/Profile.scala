@@ -10,17 +10,46 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_XCONF=k=v;k=v — A/B harness for confs (applied at session
+    // build so STATIC confs work too; profiling aid only — Bench/Verify
+    // never read it)
+    sys.env.get("SPARK_GRAFT_XCONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+      System.err.println(s"[profile] conf $k=$v")
+    })
+    val spark = builder.getOrCreate()
     // SPARK_GRAFT_LOG=WARN surfaces scheduler warnings (e.g. "broadcasting
     // large task binary") interleaved with the stage detail for attribution
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
+    // SPARK_GRAFT_STACKDUMP=periodSec — periodic all-thread stack dump to
+    // stderr (attribution aid for run>>cpu stalls; jstack attach is blocked
+    // in this sandbox). Daemon thread; profiling aid only.
+    sys.env.get("SPARK_GRAFT_STACKDUMP").map(_.toLong).foreach { period =>
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(period * 1000)
+          val sb = new StringBuilder(s"==== stackdump @${System.nanoTime() / 1000000000L} ====\n")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (th, frames) =>
+            if (th.getName.contains("Executor task launch") || th.getName.contains("broadcast")) {
+              sb.append(s"-- ${th.getName} [${th.getState}]\n")
+              frames.take(14).foreach(f => sb.append(s"   $f\n"))
+            }
+          }
+          System.err.println(sb.toString)
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+    }
     Seq("orders", "customer", "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }

@@ -422,7 +422,19 @@ object Dedup {
       }
       val spark = pairs.sparkSession
       import spark.implicits._
-      parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "edge_cluster")
+      // ship the label rows as RDD partitions, NOT a LocalRelation: a
+      // LocalRelation's rows are serialized into the physical plan, so
+      // every downstream stage's task binary carried the whole label set
+      // (measured 2.1/4.1 MiB task-binary warnings at sf0.1; at the 1M-row
+      // contract ceiling that would be ~30 MB per task binary). As an RDD
+      // the data ships once into the label-side scan's own tasks and the
+      // consumer stages' binaries stay O(1). Few partitions on purpose:
+      // the relation is bounded small and feeds a broadcast build.
+      val rows = parent.keys.toSeq.map(n => (n, find(n)))
+      val slices = math.min(math.max(1, rows.length / 65536),
+        spark.sparkContext.defaultParallelism)
+      spark.createDataset(spark.sparkContext.parallelize(rows, slices))
+        .toDF("doc_id", "edge_cluster")
     } else {
       minLabelComponents(pairs, maxIterations).withColumnRenamed("cluster_id", "edge_cluster")
     }
