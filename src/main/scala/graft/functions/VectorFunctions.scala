@@ -303,6 +303,86 @@ object PqEncode {
   }
 }
 
+/** `v − reconstruct(codes)` in one kernel — the stage-2 input of residual
+  * PQ ([[graft.operators.Vectors.annPqResidual]]). The reconstruction
+  * indexes the stage-1 codebook by the row's code word per subspace; as an
+  * expression tree that was `zip_with(v, array(dim × element_at(lit(cb),
+  * ...)), _-_)` — dim COPIES of the codebook literal riding the plan
+  * (measured 533 KB of plan text at dim 64, serialized into every task
+  * binary) plus two HOF traversals per row. Here the codebook is ONE
+  * reference object and the subtract is a single fused loop. Values are
+  * bit-identical: `v(i) - cb(base + j)` is the same IEEE subtract the
+  * zip_with lambda evaluated.
+  *
+  * Null ARRAY propagates null (nullSafeEval); null elements read as 0.0
+  * ([[PqEncode]]'s convention — unreachable behind the family's embValid
+  * filter, which drops vectors with null elements).
+  */
+case class PqResidual(vec: Expression, codes: Expression,
+                      dim: Int, m: Int, k: Int, codebook: Array[Double])
+    extends BinaryExpression {
+
+  require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+  require(codebook.length == m * k * (dim / m),
+    s"codebook must be m*k*(dim/m) = ${m * k * (dim / m)} doubles, got ${codebook.length}")
+
+  override def left: Expression = vec
+  override def right: Expression = codes
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, codes.dataType) match {
+      case (ArrayType(DoubleType | org.apache.spark.sql.types.FloatType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_residual requires (ARRAY<FLOAT|DOUBLE>, ARRAY<INT>), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_residual"
+
+  private lazy val isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqResidual.compute(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      isFloat, dim, m, k, codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqResidual.compute($v, $c, $isFloat, $dim, $m, $k, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, codes = newRight)
+}
+
+object PqResidual {
+  def compute(arr: ArrayData, codes: ArrayData, isFloat: Boolean,
+              dim: Int, m: Int, k: Int, cb: Array[Double]): ArrayData = {
+    val sub = dim / m
+    val out = new Array[Double](dim)
+    val n = math.min(arr.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        out(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var s = 0
+    while (s < m) {
+      val base = (s * k + codes.getInt(s)) * sub
+      var j = 0
+      while (j < sub) { out(s * sub + j) -= cb(base + j); j += 1 }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** `R · v` against a driver-trained d×d rotation baked as a literal —
   * the in-row transform step of OPQ ANN (rotate, then [[PqEncode]]
   * against the rotated-space codebook). Same codegen shape as PqEncode:
@@ -564,6 +644,14 @@ object VectorFunctions {
     */
   def pqEncode(v: Column, dim: Int, m: Int, k: Int, codebook: Array[Double]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), dim, m, k, codebook))
+
+  /** `v − reconstruct(codes)` against the stage-1 codebook in one fused
+    * kernel (ARRAY<DOUBLE> of length dim) — the residual-PQ stage-2 input.
+    */
+  def pqResidual(v: Column, codes: Column, dim: Int, m: Int, k: Int,
+                 codebook: Array[Double]): Column =
+    ColumnBridge.column(PqResidual(ColumnBridge.expression(v),
+      ColumnBridge.expression(codes), dim, m, k, codebook))
 
   /** `R · v` for a baked d×d rotation matrix (row-major doubles). */
   def rotateVec(v: Column, dim: Int, matrix: Array[Double]): Column =

@@ -1214,20 +1214,21 @@ object Vectors {
     sqlStash.put("v_ann_pq_residual",
       annPqResidualOracleSql(qId, k, m, codebookK, rerank, cb1, cb2,
         d1, d2, n1, n2lut, cross, qNorm))
-    // stage-1 reconstruction as an in-row array expression (codebook
-    // literal indexed by the runtime code), feeding the stage-2 encode
-    val vd = transform(col("embedding"), x => x.cast("double"))
-    val recon1 = array((0 until DIM).map { i =>
-      val s = i / sub; val j = i % sub
-      element_at(lit(cb1),
-        (lit(s * codebookK) + col("c1").getItem(s)) * sub + j + 1)
-    }: _*)
-    val residualExpr = zip_with(vd, recon1, (x, r) => x - r)
+    // stage-1 reconstruction + subtract fused into ONE codegen'd kernel
+    // ([[graft.functions.PqResidual]]): the former zip_with over an
+    // array(dim × element_at(lit(cb1), ...)) tree carried dim COPIES of
+    // the codebook literal in the plan (533 KB of plan text at dim 64,
+    // serialized into every task binary) and two HOF traversals per row;
+    // the kernel holds cb1 once and computes the identical IEEE
+    // subtracts (PqResidualSpec pins elementwise equality)
     val codes = pqCorpus(embeddings, qId)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFunctions.pqEncode(col("embedding"), DIM, m, codebookK, cb1).as("c1"))
       .withColumn("c2",
-        graft.functions.VectorFunctions.pqEncode(residualExpr, DIM, m, codebookK, cb2))
+        graft.functions.VectorFunctions.pqEncode(
+          graft.functions.VectorFunctions.pqResidual(
+            col("embedding"), col("c1"), DIM, m, codebookK, cb1),
+          DIM, m, codebookK, cb2))
     val adcDot = (0 until m).map(s =>
       element_at(lit(d1(s)), col("c1").getItem(s) + 1) +
         element_at(lit(d2(s)), col("c2").getItem(s) + 1)).reduce(_ + _)

@@ -195,6 +195,49 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("PqResidual equals the zip_with/element_at formulation bit-for-bit (codegen path)") {
+    val dim = 16; val m = 4; val k = 8; val sub = dim / m
+    val codebook = sample(Gen.listOfN(m * k * sub, finiteD), 1).head.toArray
+    val data = sample(Gen.listOfN(dim, finiteD).map(_.toArray), N)
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(v => Row(v.toSeq)), 4), schema)
+      .withColumn("c", VectorFunctions.pqEncode(col("v"), dim, m, k, codebook))
+    // the pre-optimization expression tree: per-element codebook lookup
+    // via dim copies of the literal, then zip_with subtract
+    val recon = org.apache.spark.sql.functions.array((0 until dim).map { i =>
+      val s = i / sub; val j = i % sub
+      element_at(lit(codebook), (lit(s * k) + col("c").getItem(s)) * sub + j + 1)
+    }: _*)
+    val want = zip_with(col("v"), recon, (x, r) => x - r)
+    val rows = df.select(
+      VectorFunctions.pqResidual(col("v"), col("c"), dim, m, k, codebook).as("got"),
+      want.as("want")).collect()
+    rows.foreach { r =>
+      val got = r.getSeq[Double](0); val w = r.getSeq[Double](1)
+      assert(got.size == dim && w.size == dim)
+      got.zip(w).zipWithIndex.foreach { case ((g, x), i) =>
+        assert(java.lang.Double.doubleToRawLongBits(g) ==
+          java.lang.Double.doubleToRawLongBits(x), s"elem $i: got $g want $x")
+      }
+    }
+    // float input path: same kernel through the float->double widening
+    val fschema = StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = false))))
+    val fdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(v => Row(v.map(_.toFloat).toSeq)), 4), fschema)
+      .withColumn("c", VectorFunctions.pqEncode(col("v"), dim, m, k, codebook))
+    val frows = fdf.select(
+      VectorFunctions.pqResidual(col("v"), col("c"), dim, m, k, codebook).as("got"),
+      zip_with(transform(col("v"), x => x.cast("double")), recon, (x, r) => x - r).as("want"))
+      .collect()
+    frows.foreach { r =>
+      r.getSeq[Double](0).zip(r.getSeq[Double](1)).foreach { case (g, x) =>
+        assert(java.lang.Double.doubleToRawLongBits(g) ==
+          java.lang.Double.doubleToRawLongBits(x))
+      }
+    }
+  }
+
   test("NearestCentroid matches the independent fold model bit-for-bit (codegen path)") {
     val dim = 16
     val k = 5
