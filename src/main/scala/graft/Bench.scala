@@ -17,6 +17,16 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
+      // The whole-stage-codegen compile cache (STATIC conf) holds 100
+      // generated classes by default; this suite's multi-job operators
+      // cycle far more distinct codegen units than that, so tasks were
+      // re-Janino-compiling mid-query while every sibling task queued on
+      // the compile KeyLock (stack-dump attribution; measured over 16
+      // heavy queries: 859 compiles / 45.0 s at the default vs 507 /
+      // 14.3 s at 2000). Scale-neutral: long-lived executors run the
+      // same generated classes repeatedly at any corpus size, and the
+      // cache is bounded (~2000 classes, tens of MB).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

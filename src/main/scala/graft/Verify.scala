@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench: the 129-query dump cycles >>100 codegen units, and
+      // the default 100-entry compile cache re-Janino-compiles evicted
+      // classes with sibling tasks queued on the compile KeyLock (see
+      // Bench.scala for the measurement)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

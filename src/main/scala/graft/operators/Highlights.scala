@@ -141,9 +141,18 @@ object Highlights {
     // the semi-join keeps the per-video MAX rollup sized by one group's
     // chat, not the whole month's corpus. Keyed by video id like the final
     // join — bucket both by order key and neither moves.
+    // BROADCAST the group's video keys into the semi join: without the
+    // hint the planner's join-size estimate (product of children, no CBO)
+    // pushed it to sort-merge, shuffling the CHAT FACT — the big side —
+    // just to prune it (2 exchanges + 2 sorts in the plan). The key set is
+    // one channel group's videos, the same bounded relation this operator
+    // already broadcasts post-aggregation (lastChat below), so the
+    // broadcast bound is one the operator's scale design already accepts;
+    // the fact scan is now pruned map-side and never shuffles here.
     val lastChat = lineitem
       .filter(col("l_shipdate") >= monthStart && col("l_shipdate") < add_months(monthStart, 1))
-      .join(vids.select(col("o_orderkey").as("vid_key")), col("l_orderkey") === col("vid_key"), "left_semi")
+      .join(broadcast(vids.select(col("o_orderkey").as("vid_key"))),
+        col("l_orderkey") === col("vid_key"), "left_semi")
       .groupBy(col("l_orderkey"))
       .agg(floor(max(col("l_shipdate")).cast("timestamp").cast("double")).cast("long").as("last_chat_epoch"))
     vids
