@@ -49,8 +49,15 @@ object Similarity {
           col("a.channel") < col("b.channel"))
       .groupBy(col("a.week").as("week"), col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
       .agg(sum(col("a.messages") * col("b.messages")).as("dot"))
+    // materialized ONCE: norms joins back under two different renames
+    // (channel_a / channel_b), and the rename sits below each
+    // BroadcastExchange, so the canonical plans differ and exchange reuse
+    // never fires — without the cache the rollup was re-aggregated per
+    // side (2 Exchange + 2 HashAggregate in the plan where 1 suffices).
+    // The relation is |channels x weeks|, tiny at any corpus size.
     val norms = w.groupBy("week", "channel")
       .agg(sum(col("messages") * col("messages")).as("n2"))
+      .sharedCache
     dots
       .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), Seq("week", "channel_a"))
       .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), Seq("week", "channel_b"))
@@ -97,7 +104,9 @@ object Similarity {
     val dots = w.as("a").join(w.as("b"), col("a.user_id") === col("b.user_id"))
       .groupBy(col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
       .agg(sum(col("a.weight") * col("b.weight")).as("dot"))
+    // cached for the same two-rename reuse failure as channelSimilarityFrom
     val norms = w.groupBy("channel").agg(sum(col("weight") * col("weight")).as("n2"))
+      .sharedCache
     val sims = dots
       .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), "channel_a")
       .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), "channel_b")
