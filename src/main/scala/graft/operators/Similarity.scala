@@ -217,7 +217,10 @@ object Similarity {
       .join(weighted.as("b"), col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+    // cached for the same two-rename broadcast-reuse failure as
+    // channelSimilarityFrom (one row per source — tiny at any scale)
     val norms = weighted.groupBy("source").agg(sum(col("wt") * col("wt")).as("n2"))
+      .sharedCache
     dots
       .join(norms.withColumnRenamed("source", "source_a").withColumnRenamed("n2", "n2_a"), "source_a")
       .join(norms.withColumnRenamed("source", "source_b").withColumnRenamed("n2", "n2_b"), "source_b")
