@@ -27,6 +27,21 @@ object Bench {
       // same generated classes repeatedly at any corpus size, and the
       // cache is bounded (~2000 classes, tens of MB).
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Let AQE re-plan the output partitioning of shuffles INSIDE cached
+      // plans (default false for legacy compatibility only): without it
+      // every sharedCache'd rollup materializes at raw
+      // spark.sql.shuffle.partitions forever and every downstream stage
+      // inherits that task count — at sf0.1 that was 32 near-empty tasks
+      // per stage whose per-task overhead dominated (q_attrition isolated:
+      // 134 -> 10 tasks, rep-2 cpu 5.4 s -> 0.3 s, wall 5.2 -> 1.1 s; the
+      // whole q_ rollup family collapses the same way). Scale-neutral by
+      // construction: AQE coalesces cached-plan shuffles to the SAME
+      // advisory partition size it already targets for uncached ones, so
+      // at real volume partitions stay advisory-sized and parallelism
+      // returns; CPU-dense relations that must keep their fan-out
+      // (shingleArrays, forecast training) use explicit
+      // repartition(N, col), which AQE never coalesces.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,9 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 50 * 1024 * 1024)
+      // mirror Bench's session (see Bench.scala for the measurements)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_XCONF=k=v;k=v — A/B harness for confs (applied at session
     // build so STATIC confs work too; profiling aid only — Bench/Verify

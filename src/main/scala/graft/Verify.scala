@@ -16,6 +16,9 @@ object Verify {
       // classes with sibling tasks queued on the compile KeyLock (see
       // Bench.scala for the measurement)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // match Bench: AQE may re-plan cached-plan output partitioning
+      // (results are unaffected — the gate compares sorted rows)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
