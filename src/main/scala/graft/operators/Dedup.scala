@@ -998,7 +998,10 @@ object Dedup {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
     val withNorm = embeddings.select(col("vec_id"), col("label"), col("embedding").as("v"),
       vecNorm2(col("embedding")).as("n2"))
-    withNorm.as("a")
+    // spread the streamed side when the other will broadcast — see
+    // Vectors.spreadIfBroadcastJoin (a 1-row-group small corpus would
+    // otherwise run the whole pair enumeration at scan parallelism)
+    Vectors.spreadIfBroadcastJoin(withNorm, withNorm).as("a")
       .join(withNorm.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         fl(vecDot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cosine"))

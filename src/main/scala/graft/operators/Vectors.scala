@@ -233,13 +233,39 @@ object Vectors {
     * block size, never the corpus), and WindowGroupLimit pushes the
     * rank <= k filter below the exchange. No global sort anywhere.
     */
+  /** Spread the STREAMED side of a block pair join when the planner is
+    * about to BROADCAST the other side. In that regime the join inserts
+    * no exchange, so the CPU-quadratic pair enumeration inherits the
+    * SCAN's partitioning — and a small corpus delivered as one parquet
+    * file has as many scan partitions as ROW GROUPS (often 1-2),
+    * serializing minutes of pair/dot CPU onto 1-2 cores (measured at the
+    * x10 soak corpus: v_knn_join_geo 133 s wall ≈ 128 s cpu on 2 tasks).
+    * The explicit REPARTITION_BY_NUM by unique vec_id (exempt from AQE's
+    * byte-based coalescing — the relation is tiny-bytes/huge-CPU, the
+    * shingleArrays class) costs one shuffle of at most
+    * autoBroadcastJoinThreshold-estimated bytes. Above the threshold the
+    * join shuffles both sides by the block key itself and parallelism is
+    * the shuffle partitioning, so the spread is skipped — the at-scale
+    * plan is untouched. Plan-time decision from the same size estimate
+    * the planner's broadcast choice reads; rows and values are unchanged
+    * (the top-k window orders by (cosine, vec_b) — a total order).
+    */
+  private[operators] def spreadIfBroadcastJoin(aSide: DataFrame, source: DataFrame): DataFrame = {
+    val spark = source.sparkSession
+    val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val est = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresh > 0 && est <= thresh)
+      aSide.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    else aSide
+  }
+
   def knnJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
     val withNorm = embeddings.filter(kmValid).select(col("vec_id"), col("label"),
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
-    withNorm.as("a")
+    spreadIfBroadcastJoin(withNorm, withNorm).as("a")
       .join(withNorm.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -322,7 +348,7 @@ object Vectors {
       explode(probeLabels).as("probe_label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
-    aSide.as("a")
+    spreadIfBroadcastJoin(aSide, embeddings).as("a")
       .join(withNorm.as("b"),
         col("a.probe_label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -667,7 +693,7 @@ object Vectors {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
-    aSide.as("a")
+    spreadIfBroadcastJoin(aSide, embeddings).as("a")
       .join(withNorm.as("b"),
         col("a.probe_label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -735,7 +761,7 @@ object Vectors {
       col("embedding").as("v"), vecNorm2(col("embedding")).as("n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b").asc)
-    withNorm.as("a")
+    spreadIfBroadcastJoin(withNorm, withNorm).as("a")
       .join(withNorm.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.label").as("label"),
