@@ -164,17 +164,29 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$totalJson,"partial_total":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"stages":$ss,"run_ms":$rs,"cpu_ms":$cs,"failed":$fs,"sf":"$sfDir","cpus":"$cpus","sized_conf":$scJson}"""
     // a failed write must be LOUD: the stdout line points at this file and
-    // a stale detail map from a previous run would silently mis-triage
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] FAILED to write bench_detail.json: ${e.getMessage}")
+    // a stale detail map from a previous run would silently mis-triage.
+    // The detail is ALSO written cpus-suffixed: the driver benches the suite
+    // at two core counts back-to-back and the second run used to OVERWRITE
+    // bench_detail.json, losing the per-query map the round comparison needs
+    // (PERF_r11 got n_common=0 for exactly this reason). The un-suffixed
+    // file stays the stdout contract's pointer.
+    Seq("bench_detail.json", s"bench_detail_c$cpus.json").foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED to write $f: ${e.getMessage}")
+      }
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${results.size} queries FAILED: ${failed.mkString(", ")}")
+    // suite-level executor telemetry rides the stdout contract line so a
+    // round's stable CPU metrics survive even if the detail files are lost
+    // or overwritten (the wall total alone cannot distinguish a noisy
+    // measurement window from a plan regression — cpu_ms can).
+    val cpuTotal = results.map(_._3.cpuMs).sum
+    val runTotal = results.map(_._3.runMs).sum
     val line =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","n":${results.size},"failed":${failed.size},"cpu_ms_total":$cpuTotal,"run_ms_total":$runTotal,"cpus":$cpus,"sf":"$sfDir","detail":"bench_detail.json"}"""
     println(line)
     spark.stop()
   }

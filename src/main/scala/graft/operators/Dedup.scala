@@ -87,7 +87,7 @@ object Dedup {
     // pass (sorted=true ≡ the former array_sort(array_distinct(transform(
     // filter(...)))) HOF chain, pinned elementwise in
     // ExpressionPropertySpec); the coalesce preserves []-on-null-text
-    dd.repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    dd.repartition(Sizing.spreadCores(dd.sparkSession), col("doc_id"))
       .select(col("doc_id"),
         coalesce(split(col("text"), "\\s+"), array().cast("array<string>")).as("w"))
       .select(col("doc_id"),
@@ -432,7 +432,7 @@ object Dedup {
       // the relation is bounded small and feeds a broadcast build.
       val rows = parent.keys.toSeq.map(n => (n, find(n)))
       val slices = math.min(math.max(1, rows.length / 65536),
-        spark.sparkContext.defaultParallelism)
+        Sizing.spreadCores(spark))
       spark.createDataset(spark.sparkContext.parallelize(rows, slices))
         .toDF("doc_id", "edge_cluster")
     } else {

@@ -109,7 +109,7 @@ object Forecast {
     // single heaviest channel's serial fit, which no partitioning can
     // split). At 10k+ channels each task still holds dozens of keys, so
     // the distribution stays even and per-task overhead stays amortized.
-    val parts = spark.sparkContext.defaultParallelism * 8
+    val parts = Sizing.spreadCores(spark) * 8
     monthly.as[(String, Int, Double)]
       .repartition(parts, col("channel"))
       .mapPartitions { it =>

@@ -53,7 +53,24 @@ object Sizing {
     *  - `spark.sql.autoBroadcastJoinThreshold`: ~5 % of per-core memory,
     *    capped at 256 MiB — the engine's dimension sides (centroid
     *    matrices, month maps, thresholds) are far below it, and a
-    *    mis-estimated fact side must not be broadcast.
+    *    mis-estimated fact side must not be broadcast;
+    *  - `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`:
+    *    without it AQE never re-plans the output partitioning of shuffles
+    *    INSIDE cached plans, so every sharedCache'd rollup/MV stays frozen
+    *    at its build-time `spark.sql.shuffle.partitions` forever regardless
+    *    of data volume; with it, cached-plan partitions track the same
+    *    advisory size as uncached ones (measured: suite executor CPU −46 %
+    *    at the bench corpus; the scale-FAITHFUL setting — see SCALING.md);
+    *  - `spark.graft.spread.cores` = `totalCores`: the fan-out width the
+    *    engine's tiny-bytes/huge-CPU spreads use (block pair-join spread,
+    *    union-find label slicing). Defaults to `defaultParallelism` when
+    *    unset, which under dynamic allocation can be far below eventual
+    *    cluster width at plan-build time — a deploy pins it to the fleet.
+    *
+    * `spark.sql.codegen.cache.maxEntries=2000` belongs with these but is a
+    * STATIC conf (rejected by `spark.conf.set` on a live session), so it is
+    * documented in SCALING.md's deploy recipe as cluster conf instead of
+    * emitted here.
     */
   def clusterConf(corpusBytes: Long, totalCores: Int,
                   memoryPerCoreBytes: Long = 4L << 30): Map[String, String] = {
@@ -69,7 +86,25 @@ object Sizing {
       "spark.sql.shuffle.partitions" -> shuffleParts.toString,
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (64L << 20).toString,
       "spark.sql.files.maxPartitionBytes" -> scanSplit.toString,
-      "spark.sql.autoBroadcastJoinThreshold" -> broadcast.toString)
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcast.toString,
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+      "spark.graft.spread.cores" -> totalCores.toString)
+  }
+
+  /** The fan-out width for tiny-bytes/huge-CPU spreads (explicit
+    * REPARTITION_BY_NUM of relations whose bytes are far below a shuffle
+    * block but whose per-row CPU is the stage's cost): the deploy-pinned
+    * `spark.graft.spread.cores` when set ([[clusterConf]] emits it), else
+    * the session's `defaultParallelism`. The fallback is plan-build-time
+    * parallelism, which under dynamic allocation can undershoot the
+    * eventual cluster width — that is exactly why the conf exists.
+    */
+  def spreadCores(spark: org.apache.spark.sql.SparkSession): Int = {
+    val v = spark.conf.getOption("spark.graft.spread.cores").map(_.trim)
+    val parsed = v.flatMap(s => scala.util.Try(s.toInt).toOption)
+    v.foreach { s => require(parsed.exists(_ > 0),
+      s"spark.graft.spread.cores must be a positive int, got '$s'") }
+    parsed.getOrElse(spark.sparkContext.defaultParallelism)
   }
 
   /** Size every corpus-specific constant in one call.

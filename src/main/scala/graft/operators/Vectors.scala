@@ -249,13 +249,26 @@ object Vectors {
     * plan is untouched. Plan-time decision from the same size estimate
     * the planner's broadcast choice reads; rows and values are unchanged
     * (the top-k window orders by (cosine, vec_b) — a total order).
+    *
+    * Known gap: AQE can still convert a sort-merge join to broadcast at
+    * RUNTIME when the plan-time estimate exceeded the threshold but the
+    * actual build side is small — in that regime the streamed side keeps
+    * its shuffle partitioning (spread by the block key), so parallelism
+    * is the shuffle width, not scan row groups; only extreme per-key
+    * block skew would then serialize, which the at-scale shuffle shape
+    * has anyway. Perf-only either way, never correctness.
+    *
+    * Spread width: `Sizing.spreadCores` — the deploy-pinned
+    * `spark.graft.spread.cores` when set, else `defaultParallelism`
+    * (which under dynamic allocation can undershoot the eventual cluster
+    * width at plan-build time; clusterConf pins it for a fleet).
     */
   private[operators] def spreadIfBroadcastJoin(aSide: DataFrame, source: DataFrame): DataFrame = {
     val spark = source.sparkSession
     val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
     val est = source.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thresh > 0 && est <= thresh)
-      aSide.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      aSide.repartition(Sizing.spreadCores(spark), col("vec_id"))
     else aSide
   }
 
