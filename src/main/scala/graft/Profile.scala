@@ -61,18 +61,33 @@ object Profile {
     val counter = new JobCounter(spark.sparkContext)
     // SPARK_GRAFT_STAGE_DETAIL=1: per-stage task counts, to see where a
     // query's task volume (contended-host idle exposure) concentrates
-    if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL"))
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL")) {
+      val taskCpu = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            taskCpu.computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+              .add(te.taskMetrics.executorCpuTime / 1000000L)
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
           val (run, cpu) = if (m == null) (0L, 0L)
             else (m.executorRunTime, m.executorCpuTime / 1000000L)
+          // per-task cpu spread separates data volume (few heavy tasks or
+          // even spread that scales with rows) from fixed per-task cost
+          // (uniform floor regardless of rows)
+          val q = taskCpu.remove(sc.stageInfo.stageId)
+          val spread = if (q == null) "" else {
+            import scala.jdk.CollectionConverters._
+            val ds = q.asScala.toArray.sorted
+            if (ds.isEmpty) "" else f" taskcpu[min=${ds.head} med=${ds(ds.length / 2)} max=${ds.last}]"
+          }
           println(f"  stage ${sc.stageInfo.stageId}%4d tasks=${sc.stageInfo.numTasks}%4d " +
-            f"run=${run}%6dms cpu=${cpu}%6dms " +
+            f"run=${run}%6dms cpu=${cpu}%6dms" + spread + " " +
             sc.stageInfo.name.linesIterator.next().take(70))
         }
       })
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ =>

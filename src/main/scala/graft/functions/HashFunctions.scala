@@ -228,7 +228,90 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** In-row two-pointer split of a SORTED distinct ARRAY<BIGINT> column
+  * against ONE broadcast sorted long array: `keep = true` returns the
+  * elements present in the broadcast set (≡ the former
+  * `sort_array(collect_list(...))` of an inner join against it),
+  * `keep = false` the elements absent from it (≡ a left-anti join).
+  *
+  * Exists for [[graft.operators.Dedup.ngramJaccard]]'s capped path: the
+  * hot-shingle set is bounded small by the cap's own design (a handful of
+  * stopword shingle values — the same bound the former plan relied on to
+  * BROADCAST the relation), so per-doc hot/rare sub-arrays are in-row
+  * projections of the cached shingle relation instead of an
+  * explode + broadcast-join + collect_list re-aggregation pass per use
+  * (one full extra pass over every shingle instance, measured ~5 s task
+  * CPU at sf0.1). The broadcast handle keeps task binaries O(1) — the
+  * [[TopProbeLabels]] bundle discipline, not a plan-riding literal.
+  *
+  * Output order: input order (sorted, callers guarantee it — the shared
+  * shingling builds sorted distinct sets), exactly matching both the
+  * anti-join's explode order and the former `sort_array` result.
+  */
+case class SortedFilterBroadcast(child: Expression,
+                                 bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                                 keep: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_filter_broadcast requires ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_filter_broadcast"
+
+  @transient private lazy val set: Array[Long] = bc.value
+
+  override def nullSafeEval(v: Any): Any =
+    HashFunctions.sortedFilterKernel(v.asInstanceOf[ArrayData], set, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sfbBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val arr = ctx.addMutableState("long[]", "sfbSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($arr == null) { $arr = (long[]) $bcRef.value(); }
+         |${ev.value} = graft.functions.HashFunctions.sortedFilterKernel($c, $arr, $keep);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
+  /** Allocation-bounded two-pointer kernel behind [[SortedFilterBroadcast]]:
+    * both sides sorted ascending; emits `a ∩ set` (keep) or `a \ set`
+    * (drop) in input order.
+    */
+  def sortedFilterKernel(a: ArrayData, set: Array[Long], keep: Boolean): ArrayData = {
+    val na = a.numElements()
+    val buf = new Array[Long](na)
+    var i = 0; var j = 0; var n = 0
+    while (i < na) {
+      val x = a.getLong(i)
+      while (j < set.length && set(j) < x) j += 1
+      val hit = j < set.length && set(j) == x
+      if (hit == keep) { buf(n) = x; n += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (n == na) buf else java.util.Arrays.copyOf(buf, n))
+  }
+
+  /** `a ∩ bc` / `a \ bc` Column over a sorted ARRAY<BIGINT> column and a
+    * broadcast sorted long array.
+    */
+  def sortedFilterBroadcast(a: Column,
+                            bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                            keep: Boolean): Column =
+    ColumnBridge.column(SortedFilterBroadcast(ColumnBridge.expression(a), bc, keep))
+
   /** Minhash signature Column over an ARRAY<BIGINT> shingle-id column. */
   def minhashSignature(shingles: Column, aConsts: Seq[Long], bConsts: Seq[Long],
                        prime: Long): Column =

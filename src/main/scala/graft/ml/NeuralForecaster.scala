@@ -24,49 +24,105 @@ final class LstmForecaster(hidden: Int, dropout: Double, rng: Rng) extends Serie
   initUniform(w2, 32, rng); initUniform(b2, 32, rng)
   val params: Array[Param] = l1.params ++ l2.params ++ Array(w1, b1, w2, b2)
 
-  // forward caches for backward
+  // forward caches for backward + reusable workspaces (grown on demand —
+  // a training run allocates them once, not per sample; RNG draw order
+  // and every FP operation order are unchanged from the allocating form)
+  private var cap = -1
+  private var xsIn: Array[Array[Double]] = _      // seq boxed per-timestep for l1
   private var interMasks: Array[Array[Double]] = _
+  private var out1Buf: Array[Array[Double]] = _
+  private var do1: Array[Array[Double]] = _
+  private var dhSeq2: Array[Array[Double]] = _    // zeros except the last slot
+  private val zerosH = new Array[Double](hidden)  // read-only shared zero grad
   private var out1: Array[Array[Double]] = _
   private var h2: Array[Double] = _
-  private var a1: Array[Double] = _
+  private val a1 = new Array[Double](32)
+  private val r1 = new Array[Double](32)
+  private val d1Buf = new Array[Double](32)
   private var d1: Array[Double] = _
-  private var headMask: Array[Double] = _
+  private val headMask = new Array[Double](32)
+  private val yOut = new Array[Double](1)
+  private val dyIn = new Array[Double](1)
+  private val dd1 = new Array[Double](32)
+  private val dr1Buf = new Array[Double](32)
+  private val da1 = new Array[Double](32)
+  private val dh2 = new Array[Double](hidden)
   private var isTrain = false
+
+  private def ensure(t0: Int): Unit = {
+    if (t0 > cap) {
+      xsIn = Array.fill(t0)(new Array[Double](1))
+      interMasks = Array.fill(t0)(new Array[Double](hidden))
+      out1Buf = Array.fill(t0)(new Array[Double](hidden))
+      do1 = Array.fill(t0)(new Array[Double](hidden))
+      dhSeq2 = new Array[Array[Double]](t0)
+      cap = t0
+    }
+    var t = 0
+    while (t < t0) { dhSeq2(t) = zerosH; t += 1 }
+    dhSeq2(t0 - 1) = dh2
+  }
 
   def forward(seq: Array[Double], train: Boolean): Double = {
     isTrain = train
-    val o1 = l1.forward(seq.map(Array(_)))
+    val t0 = seq.length
+    ensure(t0)
+    var t = 0
+    while (t < t0) { xsIn(t)(0) = seq(t); t += 1 }
+    val o1 = l1.forward(if (t0 == xsIn.length) xsIn else xsIn.take(t0))
     // torch applies dropout to every layer's output except the last,
     // with a fresh mask per timestep
     if (train) {
-      interMasks = o1.map(_ => dropoutMask(hidden, dropout, rng))
-      out1 = o1.zip(interMasks).map { case (h, m) =>
-        Array.tabulate(hidden)(j => h(j) * m(j))
+      t = 0
+      while (t < t0) {
+        dropoutMaskInto(interMasks(t), hidden, dropout, rng)
+        val h = o1(t); val m = interMasks(t); val o = out1Buf(t)
+        var j = 0
+        while (j < hidden) { o(j) = h(j) * m(j); j += 1 }
+        t += 1
       }
+      out1 = if (t0 == out1Buf.length) out1Buf else out1Buf.take(t0)
     } else out1 = o1
     val o2 = l2.forward(out1)
-    h2 = o2.last
-    a1 = linear(w1, b1, h2)
-    val r1 = a1.map(math.max(0d, _))
+    h2 = o2(t0 - 1)
+    linearInto(w1, b1, h2, a1)
+    var j = 0
+    while (j < 32) { r1(j) = math.max(0d, a1(j)); j += 1 }
     if (train) {
-      headMask = dropoutMask(32, dropout, rng)
-      d1 = Array.tabulate(32)(j => r1(j) * headMask(j))
+      dropoutMaskInto(headMask, 32, dropout, rng)
+      j = 0
+      while (j < 32) { d1Buf(j) = r1(j) * headMask(j); j += 1 }
+      d1 = d1Buf
     } else d1 = r1
-    linear(w2, b2, d1)(0)
+    linearInto(w2, b2, d1, yOut)
+    yOut(0)
   }
 
   def backward(dy: Double): Unit = {
-    val dd1 = linearBack(w2, b2, d1, Array(dy))
-    val dr1 = if (isTrain) Array.tabulate(32)(j => dd1(j) * headMask(j)) else dd1
-    val da1 = Array.tabulate(32)(j => if (a1(j) > 0) dr1(j) else 0d)
-    val dh2 = linearBack(w1, b1, h2, da1)
+    dyIn(0) = dy
+    linearBackInto(w2, b2, d1, dyIn, dd1)
+    val dr1 = if (isTrain) {
+      var j = 0
+      while (j < 32) { dr1Buf(j) = dd1(j) * headMask(j); j += 1 }
+      dr1Buf
+    } else dd1
+    var j = 0
+    while (j < 32) { da1(j) = if (a1(j) > 0) dr1(j) else 0d; j += 1 }
+    linearBackInto(w1, b1, h2, da1, dh2)
     val t0 = out1.length
-    val dhSeq2 = Array.tabulate(t0)(t => if (t == t0 - 1) dh2 else new Array[Double](l2.hidden))
-    val dx2 = l2.backward(dhSeq2)
-    val do1 = if (isTrain)
-      Array.tabulate(t0)(t => Array.tabulate(l1.hidden)(j => dx2(t)(j) * interMasks(t)(j)))
-    else dx2
-    l1.backward(do1)
+    // dhSeq2 slots: shared zeros + dh2 in the last — set up by ensure()
+    val dx2 = l2.backward(if (t0 == dhSeq2.length) dhSeq2 else dhSeq2.take(t0))
+    val dIn1 = if (isTrain) {
+      var t = 0
+      while (t < t0) {
+        val d = do1(t); val x = dx2(t); val m = interMasks(t)
+        var k = 0
+        while (k < hidden) { d(k) = x(k) * m(k); k += 1 }
+        t += 1
+      }
+      if (t0 == do1.length) do1 else do1.take(t0)
+    } else dx2
+    l1.backward(dIn1)
     ()
   }
 }
@@ -80,22 +136,43 @@ final class SimpleForecasterNet(inSize: Int, hidden: Int, rng: Rng) extends Seri
   initUniform(w3, 16, rng); initUniform(b3, 16, rng)
   val params: Array[Param] = Array(w1, b1, w2, b2, w3, b3)
 
-  private var x0: Array[Double] = _
-  private var a1, r1, a2, r2: Array[Double] = _
+  // reusable workspaces — one allocation per model, not per sample; the
+  // input is COPIED into x0 so a caller-reused window buffer stays safe
+  // between forward and backward
+  private val x0 = new Array[Double](inSize)
+  private val a1 = new Array[Double](hidden)
+  private val r1 = new Array[Double](hidden)
+  private val a2 = new Array[Double](16)
+  private val r2 = new Array[Double](16)
+  private val yOut = new Array[Double](1)
+  private val dyIn = new Array[Double](1)
+  private val dr2 = new Array[Double](16)
+  private val da2 = new Array[Double](16)
+  private val dr1 = new Array[Double](hidden)
+  private val da1 = new Array[Double](hidden)
+  private val dx0 = new Array[Double](inSize)
 
   def forward(seq: Array[Double], train: Boolean): Double = {
-    x0 = seq
-    a1 = linear(w1, b1, x0); r1 = a1.map(math.max(0d, _))
-    a2 = linear(w2, b2, r1); r2 = a2.map(math.max(0d, _))
-    linear(w3, b3, r2)(0)
+    System.arraycopy(seq, 0, x0, 0, inSize)
+    linearInto(w1, b1, x0, a1)
+    var j = 0
+    while (j < hidden) { r1(j) = math.max(0d, a1(j)); j += 1 }
+    linearInto(w2, b2, r1, a2)
+    j = 0
+    while (j < 16) { r2(j) = math.max(0d, a2(j)); j += 1 }
+    linearInto(w3, b3, r2, yOut)
+    yOut(0)
   }
 
   def backward(dy: Double): Unit = {
-    val dr2 = linearBack(w3, b3, r2, Array(dy))
-    val da2 = Array.tabulate(a2.length)(j => if (a2(j) > 0) dr2(j) else 0d)
-    val dr1 = linearBack(w2, b2, r1, da2)
-    val da1 = Array.tabulate(a1.length)(j => if (a1(j) > 0) dr1(j) else 0d)
-    linearBack(w1, b1, x0, da1)
+    dyIn(0) = dy
+    linearBackInto(w3, b3, r2, dyIn, dr2)
+    var j = 0
+    while (j < 16) { da2(j) = if (a2(j) > 0) dr2(j) else 0d; j += 1 }
+    linearBackInto(w2, b2, r1, da2, dr1)
+    j = 0
+    while (j < hidden) { da1(j) = if (a1(j) > 0) dr1(j) else 0d; j += 1 }
+    linearBackInto(w1, b1, x0, da1, dx0)
     ()
   }
 }
@@ -192,6 +269,9 @@ object NeuralForecaster {
     val valIdx = (trainSize until n).toArray
     val adam = new Adam(model.params, lr)
     val order = (0 until trainSize).toArray
+    // one window buffer for the whole fit — the models copy their input,
+    // so reuse across samples is safe; replaces a data.slice per sample
+    val win = new Array[Double](seqLen)
     var best = Double.MaxValue
     var bestState: Array[Array[Double]] = null
     var bad = 0
@@ -203,7 +283,8 @@ object NeuralForecaster {
       order.grouped(batch).foreach { b =>
         var loss = 0d
         b.foreach { i =>
-          val p = model.forward(data.slice(i, i + seqLen), train = true)
+          System.arraycopy(data, i, win, 0, seqLen)
+          val p = model.forward(win, train = true)
           val e = p - data(i + seqLen)
           loss += e * e
           model.backward(2 * e / b.length)
@@ -218,7 +299,8 @@ object NeuralForecaster {
           val batches = valIdx.grouped(vb).toArray
           batches.map { b =>
             b.map { i =>
-              val e = model.forward(data.slice(i, i + seqLen), train = false) - data(i + seqLen)
+              System.arraycopy(data, i, win, 0, seqLen)
+              val e = model.forward(win, train = false) - data(i + seqLen)
               e * e
             }.sum / b.length
           }.sum / batches.length

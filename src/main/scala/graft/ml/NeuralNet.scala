@@ -16,6 +16,17 @@ package graft.ml
   * shuffles, dropout masks and MC-dropout simulation — two runs of the
   * same channel produce bit-identical forecasts, which is what makes a
   * spec (and an incremental re-run diff) possible at all.
+  *
+  * r12 kernel shape (bit-identical to the r11 code — pinned by the
+  * ForecastKernelProbe golden hash and the NeuralForecastSpec gradient
+  * checks): the matrix kernels write into CALLER-OWNED buffers
+  * ([[NeuralNet.linearInto]]/[[NeuralNet.linearBackInto]]) so a training
+  * run allocates its workspaces once per model instead of ~100 KB of
+  * fresh arrays per forward/backward sample, and the dot-product rows are
+  * 4-way interleaved: each ROW keeps its exact left-to-right accumulation
+  * order (same doubles, same adds, same result bits) but four independent
+  * accumulator chains run at once, so the FMA-latency-bound serial chain
+  * that dominated the per-sample cost overlaps across rows.
   */
 final class Rng(seed: Long) {
   private var s = seed
@@ -90,36 +101,91 @@ final class Adam(params: Array[Param], lr: Double, clipNorm: Double = 1.0) {
 }
 
 object NeuralNet {
-  /** y = W x + b; returns output (W: out×in). */
+  /** y = W x + b; returns a fresh output array (W: out×in). */
   def linear(w: Param, b: Param, x: Array[Double]): Array[Double] = {
     val out = new Array[Double](w.rows)
-    var r = 0
-    while (r < w.rows) {
-      var acc = b.v(r)
-      var c = 0
-      while (c < w.cols) { acc += w.v(r * w.cols + c) * x(c); c += 1 }
-      out(r) = acc
-      r += 1
-    }
+    linearInto(w, b, x, out)
     out
   }
 
-  /** Backward of [[linear]]: accumulates dW/db, returns dx. */
+  /** [[linear]] into a caller-owned buffer. Every row's dot product keeps
+    * the exact left-to-right accumulation order of the scalar loop (bit
+    * identity); rows are computed 4 at a time so their independent
+    * accumulator chains overlap instead of serializing on FMA latency.
+    */
+  def linearInto(w: Param, b: Param, x: Array[Double], out: Array[Double]): Unit = {
+    val wv = w.v; val bv = b.v
+    val rows = w.rows; val cols = w.cols
+    var r = 0
+    while (r + 4 <= rows) {
+      val o0 = r * cols; val o1 = o0 + cols; val o2 = o1 + cols; val o3 = o2 + cols
+      var a0 = bv(r); var a1 = bv(r + 1); var a2 = bv(r + 2); var a3 = bv(r + 3)
+      var c = 0
+      while (c < cols) {
+        val xc = x(c)
+        a0 += wv(o0 + c) * xc
+        a1 += wv(o1 + c) * xc
+        a2 += wv(o2 + c) * xc
+        a3 += wv(o3 + c) * xc
+        c += 1
+      }
+      out(r) = a0; out(r + 1) = a1; out(r + 2) = a2; out(r + 3) = a3
+      r += 4
+    }
+    while (r < rows) {
+      val o = r * cols
+      var acc = bv(r)
+      var c = 0
+      while (c < cols) { acc += wv(o + c) * x(c); c += 1 }
+      out(r) = acc
+      r += 1
+    }
+  }
+
+  /** Backward of [[linear]]: accumulates dW/db, returns fresh dx. */
   def linearBack(w: Param, b: Param, x: Array[Double], dy: Array[Double]): Array[Double] = {
     val dx = new Array[Double](w.cols)
+    linearBackInto(w, b, x, dy, dx)
+    dx
+  }
+
+  /** [[linearBack]] into a caller-owned dx buffer (zeroed here first).
+    * dx(c)'s accumulation order over rows is preserved exactly: the
+    * 2-row step computes `(dx(c) + w_r·d_r) + w_{r+1}·d_{r+1}` — the same
+    * adds in the same order as two sequential row updates.
+    */
+  def linearBackInto(w: Param, b: Param, x: Array[Double], dy: Array[Double],
+                     dx: Array[Double]): Unit = {
+    val wv = w.v; val wg = w.g; val bg = b.g
+    val rows = w.rows; val cols = w.cols
+    java.util.Arrays.fill(dx, 0, cols, 0d)
     var r = 0
-    while (r < w.rows) {
-      val d = dy(r)
-      b.g(r) += d
+    while (r + 2 <= rows) {
+      val d0 = dy(r); val d1 = dy(r + 1)
+      bg(r) += d0; bg(r + 1) += d1
+      val o0 = r * cols; val o1 = o0 + cols
       var c = 0
-      while (c < w.cols) {
-        w.g(r * w.cols + c) += d * x(c)
-        dx(c) += w.v(r * w.cols + c) * d
+      while (c < cols) {
+        val xc = x(c)
+        wg(o0 + c) += d0 * xc
+        wg(o1 + c) += d1 * xc
+        dx(c) = dx(c) + wv(o0 + c) * d0 + wv(o1 + c) * d1
+        c += 1
+      }
+      r += 2
+    }
+    while (r < rows) {
+      val d = dy(r)
+      bg(r) += d
+      val o = r * cols
+      var c = 0
+      while (c < cols) {
+        wg(o + c) += d * x(c)
+        dx(c) += wv(o + c) * d
         c += 1
       }
       r += 1
     }
-    dx
   }
 
   def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
@@ -134,16 +200,24 @@ object NeuralNet {
   /** Inverted dropout mask (scale 1/(1-p) kept in the mask). */
   def dropoutMask(n: Int, p: Double, rng: Rng): Array[Double] = {
     val m = new Array[Double](n)
+    dropoutMaskInto(m, n, p, rng)
+    m
+  }
+
+  /** [[dropoutMask]] into a caller-owned buffer — same RNG draw sequence. */
+  def dropoutMaskInto(m: Array[Double], n: Int, p: Double, rng: Rng): Unit = {
     val keep = 1.0 / (1.0 - p)
     var i = 0
     while (i < n) { m(i) = if (rng.nextDouble() < p) 0d else keep; i += 1 }
-    m
   }
 }
 
 /** One LSTM layer (gate order i,f,g,o like torch), scalar-input capable.
   * Caches the forward pass for truncated-by-construction BPTT (sequences
-  * are the reference's fixed window of 6).
+  * are the reference's fixed window of 6). All per-timestep workspaces
+  * (gate pre-activations, h/c states, gate values, BPTT scratch) are
+  * owned by the layer and reused across forward/backward calls — a
+  * training run allocates them once, not per sample.
   */
 final class LstmLayer(val inSize: Int, val hidden: Int, rng: Rng) {
   import NeuralNet._
@@ -154,71 +228,106 @@ final class LstmLayer(val inSize: Int, val hidden: Int, rng: Rng) {
   Seq(wih, whh, bih, bhh).foreach(initUniform(_, hidden, rng))
   def params: Array[Param] = Array(wih, whh, bih, bhh)
 
-  // forward caches (one slot per timestep)
+  // forward caches (one slot per timestep), grown on demand and reused
+  private var cap = -1
   private var xs: Array[Array[Double]] = _
   private var hs: Array[Array[Double]] = _ // h_0 .. h_T (index t+1 = output at t)
   private var cs: Array[Array[Double]] = _
   private var gi, gf, gg, go: Array[Array[Double]] = _
+  private var tcs: Array[Array[Double]] = _ // tanh(c_t), cached for backward
+  private var outs: Array[Array[Double]] = _ // view hs(1..T), returned by forward
+  private val zx = new Array[Double](4 * hidden)
+  private val zh = new Array[Double](4 * hidden)
+  // backward scratch
+  private var dxSeq: Array[Array[Double]] = _
+  private val dz = new Array[Double](4 * hidden)
+  private val dhNext = new Array[Double](hidden)
+  private val dcNext = new Array[Double](hidden)
 
-  /** Runs the whole sequence; returns outputs h_1..h_T. */
+  private def ensure(t0: Int): Unit = {
+    if (t0 > cap) {
+      hs = Array.fill(t0 + 1)(new Array[Double](hidden))
+      cs = Array.fill(t0 + 1)(new Array[Double](hidden))
+      gi = Array.fill(t0)(new Array[Double](hidden))
+      gf = Array.fill(t0)(new Array[Double](hidden))
+      gg = Array.fill(t0)(new Array[Double](hidden))
+      go = Array.fill(t0)(new Array[Double](hidden))
+      tcs = Array.fill(t0)(new Array[Double](hidden))
+      dxSeq = Array.fill(t0)(new Array[Double](inSize))
+      cap = t0
+    }
+    outs = if (outs != null && outs.length == t0) outs else new Array[Array[Double]](t0)
+    var t = 0
+    while (t < t0) { outs(t) = hs(t + 1); t += 1 }
+  }
+
+  /** Runs the whole sequence; returns outputs h_1..h_T (layer-owned
+    * buffers, valid until the next forward).
+    */
   def forward(seq: Array[Array[Double]]): Array[Array[Double]] = {
     val t0 = seq.length
+    ensure(t0)
     xs = seq
-    hs = Array.fill(t0 + 1)(new Array[Double](hidden))
-    cs = Array.fill(t0 + 1)(new Array[Double](hidden))
-    gi = new Array[Array[Double]](t0); gf = new Array[Array[Double]](t0)
-    gg = new Array[Array[Double]](t0); go = new Array[Array[Double]](t0)
+    java.util.Arrays.fill(hs(0), 0d)
+    java.util.Arrays.fill(cs(0), 0d)
     var t = 0
     while (t < t0) {
-      val zx = linear(wih, bih, seq(t))
-      val zh = linear(whh, bhh, hs(t))
-      val i0 = new Array[Double](hidden); val f0 = new Array[Double](hidden)
-      val g0 = new Array[Double](hidden); val o0 = new Array[Double](hidden)
+      linearInto(wih, bih, seq(t), zx)
+      linearInto(whh, bhh, hs(t), zh)
+      val i0 = gi(t); val f0 = gf(t); val g0 = gg(t); val o0 = go(t)
+      val tcT = tcs(t)
+      val cPrev = cs(t); val cCur = cs(t + 1); val hCur = hs(t + 1)
       var j = 0
       while (j < hidden) {
         i0(j) = sigmoid(zx(j) + zh(j))
         f0(j) = sigmoid(zx(hidden + j) + zh(hidden + j))
         g0(j) = math.tanh(zx(2 * hidden + j) + zh(2 * hidden + j))
         o0(j) = sigmoid(zx(3 * hidden + j) + zh(3 * hidden + j))
-        cs(t + 1)(j) = f0(j) * cs(t)(j) + i0(j) * g0(j)
-        hs(t + 1)(j) = o0(j) * math.tanh(cs(t + 1)(j))
+        cCur(j) = f0(j) * cPrev(j) + i0(j) * g0(j)
+        // tanh(c_t) cached so BPTT reuses the identical value instead of
+        // re-evaluating the transcendental (same input ⇒ same bits)
+        tcT(j) = math.tanh(cCur(j))
+        hCur(j) = o0(j) * tcT(j)
         j += 1
       }
-      gi(t) = i0; gf(t) = f0; gg(t) = g0; go(t) = o0
       t += 1
     }
-    Array.tabulate(t0)(t => hs(t + 1))
+    outs
   }
 
-  /** BPTT given per-timestep output grads; returns per-timestep dx. */
+  /** BPTT given per-timestep output grads; returns per-timestep dx
+    * (layer-owned buffers, valid until the next backward).
+    */
   def backward(dhSeq: Array[Array[Double]]): Array[Array[Double]] = {
     val t0 = xs.length
-    val dxSeq = new Array[Array[Double]](t0)
-    var dhNext = new Array[Double](hidden)
-    var dcNext = new Array[Double](hidden)
+    java.util.Arrays.fill(dhNext, 0d)
+    java.util.Arrays.fill(dcNext, 0d)
     var t = t0 - 1
     while (t >= 0) {
-      val dz = new Array[Double](4 * hidden)
-      val dcPrev = new Array[Double](hidden)
+      val dhT = dhSeq(t)
+      val giT = gi(t); val gfT = gf(t); val ggT = gg(t); val goT = go(t)
+      val tcT = tcs(t)
+      val cPrev = cs(t)
       var j = 0
       while (j < hidden) {
-        val dh = dhSeq(t)(j) + dhNext(j)
-        val tc = math.tanh(cs(t + 1)(j))
+        val dh = dhT(j) + dhNext(j)
+        val tc = tcT(j)
         val dOut = dh * tc
-        var dc = dcNext(j) + dh * go(t)(j) * (1 - tc * tc)
-        val dIn = dc * gg(t)(j)
-        val dG = dc * gi(t)(j)
-        val dF = dc * cs(t)(j)
-        dcPrev(j) = dc * gf(t)(j)
-        dz(j) = dIn * gi(t)(j) * (1 - gi(t)(j))
-        dz(hidden + j) = dF * gf(t)(j) * (1 - gf(t)(j))
-        dz(2 * hidden + j) = dG * (1 - gg(t)(j) * gg(t)(j))
-        dz(3 * hidden + j) = dOut * go(t)(j) * (1 - go(t)(j))
+        val dc = dcNext(j) + dh * goT(j) * (1 - tc * tc)
+        val dIn = dc * ggT(j)
+        val dG = dc * giT(j)
+        val dF = dc * cPrev(j)
+        // dcNext(j) is consumed above before being overwritten for t-1
+        dcNext(j) = dc * gfT(j)
+        dz(j) = dIn * giT(j) * (1 - giT(j))
+        dz(hidden + j) = dF * gfT(j) * (1 - gfT(j))
+        dz(2 * hidden + j) = dG * (1 - ggT(j) * ggT(j))
+        dz(3 * hidden + j) = dOut * goT(j) * (1 - goT(j))
         j += 1
       }
-      dxSeq(t) = linearBack(wih, bih, xs(t), dz)
-      dhNext = linearBack(whh, bhh, hs(t), dz)
-      dcNext = dcPrev
+      linearBackInto(wih, bih, xs(t), dz, dxSeq(t))
+      // dhNext is fully read in the gate loop above before this overwrite
+      linearBackInto(whh, bhh, hs(t), dz, dhNext)
       t -= 1
     }
     dxSeq

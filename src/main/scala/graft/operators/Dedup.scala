@@ -74,11 +74,20 @@ object Dedup {
   }
 
   private def shingleArraysLazy(dd: DataFrame, k: Int): DataFrame =
-    // hash-repartition by doc across all cores before the CPU-heavy shingling
-    // projection: the corpus scan may have few/skewed splits, shingle+md5 CPU
-    // dominates the one raw-text shuffle by orders of magnitude, and the
-    // explicit count keeps AQE from coalescing the tiny-bytes/huge-CPU
-    // partitions back together
+    // hash-repartition by doc before the CPU-heavy shingling projection:
+    // the corpus scan may have few/skewed splits (a single parquet file
+    // has as many splits as row groups), and the shuffle re-spreads the
+    // raw text regardless. The repartition is BY COLUMN, not BY NUMBER
+    // (REPARTITION_BY_COL — AQE-coalescible): shingle+md5 CPU is
+    // PROPORTIONAL TO TEXT BYTES, so AQE's byte-based advisory sizing is
+    // the scale-faithful width — at corpus scale it yields advisory-sized
+    // partitions with bounded per-task shingling CPU, at bench scale it
+    // collapses the 5k-doc relation to a couple of partitions. The former
+    // core-count pin (REPARTITION_BY_NUM at spreadCores) made EVERY
+    // downstream consumer of the cache inherit 32 partitions: per-task
+    // fixed cost (BytesToBytesMap page allocate/zero per HashAggregate,
+    // stack-dump-attributed) burned ~100-160 ms/task on stages moving a
+    // few hundred KB, ~2/3 of the capped-Jaccard query's CPU at sf0.1.
     // array_sort: the set is ORDER-INSENSITIVE to every consumer (minhash
     // min-fold, SQL-join oracles), and sortedness lets the pair-verify hot
     // path use the two-pointer SortedIntersectSize kernel instead of
@@ -87,7 +96,7 @@ object Dedup {
     // pass (sorted=true ≡ the former array_sort(array_distinct(transform(
     // filter(...)))) HOF chain, pinned elementwise in
     // ExpressionPropertySpec); the coalesce preserves []-on-null-text
-    dd.repartition(Sizing.spreadCores(dd.sparkSession), col("doc_id"))
+    dd.repartition(col("doc_id"))
       .select(col("doc_id"),
         coalesce(split(col("text"), "\\s+"), array().cast("array<string>")).as("w"))
       .select(col("doc_id"),
@@ -805,7 +814,13 @@ object Dedup {
         // intersection size IS the per-pair hit count — ints through a
         // partial-agg shuffle (in-row set verify would ship whole arrays
         // for every ≥1-shared-shingle pair; measured 2x slower here).
-        val inter = inv.as("a")
+        // The streamed a-side is spread out of the (now AQE-coalescible)
+        // shingle-cache partitioning when the b-side will broadcast —
+        // pair-enumeration CPU is quadratic in shingle df, not
+        // proportional to the cache's bytes (the Vectors block-join
+        // guard, keyed by doc_id; above the broadcast threshold the join
+        // shuffles by xsh and the spread is skipped).
+        val inter = Vectors.spreadIfBroadcastJoin(inv, inv, "doc_id").as("a")
           .join(inv.as("b"), col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -830,42 +845,49 @@ object Dedup {
         // So the per-pair payload is a count plus two tiny arrays, never
         // the full shingle sets (measured 2x slower to ship), and on a
         // corpus where no shingle exceeds the cap the whole verify phase
-        // degenerates to the exhaustive path's int aggregate plus an
-        // empty left join.
+        // degenerates to the exhaustive path's int aggregate over empty
+        // hot sub-arrays.
         // The df side is expressed through the HOT set (df > cap), never the
         // rare one: hot is what the cap bounds small (a handful of stopword
-        // shingle values at corpus scale), so "keep rare" becomes a
-        // broadcast ANTI-join against hot and "per-doc hot sub-array"
-        // a broadcast inner join — no 10^x-row rare relation is ever
-        // materialized or shuffled.
-        // hotSh and docMeta are broadcast from MULTIPLE sites (anti join,
-        // hotDoc build, both pair-side joins), and every broadcast build is
-        // its own job: un-materialized, each site re-runs the aggregation
-        // above the shingle cache (measured 32 BroadcastExchanges / zero
-        // reuse / 3.6x the exhaustive path's CPU at sf0.1). Both relations
-        // are tiny by construction — hot shingle VALUES are what the cap
-        // bounds small, docMeta is one row per doc — so materialize each
-        // once (eager count = the same materialize-before-fanout barrier as
-        // the shingle cache) and let every broadcast build scan the cache.
+        // shingle values at corpus scale — the same bound that let the
+        // former plan BROADCAST the relation), so the df aggregate is
+        // collected ONCE into a sorted broadcast array and every hot/rare
+        // decision becomes an IN-ROW two-pointer split of the cached
+        // per-doc shingle set (SortedFilterBroadcast): no anti-join pass
+        // over the exploded index, no hot-doc explode + broadcast-join +
+        // collect_list re-aggregation pass (those two re-walks of every
+        // shingle instance measured ~5 s of the query's 8.6 s task CPU at
+        // sf0.1, 32c), no 10^x-row rare relation ever materialized or
+        // shuffled. The broadcast handle keeps task binaries O(1) in the
+        // hot count (TopProbeLabels bundle discipline).
         import graft.Caches.SharedCacheOps
-        val hotSh = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("xsh").sharedCache
-        hotSh.count()
-        // per-doc hot shingles, sorted for the intersect kernel (inv is
-        // already distinct per doc, so collect_list is set-valued)
-        val hotDoc = inv.join(broadcast(hotSh), "xsh")
-          .groupBy("doc_id").agg(sort_array(collect_list(col("xsh"))).as("hot"))
-        val interRare = inv.join(broadcast(hotSh), Seq("xsh"), "left_anti").as("a")
+        val hotArr = inv.groupBy("xsh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("xsh")
+          .collect().map(_.getLong(0))
+        java.util.Arrays.sort(hotArr)
+        val hotBc = documents.sparkSession.sparkContext.broadcast(hotArr)
+        def split(keep: Boolean) =
+          graft.functions.HashFunctions.sortedFilterBroadcast(col("shs"), hotBc, keep)
+        // rare per-doc sub-arrays exploded in-row ≡ the former anti-join
+        // of the exploded index against hot (shs is sorted distinct, so
+        // the exploded (doc_id, xsh) pair set and order are identical);
+        // streamed side spread out of the cache partitioning in the
+        // broadcast regime (same guard as the exhaustive path)
+        val interRare = Vectors.spreadIfBroadcastJoin(
+            arr.select(col("doc_id"), explode(split(keep = false)).as("xsh")), inv, "doc_id").as("a")
           .join(inv.as("b"),
             col("a.xsh") === col("b.xsh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter_rare"))
         // one per-doc metadata relation (set size + hot sub-array) so the
-        // candidate relation is joined twice, not four times
-        val noHot = array().cast("array<bigint>")
-        val docMeta = arr.select(col("doc_id"), size(col("shs")).as("n"))
-          .join(hotDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n"), coalesce(col("hot"), noHot).as("hot"))
+        // candidate relation is joined twice, not four times; the hot
+        // sub-array is the in-row keep-side split ≡ the former
+        // sort_array(collect_list(inner join against hot)) + []-coalesce,
+        // now a map-side projection of the shingle cache. docMeta feeds
+        // BOTH pair-side broadcast builds — the eager count is the
+        // documented materialize-before-fanout barrier.
+        val docMeta = arr.select(col("doc_id"), size(col("shs")).as("n"),
+            split(keep = true).as("hot"))
           .sharedCache
         docMeta.count()
         interRare

@@ -262,13 +262,19 @@ object Vectors {
     * `spark.graft.spread.cores` when set, else `defaultParallelism`
     * (which under dynamic allocation can undershoot the eventual cluster
     * width at plan-build time; clusterConf pins it for a fleet).
+    *
+    * `key` is the streamed side's unique row id (vec_id for the vector
+    * block joins, doc_id for the shingle inverted-index pair joins —
+    * r12 generalization so [[graft.operators.Dedup.ngramJaccard]] can use
+    * the same guard).
     */
-  private[operators] def spreadIfBroadcastJoin(aSide: DataFrame, source: DataFrame): DataFrame = {
+  private[operators] def spreadIfBroadcastJoin(aSide: DataFrame, source: DataFrame,
+                                               key: String = "vec_id"): DataFrame = {
     val spark = source.sparkSession
     val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
     val est = source.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thresh > 0 && est <= thresh)
-      aSide.repartition(Sizing.spreadCores(spark), col("vec_id"))
+      aSide.repartition(Sizing.spreadCores(spark), col(key))
     else aSide
   }
 
