@@ -17,6 +17,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val eagerDone = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]())
+
+  /** Run a cached relation's materialize-before-fanout barrier (one count
+    * job) at most ONCE per [[release]] cycle. Composed queries construct
+    * the same cached relation several times (the incremental dedup gates
+    * build `shingleArrays(old)` through two entry points); Spark's
+    * CacheManager dedupes the STORAGE by canonical plan, but each
+    * construction used to re-run its eager count — a redundant job over
+    * an already-materialized cache. The memo is keyed by the same
+    * canonicalized plan the CacheManager matches on and cleared in
+    * [[release]] (the harness drains caches between reps, so the next
+    * rep's first barrier runs again and nothing persists across runs).
+    * Purely a job-count optimization: a skipped count never changes
+    * results — at worst a racing consumer recomputes cache partitions,
+    * exactly the pre-barrier behavior.
+    */
+  def eagerizeOnce(df: DataFrame): Unit =
+    if (eagerDone.add(df.queryExecution.analyzed.canonicalized)) df.count(): Unit
 
   implicit final class SharedCacheOps(private val df: DataFrame) extends AnyVal {
     /** Persist MEMORY_AND_DISK and register for [[Caches.release]]. */
@@ -59,5 +78,6 @@ object Caches {
   def release(): Unit = {
     var df = tracked.poll()
     while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
+    eagerDone.clear()
   }
 }

@@ -24,9 +24,13 @@ object Profile {
     // build so STATIC confs work too; profiling aid only — Bench/Verify
     // never read it)
     sys.env.get("SPARK_GRAFT_XCONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-      System.err.println(s"[profile] conf $k=$v")
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          builder.config(k, v)
+          System.err.println(s"[profile] conf $k=$v")
+        case _ =>
+          System.err.println(s"[profile] ignoring malformed XCONF token '$kv' (want key=value)")
+      }
     })
     val spark = builder.getOrCreate()
     // SPARK_GRAFT_LOG=WARN surfaces scheduler warnings (e.g. "broadcasting

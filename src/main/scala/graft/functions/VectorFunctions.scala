@@ -361,8 +361,17 @@ case class PqResidual(vec: Expression, codes: Expression,
 }
 
 object PqResidual {
+  /** Returns null (the old `element_at`/`zip_with` tree's propagation) for
+    * a malformed `codes` array — shorter than m, a null element, or a code
+    * outside [0, k): UnsafeArrayData element reads are unchecked, so
+    * without the guard a caller of the public `pqResidual` API with bad
+    * input would read garbage or throw ArrayIndexOutOfBounds. Unreachable
+    * from [[graft.operators.Vectors.annPqResidual]], whose codes are
+    * always [[PqEncode]] output (length m, codes in [0, k), non-null).
+    */
   def compute(arr: ArrayData, codes: ArrayData, isFloat: Boolean,
               dim: Int, m: Int, k: Int, cb: Array[Double]): ArrayData = {
+    if (codes.numElements() < m) return null
     val sub = dim / m
     val out = new Array[Double](dim)
     val n = math.min(arr.numElements(), dim)
@@ -374,7 +383,10 @@ object PqResidual {
     }
     var s = 0
     while (s < m) {
-      val base = (s * k + codes.getInt(s)) * sub
+      if (codes.isNullAt(s)) return null
+      val code = codes.getInt(s)
+      if (code < 0 || code >= k) return null
+      val base = (s * k + code) * sub
       var j = 0
       while (j < sub) { out(s * sub + j) -= cb(base + j); j += 1 }
       s += 1

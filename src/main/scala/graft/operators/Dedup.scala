@@ -69,7 +69,11 @@ object Dedup {
     */
   private def shingleArrays(dd: DataFrame, k: Int): DataFrame = {
     val cached = shingleArraysLazy(dd, k)
-    cached.count()
+    // once per release cycle: composed gates (incremental dedup) build
+    // the same shingle relation through several entry points, and the
+    // CacheManager already dedupes the storage — only the barrier job
+    // needed deduping too
+    graft.Caches.eagerizeOnce(cached)
     cached.where(size(col("shs")) > 0)
   }
 

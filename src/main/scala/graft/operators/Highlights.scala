@@ -136,23 +136,21 @@ object Highlights {
       .select(col("o_orderkey"), col("channel"), col("o_orderpriority").as("title"),
         floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long").as("end_epoch"),
         floor(col("o_totalprice")).cast("long").as("dur"))
-    // last_chat scoped to the requested channel group BEFORE aggregating
-    // (the reference's last_chat CTE filters to the channel, api.py:2680):
-    // the semi-join keeps the per-video MAX rollup sized by one group's
-    // chat, not the whole month's corpus. Keyed by video id like the final
-    // join — bucket both by order key and neither moves.
-    // BROADCAST the group's video keys into the semi join: without the
-    // hint the planner's join-size estimate (product of children, no CBO)
-    // pushed it to sort-merge, shuffling the CHAT FACT — the big side —
-    // just to prune it (2 exchanges + 2 sorts in the plan). The key set is
-    // one channel group's videos, the same bounded relation this operator
-    // already broadcasts post-aggregation (lastChat below), so the
-    // broadcast bound is one the operator's scale design already accepts;
-    // the fact scan is now pruned map-side and never shuffles here.
+    // last_chat aggregates the MONTH's chat per video with no group
+    // prune — exactly the oracle CTE's shape. The month predicate prunes
+    // the fact at the scan; MAX is a partial (map-side) aggregate, so the
+    // only shuffle carries per-video partials (∝ distinct videos chatting
+    // in the month, agg-compressed), never pre-agg fact rows — the same
+    // bytes a group-scoped rollup would shuffle into its own final agg.
+    // Other groups' videos drop out of the final inner join on vids, so
+    // rows are unchanged. An earlier round pruned the fact with a FORCED
+    // broadcast semi-join on the group's video keys; vids is the group's
+    // ALL-TIME order keys — a fact-proportional relation — so the
+    // unconditional hint was a driver-OOM/broadcast-limit hazard at scale
+    // (ADVICE r11), and with partial aggregation it bought nothing the
+    // agg does not already do.
     val lastChat = lineitem
       .filter(col("l_shipdate") >= monthStart && col("l_shipdate") < add_months(monthStart, 1))
-      .join(broadcast(vids.select(col("o_orderkey").as("vid_key"))),
-        col("l_orderkey") === col("vid_key"), "left_semi")
       .groupBy(col("l_orderkey"))
       .agg(floor(max(col("l_shipdate")).cast("timestamp").cast("double")).cast("long").as("last_chat_epoch"))
     vids

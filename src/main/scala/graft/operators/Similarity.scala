@@ -49,7 +49,11 @@ object Similarity {
           col("a.channel") < col("b.channel"))
       .groupBy(col("a.week").as("week"), col("a.channel").as("channel_a"), col("b.channel").as("channel_b"))
       .agg(sum(col("a.messages") * col("b.messages")).as("dot"))
-    // materialized ONCE: norms joins back under two different renames
+    // materialized ONCE (eager — both consumers are BroadcastExchange
+    // builds off a cold cache, the documented concurrent-broadcast
+    // block-lock race sharedCacheEager exists for; the count job is one
+    // pass over a |channels×weeks|-sized relation): norms joins back
+    // under two different renames
     // (channel_a / channel_b), and the rename sits below each
     // BroadcastExchange, so the canonical plans differ and exchange reuse
     // never fires — without the cache the rollup was re-aggregated per
@@ -57,7 +61,7 @@ object Similarity {
     // The relation is |channels x weeks|, tiny at any corpus size.
     val norms = w.groupBy("week", "channel")
       .agg(sum(col("messages") * col("messages")).as("n2"))
-      .sharedCache
+      .sharedCacheEager
     dots
       .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), Seq("week", "channel_a"))
       .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), Seq("week", "channel_b"))
@@ -106,7 +110,7 @@ object Similarity {
       .agg(sum(col("a.weight") * col("b.weight")).as("dot"))
     // cached for the same two-rename reuse failure as channelSimilarityFrom
     val norms = w.groupBy("channel").agg(sum(col("weight") * col("weight")).as("n2"))
-      .sharedCache
+      .sharedCacheEager
     val sims = dots
       .join(norms.withColumnRenamed("channel", "channel_a").withColumnRenamed("n2", "n2_a"), "channel_a")
       .join(norms.withColumnRenamed("channel", "channel_b").withColumnRenamed("n2", "n2_b"), "channel_b")
@@ -220,7 +224,7 @@ object Similarity {
     // cached for the same two-rename broadcast-reuse failure as
     // channelSimilarityFrom (one row per source — tiny at any scale)
     val norms = weighted.groupBy("source").agg(sum(col("wt") * col("wt")).as("n2"))
-      .sharedCache
+      .sharedCacheEager
     dots
       .join(norms.withColumnRenamed("source", "source_a").withColumnRenamed("n2", "n2_a"), "source_a")
       .join(norms.withColumnRenamed("source", "source_b").withColumnRenamed("n2", "n2_b"), "source_b")
