@@ -342,6 +342,11 @@ case class PqResidual(vec: Expression, codes: Expression,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_residual"
 
+  // the kernel itself null-propagates on malformed codes (short / null
+  // element / out-of-range), so the result can be null even for non-null
+  // inputs — the old element_at/zip_with tree's behavior
+  override def nullable: Boolean = true
+
   private lazy val isFloat: Boolean =
     vec.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
 
@@ -352,7 +357,9 @@ case class PqResidual(vec: Expression, codes: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
     nullSafeCodeGen(ctx, ev, (v, c) =>
-      s"${ev.value} = graft.functions.PqResidual.compute($v, $c, $isFloat, $dim, $m, $k, $cbRef);")
+      s"""${ev.value} = graft.functions.PqResidual.compute($v, $c, $isFloat, $dim, $m, $k, $cbRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+         |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -746,10 +746,13 @@ object Dedup {
     // shuffles to build the fingerprint. The previous formulation exploded
     // word occurrences and ran 60 sum-aggregates through a doc_id-keyed
     // shuffle — a full-corpus shuffle at 100 TB for a map-side computation.
-    // Repartition spreads the md5-heavy projection across all cores (the
-    // corpus scan may have few splits; see shingleArrays).
+    // Repartition spreads the md5-heavy projection out of the scan's
+    // (possibly few) splits; BY COLUMN, not by number — simhash CPU is
+    // proportional to text bytes, so AQE's byte-based advisory width is
+    // the scale-faithful fan-out and a tiny corpus coalesces instead of
+    // paying 32 near-empty tasks' fixed cost (see shingleArrays).
     val sim = dd
-      .repartition(dd.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         graft.functions.HashFunctions.simhashBits(split(col("text"), "\\s+")).as("simhash"))
     val chunks = sim.select(col("doc_id"), col("simhash"),

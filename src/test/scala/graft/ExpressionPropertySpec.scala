@@ -170,6 +170,60 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedFilterBroadcast ≡ array_intersect / array_except against the broadcast set") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 50)
+      a <- Gen.listOfN(na, Gen.chooseNum(0L, 80L))
+    } yield a.distinct.sorted.toArray
+    val data = sample(gen, N)
+    val hot = Array(3L, 7L, 20L, 21L, 55L, 80L) // sorted, overlapping the domain
+    val bc = spark.sparkContext.broadcast(hot)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(a => Row(a.toSeq)), 4), schema)
+    val got = df.select(
+      HashFunctions.sortedFilterBroadcast(col("a"), bc, keep = true).as("kept"),
+      HashFunctions.sortedFilterBroadcast(col("a"), bc, keep = false).as("dropped"),
+      array_intersect(col("a"), lit(hot)).as("ik"),
+      array_except(col("a"), lit(hot)).as("id"))
+      .collect()
+    got.zip(data).foreach { case (r, a) =>
+      // input is sorted distinct, so array_intersect/except (which keep
+      // first-arg order) are the exact reference — values AND order
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2), s"keep diverged on ${a.toSeq}")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3), s"drop diverged on ${a.toSeq}")
+      assert(r.getSeq[Long](0) ++ r.getSeq[Long](1) == a.toSeq.sorted.filter(hot.contains) ++ a.toSeq.sorted.filterNot(hot.contains))
+    }
+    // empty broadcast set: keep = [], drop = identity
+    val bcEmpty = spark.sparkContext.broadcast(Array.empty[Long])
+    val e = df.select(
+      HashFunctions.sortedFilterBroadcast(col("a"), bcEmpty, keep = true).as("k"),
+      HashFunctions.sortedFilterBroadcast(col("a"), bcEmpty, keep = false).as("d")).collect()
+    e.zip(data).foreach { case (r, a) =>
+      assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1) == a.toSeq)
+    }
+  }
+
+  test("PqResidual guards malformed codes: short, null element, out-of-range -> null") {
+    val dim = 8; val m = 4; val k = 4; val sub = dim / m
+    val cb = Array.tabulate(m * k * sub)(_.toDouble / 7d)
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(DoubleType, containsNull = false)),
+      StructField("c", ArrayType(IntegerType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq.fill(dim)(1.0d), Seq(0, 1, 2, 3)),          // well-formed
+      Row(Seq.fill(dim)(1.0d), Seq(0, 1)),                // shorter than m
+      Row(Seq.fill(dim)(1.0d), Seq(0, null, 2, 3)),       // null element
+      Row(Seq.fill(dim)(1.0d), Seq(0, 1, 2, k)),          // code == k (out of range)
+      Row(Seq.fill(dim)(1.0d), Seq(0, 1, -1, 3)))         // negative code
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = df.select(VectorFunctions.pqResidual(col("v"), col("c"), dim, m, k, cb).as("r"))
+      .collect()
+    assert(got(0).getSeq[Double](0) != null && got(0).getSeq[Double](0).length == dim)
+    (1 to 4).foreach(i => assert(got(i).isNullAt(0), s"row $i should null-propagate"))
+  }
+
   test("PqEncode matches the naive full-distance argmin on random vectors (codegen path)") {
     val dim = 16; val m = 4; val k = 8; val sub = dim / m
     val cbGen = Gen.listOfN(m * k * sub, finiteD)

@@ -46,6 +46,26 @@ class SizingSpec extends SparkSpec {
       2L * spark.sparkContext.defaultParallelism)
   }
 
+  test("clusterConf ships the deploy engine keys; spreadCores resolves the pinned width") {
+    val conf = Sizing.clusterConf(10L << 40, totalCores = 8000)
+    // cached-MV partitioning must track AQE's advisory size at any corpus
+    // (r11's measured -46% suite CPU setting); a deploy consuming the
+    // library gets it from this map, not just the harness mains
+    assert(conf("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") == "true")
+    // the fan-out width for tiny-bytes/huge-CPU spreads is pinned to the
+    // fleet, not plan-build-time defaultParallelism
+    assert(conf("spark.graft.spread.cores") == "8000")
+    // unset -> session defaultParallelism (the local default every bench
+    // plan was measured with)
+    assert(Sizing.spreadCores(spark) == spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.graft.spread.cores", "12345")
+    try assert(Sizing.spreadCores(spark) == 12345)
+    finally spark.conf.unset("spark.graft.spread.cores")
+    spark.conf.set("spark.graft.spread.cores", "bogus")
+    try intercept[IllegalArgumentException](Sizing.spreadCores(spark))
+    finally spark.conf.unset("spark.graft.spread.cores")
+  }
+
   test("sized Jaccard cap composes with ngramJaccard at zero loss on this corpus") {
     val sized = Sizing.forCorpus(docs, emb)
     val exhaustive = Dedup.ngramJaccard(docs).collect().map(_.toSeq).toSet
